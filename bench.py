@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Headline benchmark: MCMC chain-steps/sec at 10k chains on the
+infection-states model (BASELINE.json config 4).
+
+Runs the batched Metropolis-Hastings sampler — per chain-step: lognormal
+random walk, adaptive Dopri5 ODE solve on the observation grid, chi/R^2/AIC
+scoring, accept/reject — for 10,000 vmapped chains on whatever devices are
+available (the real TPU chip under the driver; CPU if forced).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "chain-steps/sec", "vs_baseline": N}
+vs_baseline is measured against the serial scipy+numpy reference throughput
+recorded in BASELINE_MEASURED.json (bench/reference_baseline.py).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+N_CHAINS = 10_000
+NITS = 100          # proposals per chain in the timed window (nits-1 steps)
+
+
+def build_problem():
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from odelib_tpu.data import (build_obsdata, compact_observation_grid,
+                                 format_dataframe)
+    from odelib_tpu.model import make_spec
+
+    def zero_i(t, y, ps):
+        mu, phi, beta = ps
+        S, V = y
+        dS = mu * S - phi * S * V
+        dV = beta * phi * S * V - phi * S * V
+        return jnp.stack([dS, dV])
+
+    path = "/root/reference/demo/demodata.csv"
+    if os.path.exists(path):
+        df = pd.read_csv(path).replace({"virus": "V", "host": "S"})
+    else:
+        rng = np.random.default_rng(0)
+        rows = []
+        for org, scale in (("S", 5e6), ("V", 1e7)):
+            for t in np.arange(0.0, 3.2, 0.2):
+                rows.append({"organism": org, "time": t,
+                             "abundance": scale * np.exp(rng.normal(0, .2)),
+                             "log_sigma": 0.2})
+        df = pd.DataFrame(rows)
+    df = format_dataframe(df, ("S", "V"))
+    times = np.linspace(0.0, df["time"].max(), 288)
+    spec = make_spec(zero_i, ("mu", "phi", "beta"), ("S", "V"))
+    obs, _ = build_obsdata(df, times, spec.post_snames)
+    times_fit, obs_fit = compact_observation_grid(obs, times)
+    y0 = np.array([df.loc[["S"]].iloc[0]["abundance"],
+                   df.loc[["V"]].iloc[0]["abundance"]])
+    return spec, obs_fit, times_fit, y0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from odelib_tpu.parallel import chain_mesh, pad_chains, shard_chain_batch
+    from odelib_tpu.samplers import metropolis_hastings
+
+    spec, obs, times_fit, y0 = build_problem()
+    dtype = jnp.float32
+    times_fit = jnp.asarray(times_fit, dtype)
+    y0 = jnp.asarray(y0, dtype)
+    obs = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, obs)
+
+    mesh = chain_mesh()
+    C = pad_chains(N_CHAINS, mesh)
+    rng = np.random.default_rng(0)
+    # start chains jittered around a good fit (post-survey regime, like the
+    # reference's chain seeding after its LHS prescreen)
+    base = np.array([0.9, 3.0e-8, 25.0])
+    theta0 = jnp.asarray(base * np.exp(rng.normal(0, 0.05, (C, 3))), dtype)
+    keys = jax.random.split(jax.random.PRNGKey(0), C)
+    theta0, keys = shard_chain_batch((theta0, keys), mesh)
+
+    kw = dict(nits=NITS, method="dopri5", rtol=1e-5, atol=1e0,
+              max_steps=1024)
+
+    # compile (first call) then measure steady-state throughput
+    out = metropolis_hastings(spec, obs, times_fit, y0, theta0, keys, **kw)
+    jax.block_until_ready(out.theta)
+    t0 = time.perf_counter()
+    out = metropolis_hastings(spec, obs, times_fit, y0, theta0, keys, **kw)
+    jax.block_until_ready(out.theta)
+    elapsed = time.perf_counter() - t0
+
+    chain_steps = C * (NITS - 1)
+    rate = chain_steps / elapsed
+
+    accept = float(jnp.mean(out.acceptance_ratio[:, -1]))
+    finite = float(jnp.mean(jnp.isfinite(out.chi)))
+
+    baseline_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)["value"]
+    else:
+        baseline = 832.0  # measured serial scipy+numpy rate on this machine
+
+    result = {
+        "metric": "MCMC chain-steps/sec at 10k chains (infection-states, "
+                  "adaptive dopri5 + chi/R2/AIC per step)",
+        "value": round(rate, 1),
+        "unit": "chain-steps/sec",
+        "vs_baseline": round(rate / baseline, 2),
+        "chains": C,
+        "iterations": NITS,
+        "elapsed_s": round(elapsed, 3),
+        "mean_acceptance": round(accept, 3),
+        "finite_chi_frac": round(finite, 4),
+        "devices": [str(d) for d in jax.devices()],
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,983 @@
+"""Reference-compatible user API: ``ModelFramework`` + ``parameter``.
+
+Mirrors the public surface of SEpapoulis/ODElib
+(``/root/reference/ODElib/Framework.py:50-1165``) on top of the functional
+TPU core (model.py / samplers / parallel). DataFrames in == DataFrames out,
+with the reference's column conventions; the compute in between is one jitted
+XLA program per workflow instead of multiprocessing pickle-fan-out.
+
+Reference defects fixed here (SURVEY.md section 4):
+  1. ``parameter.fit`` enumerate bug (``Framework.py:93``);
+  2. ``set_parameters`` raw-value-for-fresh-parameter bug (``Framework.py:452``);
+  3. ``parameter.pdf()`` evaluating a fresh random draw instead of the current
+     value (``Framework.py:103``);
+  4. ``search_initparamfits`` positional-argument bug (``Framework.py:881``)
+     and ``find_inits`` (#BROKEN, ``Framework.py:512``);
+  5. array-valued-parameter LHS path (``Samplers.py:45``).
+Deviations are documented on each method.
+"""
+from __future__ import annotations
+
+import warnings
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from . import data as _data
+from . import distributions as _dist
+from . import stats as jstats
+from .model import ModelSpec, fit_metrics, integrate_theta, make_spec, observe
+from .parallel import chain_mesh, pad_chains, shard_chain_batch
+from .samplers import metropolis_hastings, sample_lhs
+from .samplers import mh as _mh
+
+
+def rawstats(pdseries):
+    """Raw median and standard deviation of a posterior series
+    (``Framework.py:11-17``)."""
+    m, s = jstats.rawstats(np.asarray(pdseries, float))
+    return float(m), float(s)
+
+
+def jaxify_rhs(f):
+    """Adapt a reference-style ODE function ``f(y, t, ps)`` written with
+    numpy into a jittable function.
+
+    The demo notebook's models call ``np.array([...])`` on results
+    (demo/Demo_InfectionStates.ipynb cell 4), which breaks under tracing; we
+    re-bind the function's globals so ``np``/``numpy`` resolve to
+    ``jax.numpy``. Functions already written with jnp pass through unchanged.
+    """
+    import types
+    g = dict(getattr(f, "__globals__", {}))
+    g["np"] = jnp
+    g["numpy"] = jnp
+    try:
+        jf = types.FunctionType(f.__code__, g, f.__name__,
+                                f.__defaults__, f.__closure__)
+    except AttributeError:  # builtins / callables without __code__
+        return f
+    return jf
+
+
+# ---------------------------------------------------------------------------
+# Module-level jitted kernels: static over (spec, solver settings) so the
+# compile cache is shared across ModelFramework copies (the reference's
+# copy()-per-worker pattern must not trigger recompiles).
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
+def _integrate_jit(spec, theta, y0, times, method, rtol, atol, max_steps,
+                   substeps):
+    return integrate_theta(spec, theta, y0, times, method=method, rtol=rtol,
+                           atol=atol, max_steps=max_steps, substeps=substeps)
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
+def _survey_jit(spec, obs, times, y0, thetas, method, rtol, atol, max_steps,
+                substeps):
+    return _mh.survey(spec, obs, times, y0, thetas, method=method, rtol=rtol,
+                      atol=atol, max_steps=max_steps, substeps=substeps)
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
+def _equilibrium_jit(spec, times, y0, thetas, method, rtol, atol, max_steps,
+                     substeps):
+    return _mh.equilibriums(spec, times, y0, thetas, method=method, rtol=rtol,
+                            atol=atol, max_steps=max_steps, substeps=substeps)
+
+
+class parameter:
+    """Parameter value + prior distribution + random-walk proposal
+    (re-design of ``Framework.py:50-163``).
+
+    Accepts scipy.stats generators (``scipy.stats.lognorm`` etc.), name
+    strings, or :mod:`odelib_tpu.distributions` instances as ``stats_gen``.
+    The device-side JAX distribution is available as ``.jdist``.
+    """
+
+    def __init__(self, stats_gen=None, hyperparameters=None, init_value=None,
+                 name=None):
+        self.dist = stats_gen
+        self.hp = hyperparameters
+        self.name = name
+        if init_value is not None:
+            self.val = np.array(init_value)
+        else:
+            if stats_gen is None:
+                raise ValueError(
+                    "You must specify a distribution if not passing a value")
+            self.val = np.array(self._host_rvs())
+        self._dim = self.val.shape
+
+    # -- host-side draw/pdf helpers (scipy if available, else JAX dist) ----
+    def _host_rvs(self, size=None):
+        if hasattr(self.dist, "rvs") and not isinstance(self.dist,
+                                                        _dist.Distribution):
+            return self.dist.rvs(**(self.hp or {}), size=size)
+        d = self.jdist
+        u = np.random.rand(*(() if size is None else (size,)))
+        return np.asarray(d.ppf(u))
+
+    @property
+    def jdist(self) -> Optional[_dist.Distribution]:
+        """JAX-side distribution, or None when no prior was given."""
+        if self.dist is None:
+            return None
+        return _dist.from_scipy(self.dist, self.hp)
+
+    def fit(self, data):
+        """Fit the prior's hyperparameters to data. (Reference bug 1 fixed:
+        ``Framework.py:93`` iterates without enumerate and crashes.)"""
+        if isinstance(self.dist, _dist.Distribution):
+            self.dist = self.dist.fit(np.asarray(data, float))
+            return
+        shapeargs = (self.dist.shapes.split(",") if self.dist.shapes else [])
+        shapeargs = [a.strip() for a in shapeargs] + ["loc", "scale"]
+        vals = self.dist.fit(np.asarray(data, float))
+        if self.hp is None:
+            self.hp = {}
+        for i, arg in enumerate(shapeargs):
+            self.hp[arg] = vals[i]
+
+    def pdf(self, val=None):
+        """Prior density at ``val`` (default: at the *current* value —
+        reference bug 3 fixed; ``Framework.py:103`` evaluated a fresh random
+        draw). Returns 1.0 when the parameter has no distribution."""
+        if self.dist is None:
+            return 1.0
+        if val is None:
+            val = self.val
+        if isinstance(self.dist, _dist.Distribution):
+            return np.asarray(self.dist.pdf(val))
+        return self.dist.pdf(val, **(self.hp or {}))
+
+    def rwalk(self, std=0.05):
+        """Multiplicative lognormal random walk (``Framework.py:107-122``)."""
+        stds = np.full(self._dim, std)
+        self.val = np.exp(np.log(self.val) + np.random.normal(0, stds))
+
+    def has_distribution(self):
+        return self.dist is not None
+
+    def get_figure(self, samples=1000, logspace=False):
+        """Histogram of prior draws (``Framework.py:141-153``)."""
+        s = pd.Series(np.asarray(self._host_rvs(size=samples)))
+        if logspace:
+            ax = s.hist(bins=np.logspace(np.log10(s.min()),
+                                         np.log10(s.max()), 50))
+            ax.figure.gca().set_xscale("log")
+        else:
+            ax = s.hist(bins=np.linspace(s.min(), s.max(), 50))
+        ax.set_title(self.name)
+        return ax.figure
+
+    def copy(self):
+        return parameter(init_value=self.val, stats_gen=self.dist,
+                         hyperparameters=self.hp, name=self.name)
+
+    def __repr__(self):
+        out = [str(self.val) + "  "]
+        if self.dist is not None:
+            dname = getattr(self.dist, "name", type(self.dist).__name__)
+            out.append(f"(distribution:{dname}, ")
+            out.append(f"hyperparameters:{self.hp})")
+        return " ".join(out)
+
+    __str__ = __repr__
+
+
+class ModelFramework:
+    """Bayesian ODE fitting framework — TPU-native engine, reference API.
+
+    Construction/semantics follow ``Framework.py:166-263``. Extra keyword
+    arguments beyond the reference: ``ode_style`` ('auto'|'reference'|'jax')
+    describing the RHS signature (reference: ``f(y, t, ps)`` with numpy;
+    jax: ``f(t, y, ps)``), and solver knobs ``method``/``rtol``/``atol``/
+    ``max_steps``/``substeps`` consumed by the compute methods.
+    """
+
+    _SOLVER_KEYS = ("method", "rtol", "atol", "max_steps", "substeps")
+
+    def __init__(self, ODE, parameter_names, state_names, dataframe=None,
+                 state_summations=None, t_end=5, t_steps=1000, random_seed=0,
+                 ode_style="auto", method="dopri5", rtol=1e-6, atol=1e-4,
+                 max_steps=4096, substeps=4, **kwargs):
+        self._pnames = tuple(parameter_names)
+        self._snames = tuple(state_names)
+        self._model = ODE
+        self._ode_style = ode_style
+        self._solver = dict(method=method, rtol=float(rtol), atol=float(atol),
+                            max_steps=int(max_steps), substeps=int(substeps))
+
+        self.parameters = {el: None for el in self._pnames}
+        self.istates = {el: 0 for el in self._snames}
+        self.random_seed = random_seed
+
+        self._spec = self._build_spec(state_summations)
+        self._state_summations = state_summations
+
+        self._obs_logabundance = {}
+        self._obs_logsigma = {}
+        self._obs_abundance = {}
+
+        if isinstance(dataframe, pd.DataFrame):
+            self.df = self._formatdf(dataframe.copy())
+            self.times = np.linspace(0, max(self.df["time"]), t_steps)
+            self._samples = len(self.df)
+            (self._pred_tindex, self._obs_logabundance,
+             self._obs_logsigma) = self._df_fitsetup()
+            self._obsdata, self._observed_states = _data.build_obsdata(
+                self.df, self.times, self._spec.post_snames)
+            self._times_fit, self._obsdata_fit = \
+                _data.compact_observation_grid(self._obsdata, self.times)
+        else:
+            self.df = None
+            self._samples = None
+            self.times = np.linspace(0, t_end, t_steps)
+            self._pred_tindex = {}
+            self._obsdata = None
+            self._observed_states = ()
+            self._times_fit = None
+            self._obsdata_fit = None
+
+        _is, _ps = {}, {}
+        if isinstance(self.df, pd.DataFrame):
+            _is.update(_data.initial_states_from_df(self.df))
+        for el in kwargs:
+            if el in self._pnames:
+                _ps[el] = kwargs[el]
+            elif el in self._snames or el in self._spec.post_snames:
+                _is[el] = kwargs[el]
+            else:
+                raise TypeError(f"unexpected keyword argument {el!r} (not a "
+                                f"parameter or state name)")
+        self.set_parameters(**_ps)
+        self.set_inits(**_is)
+
+        self._pnum = 0
+        for p in self.parameters:
+            if self.parameters[p] is not None:
+                self._pnum += np.count_nonzero(self.parameters[p].val)
+
+    # ------------------------------------------------------------------
+    # construction helpers
+    # ------------------------------------------------------------------
+    def _build_spec(self, state_summations) -> ModelSpec:
+        rhs = self._adapt_rhs(self._model)
+        return make_spec(rhs, self._pnames, self._snames, state_summations)
+
+    def _adapt_rhs(self, f):
+        style = self._ode_style
+        if style == "auto":
+            # Reference convention is f(y, t, ps); TPU convention f(t, y, ps).
+            # Disambiguate by argument names when possible.
+            try:
+                import inspect
+                args = inspect.getfullargspec(f).args
+                style = "jax" if args[:2] in (["t", "y"],) else "reference"
+            except TypeError:
+                style = "reference"
+        if style == "reference":
+            jf = jaxify_rhs(f)
+            return lambda t, y, ps: jnp.asarray(jf(y, t, ps))
+        return lambda t, y, ps: jnp.asarray(f(t, y, ps))
+
+    def _formatdf(self, df):
+        # replicate schema fills the _obs_abundance caches like
+        # Framework.py:293-297
+        out = _data.format_dataframe(df, self._snames)
+        if "replicate" in df:
+            for sname in self._snames:
+                if sname in out.index:
+                    sub = out.loc[[sname]]
+                    self._obs_abundance[sname] = sub["abundance"].to_numpy()
+                    self._obs_logabundance[sname] = (
+                        sub["log_abundance"].to_numpy())
+                    self._obs_logsigma[sname] = sub["log_sigma"].to_numpy()
+        return out
+
+    def _df_fitsetup(self):
+        return _data.fit_setup(self.df, self.times)
+
+    def reset_dataframe(self, df):
+        """Refresh data structures with a new dataframe
+        (``Framework.py:266-279``)."""
+        self.df = self._formatdf(df.copy())
+        self.times = np.linspace(0, max(self.df["time"]), len(self.times))
+        (self._pred_tindex, self._obs_logabundance,
+         self._obs_logsigma) = self._df_fitsetup()
+        self._samples = len(self.df)
+        self._obsdata, self._observed_states = _data.build_obsdata(
+            self.df, self.times, self._spec.post_snames)
+        self._times_fit, self._obsdata_fit = \
+            _data.compact_observation_grid(self._obsdata, self.times)
+        self.set_inits(**_data.initial_states_from_df(self.df))
+
+    # ------------------------------------------------------------------
+    # accessors (Framework.py:383-587)
+    # ------------------------------------------------------------------
+    def get_pnames(self):
+        return list(self._pnames)
+
+    def get_snames(self, after_summation=True, predict_obs=False):
+        if after_summation and self._spec.sum_matrix is not None:
+            return list(self._spec.post_snames)
+        elif predict_obs:
+            return list(self._pred_tindex.keys())
+        return list(self._snames)
+
+    def get_model(self):
+        return self._model
+
+    def get_numstatevar(self):
+        return len(self._snames)
+
+    def get_parameters(self, as_dict=False, **kwargs):
+        if as_dict:
+            return {p: kwargs.get(p, self.parameters[p].val)
+                    for p in self.get_pnames()}
+        ps = [kwargs.get(p, self.parameters[p].val)
+              for p in self.get_pnames()]
+        return tuple([ps])
+
+    def set_parameters(self, **kwargs):
+        """(Reference bug 2 fixed: a raw value for an uninitialized parameter
+        now constructs ``parameter(init_value=value)`` instead of passing the
+        value as the distribution, ``Framework.py:452``.)"""
+        pset = set(self._pnames)
+        for p, v in kwargs.items():
+            if p not in pset:
+                raise Exception(
+                    f"{p} is an unknown parameter. Acceptable parameters "
+                    f"are: {', '.join(self._pnames)}")
+            if isinstance(v, parameter):
+                self.parameters[p] = v
+                if not v.name:
+                    v.name = p
+            elif self.parameters[p] is not None:
+                self.parameters[p].val = np.array(v)
+            else:
+                self.parameters[p] = parameter(init_value=v, name=p)
+
+    def set_inits(self, **kwargs):
+        s_set = set(self._snames)
+        ss_set = set(self._spec.post_snames)
+        for s, v in kwargs.items():
+            if s in s_set:
+                self.istates[s] = v
+            elif s in ss_set:
+                pass  # summation-consistency check is disabled in the
+                # reference too (Framework.py:485-493)
+            else:
+                raise Exception(
+                    f"{s} is an unknown state variable. Acceptable "
+                    f"parameters are: {', '.join(self._snames)}")
+
+    def get_inits(self, as_dict=False):
+        if as_dict:
+            return self.istates
+        return np.array([self.istates[el] for el in self._snames], float)
+
+    def __repr__(self):
+        mod = self._model
+        out = [f"Current Model = {mod.__module__}.{mod.__name__}",
+               "Parameters:"]
+        for p in self.get_pnames():
+            out.append(f"\t{p} = {self.parameters[p]}")
+        out.append("Initial States:")
+        for s in self.get_snames(after_summation=False):
+            out.append(f"\t{s} = {self.istates[s]}")
+        if self._spec.sum_matrix is not None:
+            out.append("Current State Summations")
+            m = np.asarray(self._spec.sum_matrix)
+            for j, post in enumerate(self._spec.post_snames):
+                members = [self._snames[i] for i in np.where(m[:, j])[0]]
+                if len(members) > 1:
+                    out.append(f"\t{post}={'+'.join(members)}")
+        return "\n".join(out)
+
+    __str__ = __repr__
+
+    # ------------------------------------------------------------------
+    # theta packing helpers
+    # ------------------------------------------------------------------
+    def _current_theta(self):
+        vals = [self.parameters[p].val if self.parameters[p] is not None
+                else 0.0 for p in self._pnames]
+        return self._spec.pack_theta(vals)
+
+    def _theta_from_df(self, df: pd.DataFrame):
+        """(N, P) thetas from a parameter dataframe, filling missing columns
+        with current values (like ``_package_parameters``,
+        ``Framework.py:787-798``)."""
+        cols = []
+        for p in self._pnames:
+            if p in df:
+                cols.append(np.stack([np.ravel(np.asarray(v, float))
+                                      for v in df[p].to_numpy()]))
+            else:
+                v = np.ravel(np.asarray(self.parameters[p].val, float))
+                cols.append(np.tile(v, (len(df), 1)))
+        return jnp.asarray(np.concatenate(cols, axis=1))
+
+    def _solver_args(self, overrides):
+        s = dict(self._solver)
+        s.update({k: overrides[k] for k in self._SOLVER_KEYS
+                  if k in overrides})
+        return (s["method"], s["rtol"], s["atol"], s["max_steps"],
+                s["substeps"])
+
+    # ------------------------------------------------------------------
+    # integration (Framework.py:622-683)
+    # ------------------------------------------------------------------
+    def integrate(self, inits=None, parameters=None, predict_obs=False,
+                  as_dataframe=True, sum_subpopulations=True, **solver_kw):
+        if inits is None:
+            initials = self.get_inits()
+        else:
+            initials = np.asarray(inits, float)
+        if parameters is None:
+            theta = self._current_theta()
+        else:
+            if isinstance(parameters, tuple) and len(parameters) == 1:
+                parameters = parameters[0]
+            theta = self._spec.pack_theta(list(parameters))
+
+        dtype = jnp.result_type(float)
+        ys = _integrate_jit(self._spec, jnp.asarray(theta, dtype),
+                            jnp.asarray(initials, dtype),
+                            jnp.asarray(self.times, dtype),
+                            *self._solver_args(solver_kw))
+        mod = np.asarray(ys)
+
+        if sum_subpopulations and self._spec.sum_matrix is not None:
+            mod = mod @ np.asarray(self._spec.sum_matrix)
+
+        snames = self.get_snames(after_summation=sum_subpopulations) \
+            if sum_subpopulations else self.get_snames(after_summation=False)
+
+        if as_dataframe:
+            df = pd.DataFrame(mod)
+            df.columns = snames
+            df["time"] = self.times
+            if predict_obs:
+                calc = pd.melt(df[self.get_snames(predict_obs=True)
+                                  + ["time"]], id_vars=["time"])
+                calc.columns = ["time", "organism", "abundance"]
+                calc = calc.set_index("organism")
+                return pd.concat(
+                    [calc.loc[s].iloc[self._pred_tindex[s]]
+                     for s in self.get_snames(predict_obs=True)])
+            return df
+        if predict_obs:
+            mod_dict = {}
+            for i, sname in enumerate(snames):
+                if sname in self._pred_tindex:
+                    mod_dict[sname] = mod[:, i][self._pred_tindex[sname]]
+            return mod_dict
+        return mod
+
+    def get_residuals(self):
+        mod = self.integrate(predict_obs=True)
+        return mod.abundance - self.df.abundance
+
+    # ------------------------------------------------------------------
+    # goodness of fit (Framework.py:617-722)
+    # ------------------------------------------------------------------
+    def get_chi(self, mod_dict):
+        O, C, S = [], [], []
+        for sname in mod_dict:
+            O.append(self._obs_logabundance[sname])
+            C.append(np.log(mod_dict[sname]))
+            S.append(self._obs_logsigma[sname])
+        return float(jstats.chi(np.concatenate(O), np.concatenate(C),
+                                np.concatenate(S)))
+
+    def get_Rsqrd(self, mod_dict):
+        abundance = {el: np.exp(self._obs_logabundance[el])
+                     for el in self._obs_logabundance}
+        return float(jstats.Rsqrd(mod_dict, abundance))
+
+    def get_AIC(self, chi):
+        return float(jstats.AIC(chi, self._pnum))
+
+    def get_adjRsqrd(self, mod_dict, Rsqrd=None):
+        if not Rsqrd:
+            Rsqrd = self.get_Rsqrd(mod_dict)
+        return float(jstats.get_adjusted_rsquared(
+            Rsqrd, self._samples, self._pnum))
+
+    def get_fitstats(self, prediction_dict=None):
+        fs = {}
+        if not prediction_dict:
+            prediction_dict = self.integrate(predict_obs=True,
+                                             as_dataframe=False)
+        fs["Chi"] = self.get_chi(prediction_dict)
+        fs["R^2"] = self.get_Rsqrd(prediction_dict)
+        fs["AIC"] = self.get_AIC(fs["Chi"])
+        return fs
+
+    # ------------------------------------------------------------------
+    # LHS sampling (Framework.py:589-615)
+    # ------------------------------------------------------------------
+    def _lhs_samples(self, samples=100, seed=None, **kwargs):
+        pdists, pstatic = {}, {}
+        for p in self.parameters:
+            if p in kwargs:
+                pdists[p] = kwargs[p]
+            elif (self.parameters[p] is not None
+                  and self.parameters[p].has_distribution()):
+                pdists[p] = self.parameters[p]
+            else:
+                pstatic[p] = (self.parameters[p].val
+                              if self.parameters[p] is not None else 0.0)
+        key = jax.random.PRNGKey(self.random_seed if seed is None else seed)
+        names, dists, dims = [], [], []
+        for p, par in pdists.items():
+            jd = par.jdist if isinstance(par, parameter) else \
+                _dist.from_scipy(par)
+            # array-valued parameters: one LHS dimension per non-zero entry
+            # (reference bug 5 fixed; Samplers.py:45 subscripted the object)
+            n = int(np.count_nonzero(par.val)) if isinstance(par, parameter) \
+                and par.val.shape else 1
+            names.append(p)
+            dists.extend([jd] * n)
+            dims.append(n)
+        df = pd.DataFrame()
+        if dists:
+            draws = np.asarray(sample_lhs(key, dists, samples))
+            off = 0
+            for p, n in zip(names, dims):
+                par = pdists[p]
+                if n == 1 and (not isinstance(par, parameter)
+                               or not par.val.shape):
+                    df[p] = draws[:, off]
+                else:
+                    template = np.asarray(par.val, float)
+                    nz = np.where(template != 0)
+                    rows = []
+                    for r in range(samples):
+                        arr = template.copy()
+                        arr[nz] = draws[r, off:off + n]
+                        rows.append(arr)
+                    df[p] = rows
+                off += n
+        else:
+            df = pd.DataFrame(index=range(samples))
+        for p in pstatic:
+            df[p] = [pstatic[p]] * samples
+        return df
+
+    # ------------------------------------------------------------------
+    # surveys (Framework.py:800-896) — vmapped on device, cpu_cores ignored
+    # ------------------------------------------------------------------
+    def fit_survey(self, samples=1000, cpu_cores=1, **solver_kw):
+        """LHS prior survey -> DataFrame[pnames..., chi]. ``cpu_cores`` is
+        accepted for API parity and ignored (the batch is one device
+        program)."""
+        ps = self._lhs_samples(samples)
+        thetas = self._theta_from_df(ps)
+        dtype = jnp.result_type(float)
+        chis = _survey_jit(self._spec, self._obsdata_fit,
+                           jnp.asarray(self._times_fit, dtype),
+                           jnp.asarray(self.get_inits(), dtype),
+                           jnp.asarray(thetas, dtype),
+                           *self._solver_args(solver_kw))
+        out = ps[self.get_pnames()].copy()
+        out["chi"] = np.asarray(chis)
+        return out
+
+    def explore_equilibriums(self, samples=1000, cpu_cores=1,
+                             **parameter_mapping):
+        """LHS draws -> final integration state per draw
+        (``Framework.py:819-854``; no convergence check, like the
+        reference)."""
+        solver_kw = {k: parameter_mapping.pop(k)
+                     for k in list(parameter_mapping)
+                     if k in self._SOLVER_KEYS}
+        ps = self._lhs_samples(samples, **parameter_mapping)
+        thetas = self._theta_from_df(ps)
+        dtype = jnp.result_type(float)
+        eqs = _equilibrium_jit(self._spec, jnp.asarray(self.times, dtype),
+                               jnp.asarray(self.get_inits(), dtype),
+                               jnp.asarray(thetas, dtype),
+                               *self._solver_args(solver_kw))
+        df = pd.DataFrame(np.asarray(eqs),
+                          columns=self.get_snames(after_summation=False))
+        for p in self.get_pnames():
+            df[p] = ps[p].to_numpy()
+        return df
+
+    def search_initparamfits(self, samples=1000, cpu_cores=1, **kwargs):
+        """Fixed version of the reference's broken method
+        (``Framework.py:858-896``): LHS over the given parameter
+        distributions, returns DataFrame[pnames..., chi]."""
+        ps = self._lhs_samples(samples, **kwargs)
+        thetas = self._theta_from_df(ps)
+        dtype = jnp.result_type(float)
+        chis = _survey_jit(self._spec, self._obsdata_fit,
+                           jnp.asarray(self._times_fit, dtype),
+                           jnp.asarray(self.get_inits(), dtype),
+                           jnp.asarray(thetas, dtype),
+                           *self._solver_args({}))
+        out = ps[self.get_pnames()].copy()
+        out["chi"] = np.asarray(chis)
+        return out
+
+    def find_inits(self, var_dist=None, set_best=True, step=1, **kwargs):
+        """Working re-implementation of the reference's #BROKEN method
+        (``Framework.py:512-545``): LHS over initial-state distributions,
+        score each by the summed log-derivative of the RHS, drop NaNs."""
+        var_dist = var_dist or {}
+        missing = (set(self.get_snames(after_summation=False))
+                   - set(var_dist) - set(kwargs))
+        if missing:
+            raise ValueError("Distributions or specific values were not "
+                             f"provided for {', '.join(sorted(missing))}")
+        key = jax.random.PRNGKey(self.random_seed)
+        names = list(self.get_snames(after_summation=False))
+        dists, fixed = [], {}
+        for s in names:
+            if s in var_dist:
+                d = var_dist[s]
+                dists.append(_dist.from_scipy(d[0] if isinstance(d, tuple)
+                                              else d))
+            else:
+                fixed[s] = float(kwargs[s])
+        draws = np.asarray(sample_lhs(key, dists, 10000)) if dists else \
+            np.zeros((10000, 0))
+        rows = np.zeros((10000, len(names)))
+        di = 0
+        for j, s in enumerate(names):
+            if s in fixed:
+                rows[:, j] = fixed[s]
+            else:
+                rows[:, j] = draws[:, di]
+                di += 1
+        theta = self._current_theta()
+        dtype = jnp.result_type(float)
+
+        @jax.jit
+        def score(y):
+            d = self._spec.rhs(jnp.asarray(0.0, dtype), y,
+                               self._spec.unpack_theta(theta))
+            return jnp.sum(jnp.log(d))
+
+        scores = np.asarray(jax.vmap(score)(jnp.asarray(rows, dtype)))
+        keep = ~np.isnan(scores)
+        df = pd.DataFrame(np.concatenate(
+            [rows[keep], scores[keep, None]], axis=1),
+            columns=names + ["dlog_sum"])
+        if set_best and len(df):
+            best = df.iloc[df["dlog_sum"].abs().argmin()]
+            self.set_inits(**{s: best[s] for s in names})
+        return df
+
+    # ------------------------------------------------------------------
+    # copy (Framework.py:901-943)
+    # ------------------------------------------------------------------
+    def copy(self, overwrite=None):
+        newmod = ModelFramework.__new__(ModelFramework)
+        newmod.__dict__.update(self.__dict__)
+        newmod.parameters = {p: (self.parameters[p].copy()
+                                 if self.parameters[p] is not None else None)
+                             for p in self.parameters}
+        newmod.istates = dict(self.istates)
+        for attr, v in list(newmod.__dict__.items()):
+            if isinstance(v, (list, dict, pd.DataFrame, np.ndarray)) and \
+                    attr not in ("parameters", "istates"):
+                newmod.__dict__[attr] = v.copy()
+        if overwrite:
+            _ps = {k: v for k, v in overwrite.items() if k in self._pnames}
+            _is = {k: v for k, v in overwrite.items() if k in self._snames}
+            if _ps:
+                newmod.set_parameters(**_ps)
+            if _is:
+                newmod.set_inits(**_is)
+        return newmod
+
+    # ------------------------------------------------------------------
+    # MCMC (Framework.py:946-1061)
+    # ------------------------------------------------------------------
+    def MCMC(self, chain_inits=1, iterations_per_chain=1000, cpu_cores=1,
+             static_parameters=(), print_report=True, fitsurvey_samples=1000,
+             sd_fitdistance=3.0, use_priors=False, rwalk_std=0.05,
+             checkpoint_path=None, **solver_kw):
+        """Markov Chain Monte Carlo over vmapped+mesh-sharded chains.
+
+        Same signature and returned DataFrame as the reference
+        (``Framework.py:946-1061``: columns pnames..., chi, rsquared, aic,
+        iteration, acceptance_ratio, chain#), with these notes:
+
+        * ``cpu_cores`` is accepted and ignored — chains run as device lanes;
+        * ``use_priors=True`` enables the corrected prior-aware acceptance
+          ratio (the reference computes priors but never uses them,
+          ``Samplers.py:118-127``);
+        * static parameters are recorded at their *actual* value, not the
+          prior's ``hp['scale']`` (reference quirk, ``Samplers.py:166-170``).
+        """
+        nits = iterations_per_chain
+        static_parameters = list(static_parameters)
+
+        if isinstance(chain_inits, pd.DataFrame):
+            chain_inits = [row.to_dict() for _, row in
+                           chain_inits[self.get_pnames()].iterrows()]
+
+        if isinstance(chain_inits, int):
+            n_chains = chain_inits
+            fitsurvey = self.fit_survey(cpu_cores=cpu_cores,
+                                        samples=fitsurvey_samples,
+                                        **solver_kw)
+            fitsurvey = fitsurvey.dropna()
+            if fitsurvey.empty:
+                initps = pd.DataFrame([[]] * n_chains)
+                warnings.warn("Pre-sampling of Multidimentional space failed")
+            else:
+                calc = {s: np.exp(self._obs_logabundance[s]
+                                  + sd_fitdistance * self._obs_logsigma[s])
+                        for s in self._obs_logabundance}
+                cutchi = self.get_chi(calc)
+                if (fitsurvey["chi"] < cutchi).sum() == 0:
+                    raise ValueError(
+                        "Preliminary sampling found no parameter sets which "
+                        "meet the minimal threshold \n Try: \n"
+                        " 1. Increasing sd_fitdistance \n"
+                        " 2. Increasing fitsurvey_samples \n"
+                        " 3. Different priors and / or different parameter "
+                        "guesses")
+                initps = fitsurvey[fitsurvey["chi"] < cutchi].sample(
+                    n_chains, replace=True,
+                    random_state=self.random_seed)
+            theta0 = self._theta_from_df(
+                initps if not initps.empty else pd.DataFrame(
+                    index=range(n_chains)))
+        else:
+            n_chains = len(chain_inits)
+            theta0 = self._theta_from_df(pd.DataFrame(chain_inits))
+
+        # walk mask: static parameters stay fixed (Samplers.py:75-80)
+        offsets = self._spec.theta_offsets
+        mask = np.ones(self._spec.theta_size)
+        for p in static_parameters:
+            i = self._pnames.index(p)
+            n = int(np.prod(self._spec.pshapes[i])) \
+                if self._spec.pshapes[i] else 1
+            mask[offsets[i]:offsets[i] + n] = 0.0
+
+        prior_logpdf = None
+        if use_priors:
+            jdists = [(self.parameters[p].jdist
+                       if self.parameters[p] is not None else None)
+                      for p in self._pnames]
+
+            def prior_logpdf(theta):
+                ps = self._spec.unpack_theta(theta)
+                tot = 0.0
+                for d, v in zip(jdists, ps):
+                    if d is not None:
+                        tot = tot + jnp.sum(d.logpdf(v))
+                return tot
+
+        dtype = jnp.result_type(float)
+        base_key = jax.random.PRNGKey(self.random_seed)
+        mesh = chain_mesh()
+        n_padded = pad_chains(n_chains, mesh)
+        th0 = np.asarray(theta0, dtype)
+        if n_padded > n_chains:  # pad with repeats; dropped after the run
+            th0 = np.concatenate(
+                [th0, np.tile(th0[-1:], (n_padded - n_chains, 1))])
+        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+            jnp.arange(n_padded))
+
+        margs = shard_chain_batch(
+            (jnp.asarray(th0, dtype), keys), mesh)
+        method, rtol, atol, max_steps, substeps = self._solver_args(solver_kw)
+        out = metropolis_hastings(
+            self._spec, self._obsdata_fit,
+            jnp.asarray(self._times_fit, dtype),
+            jnp.asarray(self.get_inits(), dtype), margs[0], margs[1],
+            nits=nits, walk_mask=jnp.asarray(mask, dtype),
+            rwalk_std=rwalk_std, prior_logpdf=prior_logpdf,
+            use_priors=use_priors, method=method, rtol=rtol, atol=atol,
+            max_steps=max_steps, substeps=substeps)
+
+        posterior = self._posterior_to_df(out, n_chains, static_parameters)
+        if checkpoint_path:
+            from .utils import checkpoint as _ckpt
+            _ckpt.save_posterior(checkpoint_path, posterior)
+
+        if print_report:
+            report = ["\nFitting Report\n==============="]
+            for col in self.get_pnames():
+                median, std = rawstats(posterior[col])
+                if (median != 0.0) and (std != 0.0):
+                    report.append(
+                        f"parameter: {col}\n\tmedian = {median:0.3e}, "
+                        f"Standard deviation = {std:0.3e}")
+            self.set_best_params(posterior)
+            mod = self.integrate(predict_obs=True, as_dataframe=False)
+            fs = self.get_fitstats(mod)
+            report.append("\nMedian parameter fit stats:")
+            report.append(f"\tChi = {fs['Chi']:0.3e}\n\tR-squared = "
+                          f"{fs['R^2']:0.3e}\n\tAIC = {fs['AIC']:0.3e}")
+            print("\n".join(report))
+        return posterior
+
+    def _posterior_to_df(self, out: _mh.MHOutput, n_chains,
+                         static_parameters):
+        theta = np.asarray(out.theta)[:n_chains]      # (C, R, P)
+        C, R, P = theta.shape
+        frames = []
+        offsets = self._spec.theta_offsets
+        iteration = np.asarray(out.iteration)
+        for c in range(C):
+            dfc = {}
+            for i, p in enumerate(self._pnames):
+                shp = self._spec.pshapes[i]
+                if shp:
+                    n = int(np.prod(shp))
+                    col = [theta[c, r, offsets[i]:offsets[i] + n].reshape(shp)
+                           for r in range(R)]
+                    dfc[p] = col
+                else:
+                    dfc[p] = theta[c, :, offsets[i]]
+            dfc["chi"] = np.asarray(out.chi)[c]
+            dfc["rsquared"] = np.asarray(out.rsquared)[c]
+            dfc["aic"] = np.asarray(out.aic)[c]
+            dfc["iteration"] = iteration
+            dfc["acceptance_ratio"] = np.asarray(out.acceptance_ratio)[c]
+            f = pd.DataFrame(dfc)
+            f["chain#"] = c
+            frames.append(f)
+        posterior = pd.concat(frames)
+        posterior.reset_index(drop=True, inplace=True)
+        return posterior
+
+    # ------------------------------------------------------------------
+    # posterior utilities (Framework.py:725-740)
+    # ------------------------------------------------------------------
+    def set_best_params(self, posteriors):
+        im = posteriors.loc[posteriors.chi == min(posteriors.chi)].index[0]
+        bestchain = posteriors.iloc[im]["chain#"]
+        posteriors = posteriors[posteriors["chain#"] == bestchain]
+        self.set_parameters(
+            **posteriors.loc[im][self.get_pnames()].to_dict())
+        if self._snames[0] + "0" in self.get_pnames():
+            d = posteriors.loc[im][self.get_pnames()].to_dict()
+            self.set_inits(**{o: d[o + "0"] for o in self._snames
+                              if o + "0" in d})
+
+    def plot_uncertainty(self, ax, posteriors, variable, ntimes=100):
+        import random as rd
+        for _ in range(ntimes):
+            im = rd.choice(list(posteriors.index))
+            d = posteriors.loc[im][self.get_pnames()].to_dict()
+            if self._snames[0] + "0" in self.get_pnames():
+                self.set_inits(**{o: d[o + "0"] for o in self._snames
+                                  if o + "0" in d})
+            self.set_parameters(**d)
+            mod = self.integrate()
+            ax.plot(mod.time, mod[variable], c=str(0.8), lw=1, zorder=1)
+
+    # ------------------------------------------------------------------
+    # gradient sweep (Framework.py:1063-1127) — a lax.scan on device
+    # ------------------------------------------------------------------
+    def gradient(self, parameter_name, p_range, intialstates=None,
+                 seed_equilibrium=True, aggregate_enpoints=False,
+                 print_status=True, **solver_kw):
+        """1-D parameter sweep with optional equilibrium seeding.
+
+        The reference runs this as a sequential Python loop
+        (``Framework.py:1092-1113``) because run i+1's initial condition is
+        run i's clipped final state — here the whole sweep is one
+        ``lax.scan``. Returns endpoints as DataFrame[snames..., pname] when
+        ``aggregate_enpoints``; otherwise a long-format DataFrame with a
+        'time' column (the reference's full-trajectory return shape is
+        malformed; documented deviation).
+        """
+        if intialstates is None:
+            init = self.get_inits()
+        else:
+            init = np.asarray(intialstates, float)
+        pi = self._pnames.index(parameter_name)
+        off = self._spec.theta_offsets[pi]
+        theta = self._current_theta()
+        dtype = jnp.result_type(float)
+        method, rtol, atol, max_steps, substeps = self._solver_args(solver_kw)
+        spec = self._spec
+        times = jnp.asarray(self.times, dtype)
+        if print_status:
+            print(f"Preparing to run {len(p_range)} simulations between "
+                  f"{min(p_range)} and {max(p_range)}")
+
+        @jax.jit
+        def sweep(theta, y0, ps):
+            def body(y0, p):
+                th = theta.at[off].set(p)
+                ys = integrate_theta(spec, th, y0, times, method=method,
+                                     rtol=rtol, atol=atol,
+                                     max_steps=max_steps, substeps=substeps)
+                last = ys[-1]
+                y_next = jnp.where(seed_equilibrium,
+                                   jnp.clip(last, 0.001, None), y0)
+                return y_next, ys
+
+            _, trajs = jax.lax.scan(body, y0, ps)
+            return trajs
+
+        trajs = np.asarray(sweep(jnp.asarray(theta, dtype),
+                                 jnp.asarray(init, dtype),
+                                 jnp.asarray(np.asarray(p_range), dtype)))
+        if print_status:
+            print("100.00% Complete")
+        snames = self.get_snames(after_summation=False)
+        if aggregate_enpoints:
+            end = trajs[:, -1, :]
+            df = pd.DataFrame(end, columns=snames)
+            df[parameter_name] = np.asarray(p_range)
+            return df
+        frames = []
+        for i, p in enumerate(np.asarray(p_range)):
+            f = pd.DataFrame(trajs[i], columns=snames)
+            f["time"] = self.times
+            f[parameter_name] = p
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    # ------------------------------------------------------------------
+    # plotting (Framework.py:1138-1165)
+    # ------------------------------------------------------------------
+    def _calc_stds(self, state):
+        logabundance = self._obs_logabundance[state]
+        logstd = self._obs_logsigma[state]
+        low = np.exp(logabundance) - np.exp(logabundance - logstd)
+        high = np.exp(logabundance + logstd) - np.exp(logabundance)
+        return np.array([low, high])
+
+    def plot(self, states=None, overlay=None):
+        import matplotlib.pyplot as plt
+        overlay = overlay or {}
+        if not states:
+            states = self.get_snames(predict_obs=True)
+        rplt = (len(states) % 2 + len(states)) / 2
+        f, ax = plt.subplots(int(rplt), 2, figsize=[9, 4.5])
+        ax = np.atleast_1d(ax).ravel()
+        mod = self.integrate()
+        for i, state in enumerate(states):
+            if self.df is not None and state in self.df.index:
+                ax[i].errorbar(self.df.loc[state]["time"],
+                               self.df.loc[state]["abundance"],
+                               yerr=self._calc_stds(state))
+            ax[i].set_xlabel("Time")
+            ax[i].set_ylabel(state + " ml$^{-1}$")
+            ax[i].semilogy()
+            if state in mod:
+                ax[i].plot(self.times, mod[state])
+                for el in overlay.get(state, ()):
+                    ax[i].plot(self.times, mod[el])
+        return f, ax

@@ -1,0 +1,221 @@
+"""Functional model core: static ODE spec + device-resident observation data.
+
+The reference keeps everything in a mutable ``ModelFramework`` object
+(``/root/reference/ODElib/Framework.py:166-263``). The TPU-native design
+splits that into:
+
+* :class:`ModelSpec` — a *static*, hashable description of the problem (RHS
+  function, parameter/state names and shapes, state-summation indices as in
+  ``Framework.py:332-381``, init-override wiring for the ``<sname>0``
+  convention of ``Samplers.py:111-114``). It is captured by closure in jitted
+  programs and never crosses the device boundary.
+* :class:`ObsData` — a pytree of flat device arrays: per-observation
+  log-abundance, log-sigma, grid-time index and state index (the TPU analog
+  of the dict caches built by ``Framework.py:309-329``), so the chi-square of
+  a trajectory is one gather + one fused reduction.
+
+Everything here is pure and vmap/shard_map-safe.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import stats as jstats
+from .ops import odeint_fixed, odeint_grid
+
+
+class ObsData(NamedTuple):
+    """Flat per-observation arrays (states concatenated, like the reference's
+    ``get_chi`` concatenation at ``Framework.py:694-696``)."""
+    log_abundance: Any   # (N,)
+    log_sigma: Any       # (N,)
+    abundance: Any       # (N,) linear-space observations (for R^2)
+    t_index: Any         # (N,) int32 index into the integration grid
+    state_index: Any     # (N,) int32 index into post-summation states
+    sstot: Any           # scalar: sum_s n_s * var(O_s) (R^2 denominator)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Static problem description.
+
+    ``rhs`` has TPU-native signature ``f(t, y, ps)`` where ``ps`` is the
+    list of parameter values in ``pnames`` order (scalars, or arrays for
+    array-valued parameters). Use :func:`odelib_tpu.api.jaxify_rhs` to adapt
+    reference-style ``f(y, t, ps)`` numpy functions.
+    """
+    rhs: Callable
+    pnames: Tuple[str, ...]
+    snames: Tuple[str, ...]
+    pshapes: Tuple[Tuple[int, ...], ...] = None  # () == scalar
+    # state summations (Framework.py:332-381): matrix (S_raw, S_post) of 0/1
+    sum_matrix: Optional[tuple] = None           # tuple-of-tuples, hashable
+    post_snames: Tuple[str, ...] = None
+    # per raw state: flat index into theta of the '<sname>0' parameter, or -1
+    init_pidx: Tuple[int, ...] = None
+
+    def __post_init__(self):
+        if self.pshapes is None:
+            object.__setattr__(self, "pshapes", tuple(() for _ in self.pnames))
+        if self.post_snames is None:
+            object.__setattr__(self, "post_snames", tuple(self.snames))
+        if self.init_pidx is None:
+            offs = self.theta_offsets
+            idx = []
+            for s in self.snames:
+                name = s + "0"
+                idx.append(offs[self.pnames.index(name)]
+                           if name in self.pnames else -1)
+            object.__setattr__(self, "init_pidx", tuple(idx))
+
+    # ---- theta (flat parameter vector) layout ---------------------------
+    @property
+    def theta_offsets(self) -> Tuple[int, ...]:
+        offs, o = [], 0
+        for shp in self.pshapes:
+            offs.append(o)
+            o += int(np.prod(shp)) if shp else 1
+        return tuple(offs)
+
+    @property
+    def theta_size(self) -> int:
+        return sum(int(np.prod(s)) if s else 1 for s in self.pshapes)
+
+    def pack_theta(self, values: Sequence) -> jnp.ndarray:
+        """Flatten per-parameter values (pnames order) into a theta vector."""
+        parts = []
+        for v, shp in zip(values, self.pshapes):
+            parts.append(jnp.ravel(jnp.asarray(v, jnp.result_type(float))))
+        return jnp.concatenate(parts) if parts else jnp.zeros((0,))
+
+    def unpack_theta(self, theta):
+        """Split a flat theta into the per-parameter list the RHS receives."""
+        ps = []
+        for off, shp in zip(self.theta_offsets, self.pshapes):
+            if shp:
+                n = int(np.prod(shp))
+                ps.append(jnp.reshape(theta[off:off + n], shp))
+            else:
+                ps.append(theta[off])
+        return ps
+
+    # ---- summations -----------------------------------------------------
+    def apply_summations(self, ys):
+        """(..., S_raw) -> (..., S_post); one tiny matmul (MXU-friendly when
+        batched) replacing the reference's in-place column sums
+        (Framework.py:659-664)."""
+        if self.sum_matrix is None:
+            return ys
+        m = jnp.asarray(self.sum_matrix, ys.dtype)
+        return ys @ m
+
+    # ---- initial-state override (the '<sname>0' parameter convention) ---
+    def override_inits(self, y0, theta):
+        if all(i < 0 for i in self.init_pidx):
+            return y0
+        idx = jnp.asarray(self.init_pidx)
+        gathered = theta[jnp.clip(idx, 0, None)]
+        return jnp.where(idx >= 0, gathered, y0)
+
+
+def make_spec(rhs, pnames, snames, state_summations=None,
+              pshapes=None) -> ModelSpec:
+    """Build a ModelSpec, validating summations exactly like
+    ``Framework.py:349-364`` (duplicate state / unknown state errors)."""
+    pnames = tuple(pnames)
+    snames = tuple(snames)
+    sum_matrix = None
+    post_snames = tuple(snames)
+    if state_summations:
+        sname_i = {s: i for i, s in enumerate(snames)}
+        summed = set()
+        groups = {}  # first-index -> (new_name, sorted indices)
+        for newname, members in state_summations.items():
+            idxs = []
+            for pop in members:
+                if pop in summed:
+                    raise ValueError(
+                        f"{pop} state variable cannot be used in two summations")
+                if pop not in sname_i:
+                    raise ValueError(
+                        f"{pop} state variable is not a valid state name")
+                summed.add(pop)
+                idxs.append(sname_i[pop])
+            if len(idxs) < 1:
+                raise ValueError(
+                    f"Summation of {newname} needs two or more states")
+            idxs.sort()
+            groups[idxs[0]] = (newname, tuple(idxs))
+        post, cols = [], []
+        for i, s in enumerate(snames):
+            if i in groups:
+                post.append(groups[i][0])
+                cols.append(groups[i][1])
+            elif s not in summed:
+                post.append(s)
+                cols.append((i,))
+        m = np.zeros((len(snames), len(post)))
+        for j, idxs in enumerate(cols):
+            for i in idxs:
+                m[i, j] = 1.0
+        sum_matrix = tuple(tuple(row) for row in m)
+        post_snames = tuple(post)
+    return ModelSpec(rhs=rhs, pnames=pnames, snames=snames,
+                     pshapes=pshapes, sum_matrix=sum_matrix,
+                     post_snames=post_snames)
+
+
+# ---------------------------------------------------------------------------
+# Core compute functions (all pure; jit/vmap these)
+# ---------------------------------------------------------------------------
+
+def integrate_theta(spec: ModelSpec, theta, y0, times, *, method="dopri5",
+                    rtol=1e-6, atol=1e-4, max_steps=4096, substeps=4):
+    """Solve the ODE for one flat parameter vector. Returns raw-state ys
+    (T, S_raw) with NaN rows after a failure (never raises)."""
+    def f(t, y, th):
+        return spec.rhs(t, y, spec.unpack_theta(th))
+
+    if method in ("rk4", "fixed_dopri5"):
+        sol = odeint_fixed(f, y0, times, theta, substeps=substeps,
+                           method="rk4" if method == "rk4" else "dopri5")
+    else:
+        sol = odeint_grid(f, y0, times, theta, rtol=rtol, atol=atol,
+                          max_steps=max_steps, method=method)
+    return sol.ys
+
+
+def observe(spec: ModelSpec, obs: ObsData, ys):
+    """Gather model predictions at the observation points.
+
+    Returns linear-space predictions (N,) after summation — the TPU analog of
+    ``integrate(predict_obs=True, as_dataframe=False)``
+    (``Framework.py:677-682``).
+    """
+    post = spec.apply_summations(ys)
+    return post[obs.t_index, obs.state_index]
+
+
+def fit_metrics(spec: ModelSpec, obs: ObsData, ys, num_params):
+    """chi, R^2, AIC of a trajectory against the observations — the fused
+    equivalent of ``get_chi`` / ``get_Rsqrd`` / ``get_AIC``
+    (``Framework.py:685-712``)."""
+    pred = observe(spec, obs, ys)
+    chi = jstats.chi(obs.log_abundance, jnp.log(pred), obs.log_sigma)
+    rsq = jstats.rsqrd_flat(pred, obs.abundance, obs.sstot)
+    aic = jstats.AIC(chi, num_params)
+    return chi, rsq, aic
+
+
+def chi_of_theta(spec: ModelSpec, obs: ObsData, theta, y0, times, **ikw):
+    """One LHS-survey evaluation: integrate + chi (``_Fit_worker``,
+    ``Framework.py:41-48``). vmap over theta for the batched survey."""
+    y0 = spec.override_inits(y0, theta)
+    ys = integrate_theta(spec, theta, y0, times, **ikw)
+    pred = observe(spec, obs, ys)
+    return jstats.chi(obs.log_abundance, jnp.log(pred), obs.log_sigma)

@@ -1,0 +1,5 @@
+from .integrate import ODESolution, odeint_fixed, odeint_grid
+from .runge_kutta import STEPPERS, Dopri5, Kvaerno3
+
+__all__ = ["ODESolution", "odeint_grid", "odeint_fixed",
+           "STEPPERS", "Dopri5", "Kvaerno3"]

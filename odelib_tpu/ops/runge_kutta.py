@@ -1,0 +1,180 @@
+"""Runge-Kutta steppers: explicit Dormand-Prince 5(4) and implicit Kvaerno 3(2).
+
+These are the TPU-native replacement for the reference's only "native" numeric
+engine — scipy.integrate.odeint / LSODA (Fortran ODEPACK) called at
+``/root/reference/ODElib/Framework.py:4,656``. LSODA auto-switches between
+Adams (non-stiff) and BDF (stiff); here the non-stiff half is Dopri5 with
+Hairer's 4th-order dense output and the stiff half is an L-stable ESDIRK
+(Kvaerno 3(2)) with a modified-Newton stage solve, both written as pure JAX so
+they vmap over thousands of chains and compile into one XLA program.
+
+Every stepper exposes:
+    first_stage(func, t, y, args)          -> f0 (stage-reuse / FSAL seed)
+    step(func, t, y, f0, h, args)          -> (y_new, f_new, err, dense)
+    interp(dense, theta)                   -> y(t + theta*h), theta in [0,1]
+    ERROR_ORDER                            -> order for step-size controller
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Dormand-Prince 5(4) — classic DOPRI5 tableau (Hairer, Norsett & Wanner)
+# ---------------------------------------------------------------------------
+
+_DP_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
+_DP_A = (
+    (),
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+# b(5th) - b(4th): error-estimate weights
+_DP_E = (71 / 57600, 0.0, -71 / 16695, 71 / 1920,
+         -17253 / 339200, 22 / 525, -1 / 40)
+# Dense-output weights for rcont5 (Hairer DOPRI5 CONTD5)
+_DP_D = (-12715105075 / 11282082432, 0.0, 87487479700 / 32700410799,
+         -10690763975 / 1880347072, 701980252875 / 199316789632,
+         -1453857185 / 822651844, 69997945 / 29380423)
+
+
+class Dopri5:
+    """Explicit adaptive RK 5(4) with FSAL and 4th-order dense output."""
+
+    ERROR_ORDER = 5.0
+    IMPLICIT = False
+
+    @staticmethod
+    def first_stage(func, t, y, args):
+        return func(t, y, args)
+
+    @staticmethod
+    def step(func, t, y, f0, h, args):
+        ks = [f0]
+        for i in range(1, 7):
+            yi = y + h * sum(a * k for a, k in zip(_DP_A[i], ks) if a != 0.0)
+            ti = t + _DP_C[i] * h
+            ks.append(func(ti, yi, args))
+        y_new = y + h * sum(a * k for a, k in zip(_DP_A[6], ks) if a != 0.0)
+        # FSAL: stage 7 IS f(t+h, y_new) because row A[6] == b
+        f_new = ks[6]
+        err = h * sum(e * k for e, k in zip(_DP_E, ks) if e != 0.0)
+
+        delta = y_new - y
+        r1 = y
+        r2 = delta
+        r3 = h * ks[0] - delta
+        r4 = delta - h * f_new - r3
+        r5 = h * sum(d * k for d, k in zip(_DP_D, ks) if d != 0.0)
+        dense = jnp.stack([r1, r2, r3, r4, r5])
+        return y_new, f_new, err, dense
+
+    @staticmethod
+    def interp(dense, theta):
+        r1, r2, r3, r4, r5 = dense
+        th1 = 1.0 - theta
+        return r1 + theta * (r2 + th1 * (r3 + theta * (r4 + th1 * r5)))
+
+    @staticmethod
+    def dense_zero(y):
+        """Dense state that evaluates to y for any theta (pre-first-step)."""
+        z = jnp.zeros_like(y)
+        return jnp.stack([y, z, z, z, z])
+
+
+# ---------------------------------------------------------------------------
+# Kvaerno 3(2): 4-stage, stiffly-accurate, L-stable ESDIRK (Kvaerno 2004)
+# ---------------------------------------------------------------------------
+
+_KV_GAMMA = 0.4358665215084590
+_KV_A = (
+    (),
+    (_KV_GAMMA, _KV_GAMMA),
+    (0.4905633884192052, 0.0735700900723358, _KV_GAMMA),
+    (0.3088099699294934, 1.4905633884192052, -1.2352398798571576, _KV_GAMMA),
+)
+_KV_C = (0.0, 2 * _KV_GAMMA, 1.0, 1.0)
+# 3rd-order solution = row 4 (stiffly accurate); embedded 2nd order = row 3
+_KV_B = _KV_A[3]
+_KV_BHAT = _KV_A[2] + (0.0,)
+
+_NEWTON_ITERS = 6
+
+
+class Kvaerno3:
+    """Implicit adaptive ESDIRK 3(2) with modified Newton stage solves.
+
+    The Jacobian is evaluated once per step at (t, y) via jax.jacfwd and its
+    LU factorization reused across stages and Newton iterations — state
+    dimension is tiny (<= ~16) so the dense solve is cheap and vmap-friendly.
+    Dense output is cubic Hermite on (y, f0) -> (y_new, f_new), adequate for a
+    3rd-order method.
+    """
+
+    ERROR_ORDER = 3.0
+    IMPLICIT = True
+
+    @staticmethod
+    def first_stage(func, t, y, args):
+        return func(t, y, args)
+
+    @staticmethod
+    def step(func, t, y, f0, h, args):
+        n = y.shape[0]
+        jac = jax.jacfwd(lambda yy: func(t, yy, args))(y)
+        eye = jnp.eye(n, dtype=y.dtype)
+        m = eye - (h * _KV_GAMMA) * jac
+        lu, piv = jax.scipy.linalg.lu_factor(m)
+
+        def solve_stage(i, prev_ks, z_guess):
+            """Solve z = y + h*(sum_j<i a_ij k_j) + h*gamma*f(t_i, z)."""
+            ti = t + _KV_C[i] * h
+            base = y + h * sum(a * k for a, k in zip(_KV_A[i][:-1], prev_ks)
+                               if a != 0.0)
+
+            def newton(_, z):
+                fz = func(ti, z, args)
+                res = z - base - h * _KV_GAMMA * fz
+                dz = jax.scipy.linalg.lu_solve((lu, piv), res)
+                return z - dz
+
+            z = jax.lax.fori_loop(0, _NEWTON_ITERS, newton, z_guess)
+            return z, func(ti, z, args)
+
+        ks = [f0]
+        z = y
+        for i in range(1, 4):
+            z, ki = solve_stage(i, ks, z)
+            ks.append(ki)
+
+        y_new = z  # stiffly accurate: last stage value is the solution
+        f_new = ks[3]
+        err = h * sum((b - bh) * k
+                      for b, bh, k in zip(_KV_B, _KV_BHAT, ks))
+        dense = jnp.stack([y, y_new, h * f0, h * f_new])
+        return y_new, f_new, err, dense
+
+    @staticmethod
+    def interp(dense, theta):
+        """Cubic Hermite interpolation."""
+        y0, y1, hf0, hf1 = dense
+        t2 = theta * theta
+        t3 = t2 * theta
+        h00 = 2 * t3 - 3 * t2 + 1
+        h10 = t3 - 2 * t2 + theta
+        h01 = -2 * t3 + 3 * t2
+        h11 = t3 - t2
+        return h00 * y0 + h10 * hf0 + h01 * y1 + h11 * hf1
+
+    @staticmethod
+    def dense_zero(y):
+        z = jnp.zeros_like(y)
+        return jnp.stack([y, y, z, z])
+
+
+STEPPERS = {"dopri5": Dopri5, "kvaerno3": Kvaerno3}

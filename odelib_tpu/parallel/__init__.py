@@ -1,0 +1,5 @@
+from .mesh import (CHAIN_AXIS, chain_mesh, chain_sharding, pad_chains,
+                   replicated, shard_chain_batch, sharded_jit)
+
+__all__ = ["CHAIN_AXIS", "chain_mesh", "chain_sharding", "replicated",
+           "pad_chains", "shard_chain_batch", "sharded_jit"]

@@ -1,0 +1,62 @@
+"""Chain-parallel execution over a TPU mesh.
+
+The reference's only parallelism is share-nothing chain/data parallelism over
+OS processes (``/root/reference/ODElib/Framework.py:755-798``). Its TPU-native
+equivalent (SURVEY.md section 5.8) is:
+
+* ``vmap`` over chains within a chip (done in samplers/mh.py), and
+* a 1-D ``jax.sharding.Mesh`` over the chain axis across chips: pure data
+  parallelism, zero collectives in the hot loop, ICI/DCN touched only when the
+  posterior is gathered at the end.
+
+The model spec is closed over (replicated); chain state arrays are sharded on
+their leading axis. ``jax.jit`` with sharded inputs lets XLA partition the
+whole MCMC program across the mesh — the reference's pickle-a-copy-per-worker
+pattern (``Framework.py:808,1014``) becomes sharding annotations.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+CHAIN_AXIS = "chains"
+
+
+def chain_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """1-D mesh over all (or the given) devices, axis name 'chains'."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (CHAIN_AXIS,))
+
+
+def chain_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (chain) axis; replicate the rest."""
+    return NamedSharding(mesh, P(CHAIN_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_chains(n: int, mesh: Mesh) -> int:
+    """Chains must divide the mesh; round up (extra chains are free lanes)."""
+    d = mesh.devices.size
+    return int(-(-n // d) * d)
+
+
+def shard_chain_batch(tree, mesh: Mesh):
+    """Place a pytree of (C, ...) arrays with the chain axis sharded."""
+    sh = chain_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def sharded_jit(fn, mesh: Mesh, num_batched_args: int):
+    """jit ``fn`` with its first ``num_batched_args`` arguments sharded over
+    the chain axis and the outputs sharded likewise. XLA inserts no
+    collectives for the data-parallel MCMC program — the partitioned program
+    is embarrassingly parallel by construction."""
+    sh = chain_sharding(mesh)
+    in_sh = tuple(sh for _ in range(num_batched_args))
+    return jax.jit(fn, in_shardings=in_sh, out_shardings=sh)

@@ -1,0 +1,5 @@
+from .lhs import lhs_unit, sample_lhs
+from .mh import MHOutput, equilibriums, metropolis_hastings, survey
+
+__all__ = ["lhs_unit", "sample_lhs", "MHOutput", "metropolis_hastings",
+           "survey", "equilibriums"]

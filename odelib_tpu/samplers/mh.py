@@ -1,0 +1,191 @@
+"""Batched Metropolis-Hastings: lax.scan over iterations, vmap over chains.
+
+TPU-native re-design of the reference single-chain sampler
+(``/root/reference/ODElib/Statistics/Samplers.py:53-174``). Where the
+reference runs one Python chain per OS process (``Framework.py:779-781``),
+here every chain is a lane of a single XLA program: the whole ensemble —
+proposal walk, ODE solve, chi-square, accept/reject — is one fused device
+computation, scaling to 10k+ chains on a chip and sharding over a mesh via
+data-parallel ``jax.sharding`` (see odelib_tpu.parallel).
+
+Reference semantics preserved (SURVEY.md C15):
+
+* multiplicative lognormal random walk with std 0.05 on every non-static
+  parameter each iteration (``parameter.rwalk``, ``Framework.py:107-122``);
+* initial conditions re-synced from ``<sname>0``-named parameters
+  (``Samplers.py:111-114``);
+* acceptance ratio ``exp(chi_old - chi_new)`` vs a uniform draw — priors are
+  computed but UNUSED in the reference (``Samplers.py:118-127``, dead code);
+  we default to the same likelihood-only rule and expose the corrected
+  prior-aware acceptance as ``use_priors=True``;
+* ``iterations = arange(1, nits)`` (nits-1 proposals), samples recorded
+  strictly after ``burnin`` with running acceptance ratio
+  (``Samplers.py:104,147-153``);
+* a failed integration gives NaN chi, which compares False and is rejected —
+  the NaN-tolerant failure model of the reference (SURVEY.md section 5.3).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import stats as jstats
+from ..model import ModelSpec, ObsData, fit_metrics, integrate_theta, observe
+
+
+class MHOutput(NamedTuple):
+    """Post-burnin samples. Leading axes: (chains, records)."""
+    theta: Any        # (C, R, P)
+    chi: Any          # (C, R)
+    rsquared: Any     # (C, R)
+    aic: Any          # (C, R)
+    acceptance_ratio: Any  # (C, R)
+    iteration: Any    # (R,)
+
+
+class _Carry(NamedTuple):
+    log_theta: Any
+    chi: Any
+    rsq: Any
+    aic: Any
+    acc_count: Any
+    key: Any
+
+
+def _chain_step(spec: ModelSpec, obs: ObsData, times, y0_base, walk_mask,
+                num_params, rwalk_std, prior_logpdf, use_priors, ikw,
+                carry: _Carry, it):
+    key, k_eps, k_u = jax.random.split(carry.key, 3)
+    eps = rwalk_std * jax.random.normal(
+        k_eps, carry.log_theta.shape, carry.log_theta.dtype)
+    prop_log = carry.log_theta + eps * walk_mask
+    theta = jnp.exp(prop_log)
+
+    y0 = spec.override_inits(y0_base, theta)
+    ys = integrate_theta(spec, theta, y0, times, **ikw)
+    chi_new, rsq_new, aic_new = fit_metrics(spec, obs, ys, num_params)
+
+    log_ratio = carry.chi - chi_new
+    if use_priors:
+        log_ratio = log_ratio + (prior_logpdf(jnp.exp(prop_log))
+                                 - prior_logpdf(jnp.exp(carry.log_theta)))
+    u = jax.random.uniform(k_u, dtype=carry.chi.dtype)
+    # NaN chi_new -> log_ratio NaN -> comparison False -> rejected.
+    accept = jnp.exp(log_ratio) > u
+
+    new = _Carry(
+        log_theta=jnp.where(accept, prop_log, carry.log_theta),
+        chi=jnp.where(accept, chi_new, carry.chi),
+        rsq=jnp.where(accept, rsq_new, carry.rsq),
+        aic=jnp.where(accept, aic_new, carry.aic),
+        acc_count=carry.acc_count + accept.astype(carry.acc_count.dtype),
+        key=key,
+    )
+    record = (jnp.exp(new.log_theta), new.chi, new.rsq, new.aic,
+              new.acc_count / it)
+    return new, record
+
+
+@partial(jax.jit, static_argnames=(
+    "spec", "nits", "burnin", "rwalk_std", "prior_logpdf", "use_priors",
+    "num_params", "method", "rtol", "atol", "max_steps", "substeps"))
+def _mh_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
+             nits, burnin, rwalk_std, prior_logpdf, use_priors, num_params,
+             method, rtol, atol, max_steps, substeps):
+    ikw = dict(method=method, rtol=rtol, atol=atol, max_steps=max_steps,
+               substeps=substeps)
+    step = partial(_chain_step, spec, obs, times, y0_base, walk_mask,
+                   num_params, rwalk_std, prior_logpdf, use_priors, ikw)
+
+    def one_chain(th0, key):
+        y0 = spec.override_inits(y0_base, th0)
+        ys = integrate_theta(spec, th0, y0, times, **ikw)
+        chi0, rsq0, aic0 = fit_metrics(spec, obs, ys, num_params)
+        carry = _Carry(log_theta=jnp.log(th0), chi=chi0, rsq=rsq0, aic=aic0,
+                       acc_count=jnp.asarray(0.0, th0.dtype), key=key)
+        its = jnp.arange(1, nits, dtype=th0.dtype)
+        # burn phase: no recording -> half the output memory
+        carry, _ = jax.lax.scan(
+            lambda c, it: (step(c, it)[0], None), carry, its[:burnin])
+        carry, recs = jax.lax.scan(step, carry, its[burnin:])
+        return recs
+
+    return jax.vmap(one_chain)(theta0, keys)
+
+
+def metropolis_hastings(
+        spec: ModelSpec, obs: ObsData, times, y0_base,
+        theta0, keys, *, nits: int = 1000, burnin: Optional[int] = None,
+        walk_mask=None, rwalk_std: float = 0.05,
+        prior_logpdf: Optional[Callable] = None, use_priors: bool = False,
+        method: str = "dopri5", rtol: float = 1e-6, atol: float = 1e-4,
+        max_steps: int = 4096, substeps: int = 4) -> MHOutput:
+    """Run C independent MH chains as one jitted device program.
+
+    Parameters
+    ----------
+    theta0 : (C, P) initial flat parameter vectors (positive).
+    keys : (C,) per-chain PRNG keys (the reference's
+        ``np.random.seed(chain_i)`` becomes folded JAX keys; SURVEY.md section
+        7 "RNG discipline" — posterior parity is statistical, never bitwise).
+    walk_mask : (P,) 1.0 for walked parameters, 0.0 for static ones.
+    prior_logpdf : theta -> scalar log prior (required if use_priors).
+
+    The jit cache is keyed on (spec, solver settings): repeated calls with
+    the same model — including via ``ModelFramework.copy()`` — do not
+    recompile.
+    """
+    if burnin is None:
+        burnin = int(nits / 2)
+    theta0 = jnp.atleast_2d(theta0)
+    P = theta0.shape[-1]
+    if walk_mask is None:
+        walk_mask = jnp.ones((P,), theta0.dtype)
+    num_params = int(jnp.count_nonzero(theta0[0]))  # Framework.py:261-263
+    if use_priors and prior_logpdf is None:
+        raise ValueError("use_priors=True requires prior_logpdf")
+
+    theta_s, chi_s, rsq_s, aic_s, ar_s = _mh_impl(
+        spec, obs, times, y0_base, theta0, keys, walk_mask,
+        nits=int(nits), burnin=int(burnin), rwalk_std=float(rwalk_std),
+        prior_logpdf=prior_logpdf, use_priors=bool(use_priors),
+        num_params=num_params, method=method, rtol=float(rtol),
+        atol=float(atol), max_steps=int(max_steps), substeps=int(substeps))
+    iterations = jnp.arange(1, nits)[burnin:]
+    return MHOutput(theta=theta_s, chi=chi_s, rsquared=rsq_s, aic=aic_s,
+                    acceptance_ratio=ar_s, iteration=iterations)
+
+
+def survey(spec: ModelSpec, obs: ObsData, times, y0_base, thetas, *,
+           method: str = "dopri5", rtol: float = 1e-6, atol: float = 1e-4,
+           max_steps: int = 4096, substeps: int = 4):
+    """Batched fit survey: chi for every parameter draw — the vmapped
+    equivalent of ``_Fit_worker`` (``Framework.py:41-48``)."""
+    def one(theta):
+        y0 = spec.override_inits(y0_base, theta)
+        ys = integrate_theta(spec, theta, y0, times, method=method,
+                             rtol=rtol, atol=atol, max_steps=max_steps,
+                             substeps=substeps)
+        pred = observe(spec, obs, ys)
+        return jstats.chi(obs.log_abundance, jnp.log(pred), obs.log_sigma)
+
+    return jax.vmap(one)(thetas)
+
+
+def equilibriums(spec: ModelSpec, times, y0_base, thetas, *,
+                 method: str = "dopri5", rtol: float = 1e-6, atol: float = 1e-4,
+                 max_steps: int = 4096, substeps: int = 4):
+    """Final integration state per draw, raw states (no summations) — the
+    vmapped ``_Equilibrium_worker`` (``Framework.py:24-38``). No convergence
+    check, matching the reference's documented limitation."""
+    def one(theta):
+        y0 = spec.override_inits(y0_base, theta)
+        ys = integrate_theta(spec, theta, y0, times, method=method,
+                             rtol=rtol, atol=atol, max_steps=max_steps,
+                             substeps=substeps)
+        return ys[-1]
+
+    return jax.vmap(one)(thetas)

@@ -1,0 +1,91 @@
+"""Goodness-of-fit statistics as jittable, batch-friendly JAX reductions.
+
+TPU-native re-implementation of the reference kernels in
+``ODElib/Statistics/stats.py:3-63`` and ``ODElib/Framework.py:11-17``
+(``rawstats``). Semantics notes:
+
+* ``chi`` masks invalid (NaN/inf) *observed* entries like
+  ``np.ma.masked_invalid(O)`` (``stats.py:41``); NaN in the *calculated*
+  values C still propagates to the result — the MCMC machinery relies on
+  NaN-chi to signal integration failure (``Framework.py:997``).
+* ``Rsqrd`` uses ``np.nansum`` on the residuals (``stats.py:53``), i.e. NaN
+  model values are silently dropped there, unlike ``chi``.
+
+All functions broadcast over leading batch dimensions so they can score
+thousands of chains/draws in one call.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def chi(O, C, S):
+    """Reduced chi-square sum((O-C)^2 / (2 S^2)) over the last axis.
+
+    Mirrors ``stats.py:22-41``: invalid entries of O are masked out; invalid
+    C at a valid O makes the result NaN (intentional failure propagation).
+    """
+    O = jnp.asarray(O)
+    C = jnp.asarray(C)
+    S = jnp.asarray(S)
+    valid = jnp.isfinite(O)
+    term = (jnp.where(valid, O, 0.0) - C) ** 2 / (2.0 * S**2)
+    return jnp.sum(jnp.where(valid, term, 0.0), axis=-1)
+
+
+def AIC(chi_val, num_parameters):
+    """Akaike information criterion: 2*chi + 2*k (``stats.py:44-47``)."""
+    return 2.0 * jnp.asarray(chi_val) + 2.0 * num_parameters
+
+
+def Rsqrd(C_dict, O_dict):
+    """R^2 across a dict of states (``stats.py:49-56``).
+
+    ssres uses nansum (NaN model points dropped); sstot is
+    n_points * population-variance of the observations, per state.
+    """
+    ssres = 0.0
+    sstot = 0.0
+    for sname in C_dict:
+        C = jnp.asarray(C_dict[sname])
+        O = jnp.asarray(O_dict[sname])
+        r = (C - O) ** 2
+        ssres = ssres + jnp.sum(jnp.where(jnp.isnan(r), 0.0, r), axis=-1)
+        sstot = sstot + O.shape[-1] * jnp.var(O, axis=-1)
+    return 1.0 - ssres / sstot
+
+
+def rsqrd_flat(C, O, sstot):
+    """Batched R^2 for the hot loop: states pre-concatenated, sstot precomputed.
+
+    ``sstot = sum_s n_s * var(O_s)`` is observation-only and therefore constant
+    across MCMC iterations — precompute it once (see model.ObsData.sstot).
+    """
+    r = (jnp.asarray(C) - O) ** 2
+    ssres = jnp.sum(jnp.where(jnp.isnan(r), 0.0, r), axis=-1)
+    return 1.0 - ssres / sstot
+
+
+def get_adjusted_rsquared(Rsqrd_val, num_samples, num_parameters):
+    """Adjusted R^2 (``stats.py:58-63``)."""
+    n, p = num_samples, num_parameters
+    return 1.0 - (1.0 - jnp.asarray(Rsqrd_val)) * (n - 1) / (n - p - 1)
+
+
+def predict_logsigma(sigma, mean):
+    """Delta-method log-space std from linear-space mean/std (``stats.py:3-20``)."""
+    return jnp.log(1.0 + jnp.asarray(sigma) ** 2 / jnp.asarray(mean) ** 2) ** 0.5
+
+
+def rawstats(samples, axis=-1):
+    """Posterior median & lognormal-formula std of a positive sample
+    (``Framework.py:11-17``). Uses ddof=1 std to match pandas ``Series.std``.
+    """
+    logx = jnp.log(jnp.asarray(samples))
+    log_mean = jnp.mean(logx, axis=axis)
+    n = logx.shape[axis] if logx.ndim else 1
+    log_std = jnp.std(logx, axis=axis, ddof=1 if n > 1 else 0)
+    median = jnp.exp(log_mean)
+    std = ((jnp.exp(log_std**2) - 1.0)
+           * jnp.exp(2.0 * log_mean + log_std**2.0)) ** 0.5
+    return median, std

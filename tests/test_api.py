@@ -1,0 +1,315 @@
+"""Compat-layer parity: ModelFramework/parameter vs reference behavior
+(ODElib/Framework.py), using scipy as the numeric oracle."""
+import numpy as np
+import pandas as pd
+import pytest
+import scipy.stats
+from scipy.integrate import odeint as scipy_odeint
+
+import odelib_tpu
+from odelib_tpu import ModelFramework, parameter
+
+from helpers import demo_df, synthetic_df, zero_i, zero_i_refstyle, one_i
+
+
+@pytest.fixture()
+def zeroI():
+    return ModelFramework(ODE=zero_i,
+                          parameter_names=["mu", "phi", "beta"],
+                          state_names=["S", "V"],
+                          dataframe=demo_df(),
+                          mu=parameter(scipy.stats.lognorm,
+                                       {"s": 3, "scale": 1e-8}),
+                          phi=parameter(scipy.stats.lognorm,
+                                        {"s": 3, "scale": 1e-8}),
+                          beta=parameter(scipy.stats.lognorm,
+                                         {"s": 1, "scale": 25}),
+                          t_steps=288)
+
+
+def test_package_exports():
+    assert hasattr(odelib_tpu, "ModelFramework")
+    assert hasattr(odelib_tpu, "parameter")
+
+
+def test_parameter_class():
+    p = parameter(scipy.stats.lognorm, {"s": 1, "scale": 25})
+    assert p.has_distribution()
+    assert p.val.shape == ()
+    assert float(p.val) > 0
+    # pdf at current value (reference bug 3 fixed: deterministic now)
+    assert p.pdf() == p.pdf(p.val)
+    v0 = float(p.val)
+    p.rwalk()
+    assert float(p.val) != v0 and float(p.val) > 0
+    c = p.copy()
+    assert float(c.val) == float(p.val) and c.dist is p.dist
+    p2 = parameter(init_value=3.0, name="x")
+    assert not p2.has_distribution()
+    assert p2.pdf() == 1.0
+    with pytest.raises(ValueError):
+        parameter()
+
+
+def test_parameter_fit():
+    """Reference bug 1 (Framework.py:93) fixed: fit() works."""
+    rng = np.random.default_rng(0)
+    p = parameter(scipy.stats.norm, {"loc": 0, "scale": 1})
+    p.fit(rng.normal(5.0, 2.0, 2000))
+    assert abs(p.hp["loc"] - 5.0) < 0.2
+    assert abs(p.hp["scale"] - 2.0) < 0.2
+
+
+def test_construction_and_accessors(zeroI):
+    assert zeroI.get_pnames() == ["mu", "phi", "beta"]
+    assert zeroI.get_snames() == ["S", "V"]
+    assert zeroI.get_numstatevar() == 2
+    assert len(zeroI.times) == 288
+    assert zeroI.times[0] == 0.0
+    # initial states auto-extracted from t==0 rows (Framework.py:246-249)
+    inits = zeroI.get_inits(as_dict=True)
+    df = demo_df()
+    at0 = df[df["time"] == 0]
+    for org in ("S", "V"):
+        expect = at0[at0["organism"] == org]["abundance"].iloc[0]
+        assert inits[org] == pytest.approx(expect)
+    r = repr(zeroI)
+    assert "Parameters:" in r and "mu" in r and "Initial States:" in r
+
+
+def test_set_parameters_raw_value_fresh(zeroI):
+    """Reference bug 2 (Framework.py:452) fixed: raw value for a fresh
+    parameter becomes a parameter object holding that value."""
+    m = ModelFramework(ODE=zero_i, parameter_names=["mu", "phi", "beta"],
+                       state_names=["S", "V"], t_end=3, t_steps=10)
+    m.set_parameters(mu=0.5)
+    assert isinstance(m.parameters["mu"], parameter)
+    assert float(m.parameters["mu"].val) == 0.5
+    with pytest.raises(Exception):
+        m.set_parameters(nope=1.0)
+    with pytest.raises(Exception):
+        m.set_inits(nope=1.0)
+
+
+def test_get_parameters_formats(zeroI):
+    d = zeroI.get_parameters(as_dict=True)
+    assert set(d) == {"mu", "phi", "beta"}
+    t = zeroI.get_parameters()
+    assert isinstance(t, tuple) and len(t) == 1 and len(t[0]) == 3
+    # kwarg override
+    d2 = zeroI.get_parameters(as_dict=True, mu=9.0)
+    assert d2["mu"] == 9.0
+
+
+def test_integrate_matches_scipy(zeroI):
+    zeroI.set_parameters(mu=0.6, phi=2.4e-8, beta=24.0)
+    mod = zeroI.integrate()
+    assert list(mod.columns) == ["S", "V", "time"]
+    y0 = zeroI.get_inits()
+
+    def f(y, t):
+        S, V = y
+        return [0.6 * S - 2.4e-8 * S * V,
+                24.0 * 2.4e-8 * S * V - 2.4e-8 * S * V]
+
+    ref = scipy_odeint(f, y0, zeroI.times, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(mod[["S", "V"]].to_numpy(), ref, rtol=1e-5)
+
+    raw = zeroI.integrate(as_dataframe=False)
+    np.testing.assert_allclose(raw, ref, rtol=1e-5)
+
+    pred = zeroI.integrate(predict_obs=True, as_dataframe=False)
+    assert set(pred) == {"S", "V"}
+    for s in pred:
+        assert pred[s].shape == zeroI._obs_logabundance[s].shape
+
+    pred_df = zeroI.integrate(predict_obs=True, as_dataframe=True)
+    assert list(pred_df.columns) == ["time", "abundance"]
+    assert pred_df.index.name == "organism"
+
+
+def test_integrate_reference_style_rhs():
+    """The demo notebook's numpy-written f(y, t, ps) works verbatim."""
+    m = ModelFramework(ODE=zero_i_refstyle,
+                       parameter_names=["mu", "phi", "beta"],
+                       state_names=["S", "V"],
+                       dataframe=synthetic_df(),
+                       mu=0.6, phi=2.4e-8, beta=24.0, t_steps=60)
+    mod = m.integrate(as_dataframe=False)
+    assert np.isfinite(mod).all()
+    m2 = ModelFramework(ODE=zero_i, parameter_names=["mu", "phi", "beta"],
+                        state_names=["S", "V"], dataframe=synthetic_df(),
+                        mu=0.6, phi=2.4e-8, beta=24.0, t_steps=60)
+    np.testing.assert_allclose(mod, m2.integrate(as_dataframe=False),
+                               rtol=1e-10)
+
+
+def test_get_chi_matches_reference_formula(zeroI):
+    zeroI.set_parameters(mu=0.6, phi=2.4e-8, beta=24.0)
+    mod_dict = zeroI.integrate(predict_obs=True, as_dataframe=False)
+    O, C, S = [], [], []
+    for s in mod_dict:
+        O.append(zeroI._obs_logabundance[s])
+        C.append(np.log(mod_dict[s]))
+        S.append(zeroI._obs_logsigma[s])
+    expect = float(((np.ma.masked_invalid(np.concatenate(O))
+                     - np.concatenate(C)) ** 2
+                    / (2 * np.concatenate(S) ** 2)).sum())
+    assert zeroI.get_chi(mod_dict) == pytest.approx(expect, rel=1e-10)
+    fs = zeroI.get_fitstats()
+    assert set(fs) == {"Chi", "R^2", "AIC"}
+    assert fs["AIC"] == pytest.approx(2 * fs["Chi"] + 2 * 3, rel=1e-10)
+
+
+def test_state_summations():
+    """H = S + I1 (demo cell 21)."""
+    df = demo_df().replace({"V": "V", "S": "H"})
+    m = ModelFramework(ODE=one_i, parameter_names=["mu", "phi", "beta",
+                                                   "lam"],
+                       state_names=["S", "I1", "V"], dataframe=df,
+                       state_summations={"H": ["S", "I1"]},
+                       mu=0.6, phi=2.4e-8, beta=24.0, lam=1.5,
+                       S=5236900, t_steps=60)
+    assert m.get_snames() == ["H", "V"]
+    assert m.get_snames(after_summation=False) == ["S", "I1", "V"]
+    mod = m.integrate()
+    assert list(mod.columns) == ["H", "V", "time"]
+    raw = m.integrate(as_dataframe=False, sum_subpopulations=False)
+    np.testing.assert_allclose(mod["H"], raw[:, 0] + raw[:, 1], rtol=1e-12)
+    np.testing.assert_allclose(mod["V"], raw[:, 2], rtol=1e-12)
+    # validation errors (Framework.py:356-359)
+    with pytest.raises(ValueError):
+        ModelFramework(ODE=one_i, parameter_names=["mu"],
+                       state_names=["S", "I1", "V"],
+                       state_summations={"H": ["S", "I1"], "G": ["S", "V"]})
+    with pytest.raises(ValueError):
+        ModelFramework(ODE=one_i, parameter_names=["mu"],
+                       state_names=["S", "I1", "V"],
+                       state_summations={"H": ["S", "nope"]})
+
+
+def test_lhs_samples_and_fit_survey(zeroI):
+    df = zeroI._lhs_samples(samples=50)
+    assert list(df.columns) == ["mu", "phi", "beta"]
+    assert len(df) == 50
+    assert (df > 0).all().all()
+
+    fs = zeroI.fit_survey(samples=64)
+    assert list(fs.columns) == ["mu", "phi", "beta", "chi"]
+    assert len(fs) == 64
+    assert fs["chi"].notna().any()
+
+
+def test_copy_independent(zeroI):
+    c = zeroI.copy(overwrite={"mu": 123.0})
+    assert float(c.parameters["mu"].val) == 123.0
+    assert float(zeroI.parameters["mu"].val) != 123.0
+    c.set_inits(S=1.0)
+    assert zeroI.istates["S"] != 1.0
+    assert c._spec is zeroI._spec  # shared static spec -> shared jit cache
+
+
+def test_mcmc_end_to_end(zeroI, capsys):
+    zeroI.set_parameters(mu=0.6, phi=2.4e-8, beta=24.0)
+    post = zeroI.MCMC(chain_inits=4, iterations_per_chain=60,
+                      fitsurvey_samples=256, sd_fitdistance=6.0,
+                      print_report=True)
+    # reference posterior columns (Samplers.py:160-165 + Framework.py:1036)
+    assert list(post.columns) == ["mu", "phi", "beta", "chi", "rsquared",
+                                  "aic", "iteration", "acceptance_ratio",
+                                  "chain#"]
+    # nits=60 -> burnin=30 -> records it in 31..59 = 29 per chain
+    assert len(post) == 4 * 29
+    assert set(post["chain#"]) == {0, 1, 2, 3}
+    assert post["iteration"].min() == 31
+    assert post["iteration"].max() == 59
+    assert post["chi"].notna().all()
+    out = capsys.readouterr().out
+    assert "Fitting Report" in out
+    # set_best_params ran; current params should equal the min-chi row
+    best = post.loc[post.chi == post.chi.min()].iloc[0]
+    assert float(zeroI.parameters["mu"].val) == pytest.approx(best["mu"])
+
+
+def test_mcmc_chain_inits_dataframe(zeroI):
+    inits = pd.DataFrame([{"mu": 0.6, "phi": 2.4e-8, "beta": 24.0},
+                          {"mu": 0.5, "phi": 2.0e-8, "beta": 20.0}])
+    post = zeroI.MCMC(chain_inits=inits, iterations_per_chain=40,
+                      print_report=False)
+    assert set(post["chain#"]) == {0, 1}
+
+
+def test_mcmc_static_parameters(zeroI):
+    zeroI.set_parameters(mu=0.6, phi=2.4e-8, beta=24.0)
+    post = zeroI.MCMC(chain_inits=2, iterations_per_chain=40,
+                      fitsurvey_samples=128, sd_fitdistance=6.0,
+                      static_parameters=["beta"], print_report=False)
+    for c in (0, 1):
+        sub = post[post["chain#"] == c]
+        assert sub["beta"].nunique() == 1
+
+
+def test_explore_equilibriums(zeroI):
+    eq = zeroI.explore_equilibriums(samples=16)
+    assert list(eq.columns) == ["S", "V", "mu", "phi", "beta"]
+    assert len(eq) == 16
+
+
+def test_gradient(zeroI):
+    zeroI.set_parameters(mu=0.6, phi=2.4e-8, beta=24.0)
+    pr = np.linspace(0.2, 1.0, 5)
+    end = zeroI.gradient("mu", pr, aggregate_enpoints=True,
+                         print_status=False)
+    assert list(end.columns) == ["S", "V", "mu"]
+    assert len(end) == 5
+    np.testing.assert_allclose(end["mu"], pr)
+    full = zeroI.gradient("mu", pr, print_status=False)
+    assert {"S", "V", "time", "mu"} <= set(full.columns)
+    assert len(full) == 5 * len(zeroI.times)
+    # parameter restored afterwards
+    assert float(zeroI.parameters["mu"].val) == 0.6
+
+
+def test_rawstats_module_function():
+    rng = np.random.default_rng(0)
+    s = pd.Series(rng.lognormal(0, 1, 500))
+    m, sd = odelib_tpu.api.rawstats(s)
+    assert m == pytest.approx(np.exp(np.log(s).mean()), rel=1e-8)
+
+
+def test_replicate_schema():
+    """Schema 2 (organism, time, abundance, replicate) — groupby log stats
+    (Framework.py:287-298)."""
+    rng = np.random.default_rng(0)
+    rows = []
+    base = synthetic_df()
+    for _, r in base.iterrows():
+        for rep in range(3):
+            rows.append({"organism": r["organism"], "time": r["time"],
+                         "abundance": r["abundance"]
+                         * np.exp(rng.normal(0, 0.1)),
+                         "replicate": rep})
+    df = pd.DataFrame(rows)
+    m = ModelFramework(ODE=zero_i, parameter_names=["mu", "phi", "beta"],
+                       state_names=["S", "V"], dataframe=df,
+                       mu=0.6, phi=2.4e-8, beta=24.0, t_steps=60)
+    assert "log_sigma" in m.df.columns
+    assert m._obs_logsigma["S"].shape == m._obs_logabundance["S"].shape
+    assert np.isfinite(m.get_chi(
+        m.integrate(predict_obs=True, as_dataframe=False)))
+
+
+def test_missing_log_sigma_warns():
+    df = synthetic_df().drop(columns=["log_sigma"])
+    with pytest.warns(UserWarning, match="log_sigma not found"):
+        m = ModelFramework(ODE=zero_i, parameter_names=["mu", "phi", "beta"],
+                           state_names=["S", "V"], dataframe=df,
+                           mu=0.6, phi=2.4e-8, beta=24.0, t_steps=30)
+    assert (m.df["log_sigma"] == 1).all()
+
+
+def test_reset_dataframe(zeroI):
+    df2 = synthetic_df(seed=7)
+    zeroI.reset_dataframe(df2)
+    assert zeroI._samples == len(zeroI.df)
+    assert len(zeroI.times) == 288

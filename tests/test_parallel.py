@@ -1,0 +1,83 @@
+"""Multi-device chain parallelism on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from odelib_tpu.data import build_obsdata, format_dataframe
+from odelib_tpu.model import make_spec
+from odelib_tpu.parallel import (chain_mesh, chain_sharding, pad_chains,
+                                 shard_chain_batch)
+from odelib_tpu.samplers import metropolis_hastings, survey
+
+from helpers import zero_i, synthetic_df
+
+
+@pytest.fixture(scope="module")
+def setup():
+    df = format_dataframe(synthetic_df(), ("S", "V"))
+    times = np.linspace(0, 3.1, 60)
+    spec = make_spec(zero_i, ("mu", "phi", "beta"), ("S", "V"))
+    obs, _ = build_obsdata(df, times, spec.post_snames)
+    y0 = jnp.asarray([5.2e6, 1.1e7])
+    return spec, obs, jnp.asarray(times), y0
+
+
+def test_virtual_mesh_has_8_devices():
+    mesh = chain_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_pad_chains():
+    mesh = chain_mesh()
+    assert pad_chains(8, mesh) == 8
+    assert pad_chains(9, mesh) == 16
+    assert pad_chains(1, mesh) == 8
+
+
+def test_sharded_survey_matches_single_device(setup):
+    spec, obs, times, y0 = setup
+    mesh = chain_mesh()
+    rng = np.random.default_rng(0)
+    thetas = np.asarray([0.6, 2.4e-8, 24.0]) * np.exp(
+        rng.normal(0, 0.3, (64, 3)))
+    ref = np.asarray(survey(spec, obs, times, y0, jnp.asarray(thetas),
+                            rtol=1e-8, atol=1e-3))
+    sharded = shard_chain_batch(jnp.asarray(thetas), mesh)
+    assert sharded.sharding.is_equivalent_to(chain_sharding(mesh), 2)
+    out = np.asarray(survey(spec, obs, times, y0, sharded,
+                            rtol=1e-8, atol=1e-3))
+    np.testing.assert_allclose(out, ref, rtol=1e-10)
+
+
+def test_sharded_mh_runs_and_output_sharded(setup):
+    spec, obs, times, y0 = setup
+    mesh = chain_mesh()
+    C = 16
+    theta0 = jnp.tile(jnp.asarray([[0.6, 2.4e-8, 24.0]]), (C, 1))
+    keys = jax.random.split(jax.random.PRNGKey(0), C)
+    theta0, keys = shard_chain_batch((theta0, keys), mesh)
+    out = metropolis_hastings(spec, obs, times, y0, theta0, keys,
+                              nits=30, rtol=1e-6, atol=1e-3)
+    assert out.theta.shape == (C, 14, 3)
+    assert np.isfinite(np.asarray(out.chi)).all()
+    # data-parallel output stays sharded over the chain axis
+    assert len(out.theta.sharding.device_set) == 8
+
+
+def test_sharded_matches_unsharded_mh(setup):
+    """Same keys -> identical chains regardless of sharding."""
+    spec, obs, times, y0 = setup
+    C = 8
+    rng = np.random.default_rng(1)
+    theta0 = jnp.asarray(np.asarray([0.6, 2.4e-8, 24.0])
+                         * np.exp(rng.normal(0, 0.1, (C, 3))))
+    keys = jax.random.split(jax.random.PRNGKey(1), C)
+    ref = metropolis_hastings(spec, obs, times, y0, theta0, keys,
+                              nits=30, rtol=1e-6, atol=1e-3)
+    mesh = chain_mesh()
+    s_theta0, s_keys = shard_chain_batch((theta0, keys), mesh)
+    out = metropolis_hastings(spec, obs, times, y0, s_theta0, s_keys,
+                              nits=30, rtol=1e-6, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.theta), np.asarray(ref.theta),
+                               rtol=1e-12)
