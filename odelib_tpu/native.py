@@ -1,0 +1,221 @@
+"""ctypes bindings for the native host-side ODE core (native/odecore.cpp).
+
+The reference's host numeric engine is scipy's LSODA with a Python RHS
+callback per internal step (``/root/reference/ODElib/Framework.py:656``).
+This module exposes the framework's own native C++ engine: adaptive Dopri5
+(+ stiff TR-BDF2) with a **mass-action term table** RHS, so host-side solves
+run with zero Python in the loop. It serves three roles:
+
+1. a scipy-independent verification oracle for the JAX integrators (same
+   algorithm, separate implementation/compiler);
+2. a fast host path for single trajectories and batch sweeps when spinning up
+   a device program isn't worth it;
+3. the natural place for future native runtime work (data loaders, posterior
+   stores).
+
+The shared library is rebuilt on demand with g++ if missing/stale.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "odecore.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libodecore.so")
+
+_lib = None
+
+RHS_CFUNC = ctypes.CFUNCTYPE(
+    None, ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+    ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ctypes.c_void_p)
+
+
+def _build() -> str:
+    if not os.path.exists(_SRC):
+        raise RuntimeError(f"native source missing: {_SRC}")
+    stale = (not os.path.exists(_LIB)
+             or os.path.getmtime(_LIB) < os.path.getmtime(_SRC))
+    if stale:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+             "-o", _LIB], check=True, capture_output=True)
+    return _LIB
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(_build())
+        dp = ctypes.POINTER(ctypes.c_double)
+        ip = ctypes.POINTER(ctypes.c_int)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.ma_create.restype = ctypes.c_void_p
+        lib.ma_create.argtypes = [ctypes.c_int, ctypes.c_int, ip, dp, ip, i8p]
+        lib.ma_destroy.argtypes = [ctypes.c_void_p]
+        lib.solve_grid_mass_action.restype = ctypes.c_int
+        lib.solve_grid_mass_action.argtypes = [
+            ctypes.c_void_p, dp, dp, ctypes.c_int, dp, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_long, dp]
+        lib.solve_grid_mass_action_batch.restype = ctypes.c_int
+        lib.solve_grid_mass_action_batch.argtypes = [
+            ctypes.c_void_p, dp, ctypes.c_int, dp, ctypes.c_int, ctypes.c_int,
+            dp, ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_long,
+            dp, ip]
+        lib.solve_grid_stiff_mass_action.restype = ctypes.c_int
+        lib.solve_grid_stiff_mass_action.argtypes = [
+            ctypes.c_void_p, dp, dp, ctypes.c_int, dp, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_long, dp]
+        lib.solve_grid.restype = ctypes.c_int
+        lib.solve_grid.argtypes = [
+            RHS_CFUNC, ctypes.c_void_p, dp, dp, ctypes.c_int, dp, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_long, dp]
+        _lib = lib
+    return _lib
+
+
+@dataclass
+class Term:
+    """One mass-action term: dy[target] += coeff * params[pidx] *
+    prod_s y[s]^powers[s] (pidx=-1 for no parameter factor)."""
+    target: int
+    coeff: float = 1.0
+    pidx: int = -1
+    powers: Tuple[int, ...] = ()
+
+
+class MassActionODE:
+    """Native mass-action ODE system.
+
+    Example (zero_i infection model, demo cell 4):
+        dS/dt = mu*S - phi*S*V ; dV/dt = beta*phi*S*V - phi*S*V
+    is not pure mass-action in (mu, phi, beta) because of the beta*phi
+    product — rewrite with a derived parameter vector or split terms; here
+    terms support one parameter factor each, so pass params
+    [mu, phi, beta*phi] or use two terms. See tests for worked examples.
+    """
+
+    def __init__(self, n_states: int, terms: Sequence[Term]):
+        self.n_states = int(n_states)
+        self.terms = list(terms)
+        for i, t in enumerate(self.terms):
+            if not 0 <= t.target < self.n_states:
+                raise ValueError(f"term {i}: target {t.target} out of range "
+                                 f"for {self.n_states} states")
+            if len(t.powers) > self.n_states:
+                raise ValueError(f"term {i}: {len(t.powers)} powers for "
+                                 f"{self.n_states} states")
+        self._max_pidx = max((t.pidx for t in self.terms), default=-1)
+        lib = get_lib()
+        nt = len(self.terms)
+        target = np.ascontiguousarray(
+            [t.target for t in self.terms], np.int32)
+        coeff = np.ascontiguousarray([t.coeff for t in self.terms], float)
+        pidx = np.ascontiguousarray([t.pidx for t in self.terms], np.int32)
+        pows = np.zeros((nt, n_states), np.int8)
+        for i, t in enumerate(self.terms):
+            for s, e in enumerate(t.powers):
+                pows[i, s] = e
+        self._pows = np.ascontiguousarray(pows)
+        self._handle = lib.ma_create(
+            self.n_states, nt,
+            target.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            coeff.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            pidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            self._pows.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            try:
+                get_lib().ma_destroy(self._handle)
+            except Exception:
+                pass
+
+    def _check_params(self, n_params):
+        if self._max_pidx >= n_params:
+            raise ValueError(
+                f"terms reference parameter index {self._max_pidx} but only "
+                f"{n_params} parameters were passed")
+
+    def _prep(self, params, y0, ts):
+        params = np.ascontiguousarray(params, float)
+        self._check_params(params.shape[-1] if params.ndim else 0)
+        y0 = np.ascontiguousarray(y0, float)
+        if y0.shape != (self.n_states,):
+            raise ValueError(f"y0 shape {y0.shape} != ({self.n_states},)")
+        ts = np.ascontiguousarray(ts, float)
+        out = np.empty((len(ts), self.n_states), float)
+        return params, y0, ts, out
+
+    def solve(self, params, y0, ts, *, rtol=1e-7, atol=1e-9,
+              max_steps=100000, stiff=False):
+        """Integrate on the grid ts. Returns (ys (T, S), ok)."""
+        lib = get_lib()
+        params, y0, ts, out = self._prep(params, y0, ts)
+        dp = ctypes.POINTER(ctypes.c_double)
+        fn = (lib.solve_grid_stiff_mass_action if stiff
+              else lib.solve_grid_mass_action)
+        ok = fn(self._handle, params.ctypes.data_as(dp),
+                y0.ctypes.data_as(dp), self.n_states,
+                ts.ctypes.data_as(dp), len(ts), rtol, atol, max_steps,
+                out.ctypes.data_as(dp))
+        return out, bool(ok)
+
+    def solve_batch(self, params, y0s, ts, *, rtol=1e-7, atol=1e-9,
+                    max_steps=100000):
+        """Batch of N solves: params (N, P), y0s (N, S) or (S,).
+        Returns (ys (N, T, S), ok (N,))."""
+        lib = get_lib()
+        params = np.ascontiguousarray(np.atleast_2d(params), float)
+        N, P = params.shape
+        self._check_params(P)
+        y0s = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(y0s, float),
+                            (N, self.n_states)), float)
+        ts = np.ascontiguousarray(ts, float)
+        out = np.empty((N, len(ts), self.n_states), float)
+        ok = np.empty(N, np.int32)
+        dp = ctypes.POINTER(ctypes.c_double)
+        ip = ctypes.POINTER(ctypes.c_int)
+        lib.solve_grid_mass_action_batch(
+            self._handle, params.ctypes.data_as(dp), P,
+            y0s.ctypes.data_as(dp), self.n_states, N,
+            ts.ctypes.data_as(dp), len(ts), rtol, atol, max_steps,
+            out.ctypes.data_as(dp), ok.ctypes.data_as(ip))
+        return out, ok.astype(bool)
+
+
+def solve_callback(f, params, y0, ts, *, rtol=1e-7, atol=1e-9,
+                   max_steps=100000):
+    """Generic-RHS native solve with a Python callback f(t, y, params)->dydt.
+
+    Crosses into Python per stage evaluation (like scipy's odeint does) —
+    prefer MassActionODE for the zero-callback fast path.
+    """
+    lib = get_lib()
+    params = np.ascontiguousarray(params, float)
+    y0 = np.ascontiguousarray(y0, float)
+    ts = np.ascontiguousarray(ts, float)
+    n = len(y0)
+    out = np.empty((len(ts), n), float)
+
+    @RHS_CFUNC
+    def cb(t, y_p, dy_p, p_p, user):
+        y = np.ctypeslib.as_array(y_p, (n,))
+        d = np.asarray(f(t, y, params), float)
+        for i in range(n):
+            dy_p[i] = d[i]
+
+    dp = ctypes.POINTER(ctypes.c_double)
+    ok = lib.solve_grid(cb, None, params.ctypes.data_as(dp),
+                        y0.ctypes.data_as(dp), n, ts.ctypes.data_as(dp),
+                        len(ts), rtol, atol, max_steps,
+                        out.ctypes.data_as(dp))
+    return out, bool(ok)
