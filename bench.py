@@ -23,15 +23,16 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
 N_CHAINS = 10_000
-NITS = 100          # proposals per chain in the timed window (nits-1 steps)
+NITS = 1000         # proposals per chain (demo workload: 1000 iters/chain);
+NITS_CPU = 100      # smaller window for the CPU fallback path
 
 
 def build_problem():
     import jax.numpy as jnp
     import pandas as pd
 
-    from odelib_tpu.data import (build_obsdata, compact_observation_grid,
-                                 format_dataframe)
+    from odelib_tpu.data import (build_obsdata_host,
+                                 compact_observation_grid, format_dataframe)
     from odelib_tpu.model import make_spec
 
     def zero_i(t, y, ps):
@@ -56,27 +57,30 @@ def build_problem():
     df = format_dataframe(df, ("S", "V"))
     times = np.linspace(0.0, df["time"].max(), 288)
     spec = make_spec(zero_i, ("mu", "phi", "beta"), ("S", "V"))
-    obs, _ = build_obsdata(df, times, spec.post_snames)
-    times_fit, obs_fit = compact_observation_grid(obs, times)
+    # host-side obs only: issuing a device->host read before the timed
+    # region permanently degrades dispatch latency on the axon runtime
+    obs_host, _ = build_obsdata_host(df, times, spec.post_snames)
+    times_fit, obs_fit_host = compact_observation_grid(obs_host, times)
     y0 = np.array([df.loc[["S"]].iloc[0]["abundance"],
                    df.loc[["V"]].iloc[0]["abundance"]])
-    return spec, obs_fit, times_fit, y0
+    return spec, obs_fit_host, times_fit, y0
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    from odelib_tpu.data import obsdata_to_device
     from odelib_tpu.parallel import chain_mesh, pad_chains, shard_chain_batch
     from odelib_tpu.samplers import metropolis_hastings
 
-    spec, obs, times_fit, y0 = build_problem()
+    spec, obs_host, times_fit, y0 = build_problem()
     dtype = jnp.float32
     times_fit = jnp.asarray(times_fit, dtype)
     y0 = jnp.asarray(y0, dtype)
-    obs = jax.tree_util.tree_map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
-        else x, obs)
+    obs = obsdata_to_device(obs_host, dtype)
+
+    from odelib_tpu.ops.pallas_mh import metropolis_hastings_fused
 
     mesh = chain_mesh()
     C = pad_chains(N_CHAINS, mesh)
@@ -84,20 +88,38 @@ def main():
     # start chains jittered around a good fit (post-survey regime, like the
     # reference's chain seeding after its LHS prescreen)
     base = np.array([0.9, 3.0e-8, 25.0])
-    theta0 = jnp.asarray(base * np.exp(rng.normal(0, 0.05, (C, 3))), dtype)
-    keys = jax.random.split(jax.random.PRNGKey(0), C)
-    theta0, keys = shard_chain_batch((theta0, keys), mesh)
+    theta0_np = base * np.exp(rng.normal(0, 0.05, (C, 3)))
 
-    kw = dict(nits=NITS, method="dopri5", rtol=1e-5, atol=1e0,
-              max_steps=1024)
-
-    # compile (first call) then measure steady-state throughput
-    out = metropolis_hastings(spec, obs, times_fit, y0, theta0, keys, **kw)
-    jax.block_until_ready(out.theta)
-    t0 = time.perf_counter()
-    out = metropolis_hastings(spec, obs, times_fit, y0, theta0, keys, **kw)
-    jax.block_until_ready(out.theta)
-    elapsed = time.perf_counter() - t0
+    on_tpu = jax.default_backend() not in ("cpu",)
+    NITS = globals()["NITS"] if on_tpu else NITS_CPU
+    if on_tpu:
+        # headline path: fully-fused Pallas MH kernel (fixed-step Dopri5 on
+        # the compact obs grid; whole chain loop in VMEM)
+        kw = dict(nits=NITS, substeps=4, stepper="dopri5")
+        out = metropolis_hastings_fused(spec, obs_host, times_fit, y0,
+                                        theta0_np, seed=0, **kw)
+        jax.block_until_ready(out.theta)
+        t0 = time.perf_counter()
+        out = metropolis_hastings_fused(spec, obs_host, times_fit, y0,
+                                        theta0_np, seed=0, **kw)
+        jax.block_until_ready(out.theta)
+        elapsed = time.perf_counter() - t0
+        engine = "pallas-fused"
+    else:
+        theta0 = jnp.asarray(theta0_np, dtype)
+        keys = jax.random.split(jax.random.PRNGKey(0), C)
+        theta0, keys = shard_chain_batch((theta0, keys), mesh)
+        kw = dict(nits=NITS, method="dopri5", rtol=1e-5, atol=1e0,
+                  max_steps=1024)
+        out = metropolis_hastings(spec, obs, times_fit, y0, theta0, keys,
+                                  **kw)
+        jax.block_until_ready(out.theta)
+        t0 = time.perf_counter()
+        out = metropolis_hastings(spec, obs, times_fit, y0, theta0, keys,
+                                  **kw)
+        jax.block_until_ready(out.theta)
+        elapsed = time.perf_counter() - t0
+        engine = "xla-adaptive"
 
     chain_steps = C * (NITS - 1)
     rate = chain_steps / elapsed
@@ -114,13 +136,14 @@ def main():
 
     result = {
         "metric": "MCMC chain-steps/sec at 10k chains (infection-states, "
-                  "adaptive dopri5 + chi/R2/AIC per step)",
+                  "dopri5 + chi/R2/AIC per step)",
         "value": round(rate, 1),
         "unit": "chain-steps/sec",
         "vs_baseline": round(rate / baseline, 2),
+        "engine": engine,
         "chains": C,
         "iterations": NITS,
-        "elapsed_s": round(elapsed, 3),
+        "elapsed_s": round(elapsed, 4),
         "mean_acceptance": round(accept, 3),
         "finite_chi_frac": round(finite, 4),
         "devices": [str(d) for d in jax.devices()],

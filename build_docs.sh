@@ -1,0 +1,19 @@
+#!/bin/sh
+# Generate API documentation (the reference ships a pdoc->pandoc pipeline,
+# build_docs.sh:1-2; here: pdoc if available, stdlib pydoc otherwise).
+set -e
+cd "$(dirname "$0")"
+mkdir -p docs/api
+if python -c "import pdoc" 2>/dev/null; then
+    python -m pdoc -o docs/api odelib_tpu
+else
+    for m in odelib_tpu odelib_tpu.api odelib_tpu.distributions \
+             odelib_tpu.stats odelib_tpu.model odelib_tpu.data \
+             odelib_tpu.native odelib_tpu.ops.integrate \
+             odelib_tpu.ops.runge_kutta odelib_tpu.ops.pallas_mh \
+             odelib_tpu.samplers.lhs odelib_tpu.samplers.mh \
+             odelib_tpu.parallel.mesh odelib_tpu.utils.checkpoint; do
+        python -m pydoc "$m" > "docs/api/${m}.txt" || true
+    done
+fi
+echo "docs written to docs/api/"

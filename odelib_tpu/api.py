@@ -231,19 +231,24 @@ class ModelFramework:
             self._samples = len(self.df)
             (self._pred_tindex, self._obs_logabundance,
              self._obs_logsigma) = self._df_fitsetup()
-            self._obsdata, self._observed_states = _data.build_obsdata(
-                self.df, self.times, self._spec.post_snames)
-            self._times_fit, self._obsdata_fit = \
-                _data.compact_observation_grid(self._obsdata, self.times)
+            self._obsdata_host, self._observed_states = \
+                _data.build_obsdata_host(self.df, self.times,
+                                         self._spec.post_snames)
+            self._obsdata = _data.obsdata_to_device(self._obsdata_host)
+            self._times_fit, self._obsdata_fit_host = \
+                _data.compact_observation_grid(self._obsdata_host, self.times)
+            self._obsdata_fit = _data.obsdata_to_device(self._obsdata_fit_host)
         else:
             self.df = None
             self._samples = None
             self.times = np.linspace(0, t_end, t_steps)
             self._pred_tindex = {}
             self._obsdata = None
+            self._obsdata_host = None
             self._observed_states = ()
             self._times_fit = None
             self._obsdata_fit = None
+            self._obsdata_fit_host = None
 
         _is, _ps = {}, {}
         if isinstance(self.df, pd.DataFrame):
@@ -312,10 +317,13 @@ class ModelFramework:
         (self._pred_tindex, self._obs_logabundance,
          self._obs_logsigma) = self._df_fitsetup()
         self._samples = len(self.df)
-        self._obsdata, self._observed_states = _data.build_obsdata(
-            self.df, self.times, self._spec.post_snames)
-        self._times_fit, self._obsdata_fit = \
-            _data.compact_observation_grid(self._obsdata, self.times)
+        self._obsdata_host, self._observed_states = \
+            _data.build_obsdata_host(self.df, self.times,
+                                     self._spec.post_snames)
+        self._obsdata = _data.obsdata_to_device(self._obsdata_host)
+        self._times_fit, self._obsdata_fit_host = \
+            _data.compact_observation_grid(self._obsdata_host, self.times)
+        self._obsdata_fit = _data.obsdata_to_device(self._obsdata_fit_host)
         self.set_inits(**_data.initial_states_from_df(self.df))
 
     # ------------------------------------------------------------------
@@ -707,7 +715,7 @@ class ModelFramework:
     def MCMC(self, chain_inits=1, iterations_per_chain=1000, cpu_cores=1,
              static_parameters=(), print_report=True, fitsurvey_samples=1000,
              sd_fitdistance=3.0, use_priors=False, rwalk_std=0.05,
-             checkpoint_path=None, **solver_kw):
+             checkpoint_path=None, backend="auto", burnin=None, **solver_kw):
         """Markov Chain Monte Carlo over vmapped+mesh-sharded chains.
 
         Same signature and returned DataFrame as the reference
@@ -719,10 +727,25 @@ class ModelFramework:
           ratio (the reference computes priors but never uses them,
           ``Samplers.py:118-127``);
         * static parameters are recorded at their *actual* value, not the
-          prior's ``hp['scale']`` (reference quirk, ``Samplers.py:166-170``).
+          prior's ``hp['scale']`` (reference quirk, ``Samplers.py:166-170``);
+        * ``backend``: 'auto' | 'pallas' | 'xla'. On TPU with scalar
+          parameters and likelihood-only acceptance, 'auto' runs the chain
+          loop as the fully-fused Pallas kernel (fixed-step Dopri5 on the
+          compact observation grid — typically >10x the XLA path); otherwise
+          the adaptive XLA sampler. RNG streams differ between backends, so
+          posteriors agree statistically, not bitwise.
         """
         nits = iterations_per_chain
+        if burnin is None:
+            burnin = int(nits / 2)  # MC_args convention, Framework.py:990
         static_parameters = list(static_parameters)
+        method, rtol, atol, max_steps, substeps = self._solver_args(solver_kw)
+
+        if backend == "auto":
+            backend = "pallas" if (
+                jax.default_backend() not in ("cpu",)
+                and not use_priors
+                and not any(s for s in self._spec.pshapes)) else "xla"
 
         if isinstance(chain_inits, pd.DataFrame):
             chain_inits = [row.to_dict() for _, row in
@@ -730,9 +753,23 @@ class ModelFramework:
 
         if isinstance(chain_inits, int):
             n_chains = chain_inits
-            fitsurvey = self.fit_survey(cpu_cores=cpu_cores,
-                                        samples=fitsurvey_samples,
-                                        **solver_kw)
+            if backend == "pallas":
+                # the prescreen must use the SAME integrator as the chains:
+                # a draw that only the adaptive solver survives would seed a
+                # chain whose fixed-step chi is NaN forever
+                from .ops.pallas_mh import survey_fused
+                ps = self._lhs_samples(fitsurvey_samples)
+                thetas = np.asarray(self._theta_from_df(ps), np.float32)
+                chis = np.asarray(survey_fused(
+                    self._spec, self._obsdata_fit_host, self._times_fit,
+                    self.get_inits(), thetas, substeps=substeps,
+                    stepper="rk4" if method == "rk4" else "dopri5"))
+                fitsurvey = ps[self.get_pnames()].copy()
+                fitsurvey["chi"] = np.where(np.isfinite(chis), chis, np.nan)
+            else:
+                fitsurvey = self.fit_survey(cpu_cores=cpu_cores,
+                                            samples=fitsurvey_samples,
+                                            **solver_kw)
             fitsurvey = fitsurvey.dropna()
             if fitsurvey.empty:
                 initps = pd.DataFrame([[]] * n_chains)
@@ -784,27 +821,38 @@ class ModelFramework:
                 return tot
 
         dtype = jnp.result_type(float)
-        base_key = jax.random.PRNGKey(self.random_seed)
-        mesh = chain_mesh()
-        n_padded = pad_chains(n_chains, mesh)
-        th0 = np.asarray(theta0, dtype)
-        if n_padded > n_chains:  # pad with repeats; dropped after the run
-            th0 = np.concatenate(
-                [th0, np.tile(th0[-1:], (n_padded - n_chains, 1))])
-        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
-            jnp.arange(n_padded))
 
-        margs = shard_chain_batch(
-            (jnp.asarray(th0, dtype), keys), mesh)
-        method, rtol, atol, max_steps, substeps = self._solver_args(solver_kw)
-        out = metropolis_hastings(
-            self._spec, self._obsdata_fit,
-            jnp.asarray(self._times_fit, dtype),
-            jnp.asarray(self.get_inits(), dtype), margs[0], margs[1],
-            nits=nits, walk_mask=jnp.asarray(mask, dtype),
-            rwalk_std=rwalk_std, prior_logpdf=prior_logpdf,
-            use_priors=use_priors, method=method, rtol=rtol, atol=atol,
-            max_steps=max_steps, substeps=substeps)
+        if backend == "pallas":
+            from .ops.pallas_mh import metropolis_hastings_fused
+            out = metropolis_hastings_fused(
+                self._spec, self._obsdata_fit_host, self._times_fit,
+                self.get_inits(), np.asarray(theta0, np.float32),
+                seed=int(self.random_seed), nits=nits, burnin=burnin,
+                walk_mask=mask, rwalk_std=rwalk_std,
+                stepper="rk4" if method == "rk4" else "dopri5",
+                substeps=substeps)
+        else:
+            base_key = jax.random.PRNGKey(self.random_seed)
+            mesh = chain_mesh()
+            n_padded = pad_chains(n_chains, mesh)
+            th0 = np.asarray(theta0, dtype)
+            if n_padded > n_chains:  # pad with repeats; dropped after run
+                th0 = np.concatenate(
+                    [th0, np.tile(th0[-1:], (n_padded - n_chains, 1))])
+            keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+                jnp.arange(n_padded))
+
+            margs = shard_chain_batch(
+                (jnp.asarray(th0, dtype), keys), mesh)
+            out = metropolis_hastings(
+                self._spec, self._obsdata_fit,
+                jnp.asarray(self._times_fit, dtype),
+                jnp.asarray(self.get_inits(), dtype), margs[0], margs[1],
+                nits=nits, burnin=burnin,
+                walk_mask=jnp.asarray(mask, dtype),
+                rwalk_std=rwalk_std, prior_logpdf=prior_logpdf,
+                use_priors=use_priors, method=method, rtol=rtol, atol=atol,
+                max_steps=max_steps, substeps=substeps)
 
         posterior = self._posterior_to_df(out, n_chains, static_parameters)
         if checkpoint_path:
@@ -862,7 +910,15 @@ class ModelFramework:
     # posterior utilities (Framework.py:725-740)
     # ------------------------------------------------------------------
     def set_best_params(self, posteriors):
-        im = posteriors.loc[posteriors.chi == min(posteriors.chi)].index[0]
+        """Adopt the parameters of the min-chi posterior row
+        (``Framework.py:725-731``). NaN-robust, unlike the reference: NaN
+        chi rows (failed integrations) are ignored; all-NaN raises."""
+        finite = posteriors[np.isfinite(posteriors.chi.astype(float))]
+        if finite.empty:
+            raise ValueError(
+                "set_best_params: every posterior row has NaN/inf chi "
+                "(all integrations failed). Check priors / solver settings.")
+        im = finite.loc[finite.chi == finite.chi.min()].index[0]
         bestchain = posteriors.iloc[im]["chain#"]
         posteriors = posteriors[posteriors["chain#"] == bestchain]
         self.set_parameters(

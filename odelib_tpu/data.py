@@ -69,15 +69,15 @@ def fit_setup(df: pd.DataFrame, times: np.ndarray):
     return pred_tindex, obs_logabundance, obs_logsigma
 
 
-def build_obsdata(df: pd.DataFrame, times: np.ndarray,
-                  post_snames, dtype=None) -> Tuple[ObsData, Tuple[str, ...]]:
-    """Flatten per-state observations into one ObsData pytree.
+def build_obsdata_host(df: pd.DataFrame, times: np.ndarray,
+                       post_snames) -> Tuple[ObsData, Tuple[str, ...]]:
+    """Host-side (numpy) ObsData — no device transfers.
 
-    Observed states are concatenated in ``post_snames`` order (a fixed,
-    deterministic order — the reference iterates a set, which only works
-    because chi is order-invariant). Returns (obsdata, observed_state_names).
+    Kept separate because device->host pulls are expensive to issue on some
+    runtimes (and static kernel-planning code like ops/pallas_mh must never
+    read device arrays back). Use :func:`to_device` / :func:`build_obsdata`
+    for the device pytree.
     """
-    dtype = dtype or jnp.result_type(float)
     pred_tindex, logab, logsig = fit_setup(df, np.asarray(times))
     observed = tuple(s for s in post_snames if s in pred_tindex)
     if not observed:
@@ -95,13 +95,37 @@ def build_obsdata(df: pd.DataFrame, times: np.ndarray,
         sstot += ab.shape[0] * np.var(ab)
     la = np.concatenate(la)
     return ObsData(
-        log_abundance=jnp.asarray(la, dtype),
-        log_sigma=jnp.asarray(np.concatenate(ls), dtype),
-        abundance=jnp.asarray(np.exp(la), dtype),
-        t_index=jnp.asarray(np.concatenate(ti)),
-        state_index=jnp.asarray(np.concatenate(si)),
-        sstot=jnp.asarray(sstot, dtype),
+        log_abundance=la,
+        log_sigma=np.concatenate(ls),
+        abundance=np.exp(la),
+        t_index=np.concatenate(ti),
+        state_index=np.concatenate(si),
+        sstot=np.asarray(sstot),
     ), observed
+
+
+def obsdata_to_device(obs: ObsData, dtype=None) -> ObsData:
+    dtype = dtype or jnp.result_type(float)
+    return ObsData(
+        log_abundance=jnp.asarray(obs.log_abundance, dtype),
+        log_sigma=jnp.asarray(obs.log_sigma, dtype),
+        abundance=jnp.asarray(obs.abundance, dtype),
+        t_index=jnp.asarray(np.asarray(obs.t_index), jnp.int32),
+        state_index=jnp.asarray(np.asarray(obs.state_index), jnp.int32),
+        sstot=jnp.asarray(obs.sstot, dtype),
+    )
+
+
+def build_obsdata(df: pd.DataFrame, times: np.ndarray,
+                  post_snames, dtype=None) -> Tuple[ObsData, Tuple[str, ...]]:
+    """Flatten per-state observations into one ObsData pytree (device arrays).
+
+    Observed states are concatenated in ``post_snames`` order (a fixed,
+    deterministic order — the reference iterates a set, which only works
+    because chi is order-invariant). Returns (obsdata, observed_state_names).
+    """
+    host, observed = build_obsdata_host(df, times, post_snames)
+    return obsdata_to_device(host, dtype), observed
 
 
 def compact_observation_grid(obs: ObsData, times) -> Tuple[np.ndarray,
@@ -116,7 +140,9 @@ def compact_observation_grid(obs: ObsData, times) -> Tuple[np.ndarray,
     trajectory-returning APIs.
 
     Returns (compact_times, obs-with-remapped-t_index). compact_times[0] is
-    always the grid origin (integration start).
+    always the grid origin (integration start). Operate on a HOST ObsData
+    (from :func:`build_obsdata_host`) — reading a device ObsData back would
+    issue a device->host transfer.
     """
     times = np.asarray(times)
     tidx = np.asarray(obs.t_index)
@@ -125,7 +151,7 @@ def compact_observation_grid(obs: ObsData, times) -> Tuple[np.ndarray,
     if uniq[0] != times[0]:
         uniq = np.concatenate([[times[0]], uniq])
     new_tidx = np.searchsorted(uniq, obs_times).astype(np.int32)
-    return uniq, obs._replace(t_index=jnp.asarray(new_tidx))
+    return uniq, obs._replace(t_index=new_tidx)
 
 
 def initial_states_from_df(df: pd.DataFrame) -> Dict[str, float]:

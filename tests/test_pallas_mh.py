@@ -1,0 +1,124 @@
+"""Fused Pallas MH kernel — interpret-mode tests on CPU.
+
+Compiled-path performance/behavior is exercised on real TPU by bench.py;
+here the same kernels run through the Pallas interpreter so correctness is
+covered in CI without hardware. Small tiles/iteration counts keep emulation
+cheap.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from odelib_tpu.data import (build_obsdata_host, compact_observation_grid,
+                             format_dataframe, obsdata_to_device)
+from odelib_tpu.model import make_spec
+from odelib_tpu.ops.pallas_mh import metropolis_hastings_fused, survey_fused
+from odelib_tpu.samplers import survey
+
+from helpers import zero_i, synthetic_df
+
+
+@pytest.fixture(scope="module")
+def setup():
+    df = format_dataframe(synthetic_df(), ("S", "V"))
+    times = np.linspace(0, 3.1, 288)
+    spec = make_spec(zero_i, ("mu", "phi", "beta"), ("S", "V"))
+    obs_host, _ = build_obsdata_host(df, times, spec.post_snames)
+    times_fit, obs_fit_host = compact_observation_grid(obs_host, times)
+    y0 = np.array([df.loc["S"].iloc[0]["abundance"],
+                   df.loc["V"].iloc[0]["abundance"]])
+    return spec, obs_fit_host, times_fit, y0
+
+
+def test_survey_fused_matches_xla_fixed_step(setup):
+    """The in-kernel scorer must agree with the XLA fixed-step survey (same
+    discretization, independent implementation)."""
+    spec, obs_host, times_fit, y0 = setup
+    rng = np.random.default_rng(0)
+    thetas = np.array([0.6, 2.4e-8, 24.0]) * np.exp(
+        rng.normal(0, 0.2, (16, 3)))
+    pal = np.asarray(survey_fused(spec, obs_host, times_fit, y0, thetas,
+                                  substeps=2, tile_chains=128,
+                                  interpret=True))
+    obs_dev = obsdata_to_device(obs_host, jnp.float32)
+    xla = np.asarray(survey(spec, obs_dev, jnp.asarray(times_fit, jnp.float32),
+                            jnp.asarray(y0, jnp.float32),
+                            jnp.asarray(thetas, jnp.float32),
+                            method="fixed_dopri5", substeps=2))
+    np.testing.assert_allclose(pal, xla, rtol=2e-5)
+
+
+def test_mh_fused_semantics(setup):
+    spec, obs_host, times_fit, y0 = setup
+    th0 = np.tile([0.6, 2.4e-8, 24.0], (4, 1))
+    out = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                    seed=0, nits=24, burnin=12, substeps=2,
+                                    tile_chains=128, interpret=True)
+    # reference iteration convention: records for it in (burnin, nits-1]
+    assert out.theta.shape == (4, 11, 3)
+    assert int(out.iteration[0]) == 13 and int(out.iteration[-1]) == 23
+    assert np.isfinite(np.asarray(out.chi)).all()
+    ar = np.asarray(out.acceptance_ratio)
+    assert ((ar >= 0) & (ar <= 1)).all()
+    # aic = 2 chi + 2k
+    np.testing.assert_allclose(np.asarray(out.aic),
+                               2 * np.asarray(out.chi) + 2 * 3, rtol=1e-6)
+
+
+def test_mh_fused_deterministic_and_seeded(setup):
+    spec, obs_host, times_fit, y0 = setup
+    th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
+    kw = dict(nits=16, substeps=2, tile_chains=128, interpret=True)
+    a = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                  seed=5, **kw)
+    b = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                  seed=5, **kw)
+    c = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                  seed=6, **kw)
+    assert np.array_equal(np.asarray(a.theta), np.asarray(b.theta))
+    assert not np.array_equal(np.asarray(a.theta), np.asarray(c.theta))
+
+
+def test_mh_fused_static_parameters(setup):
+    spec, obs_host, times_fit, y0 = setup
+    th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
+    out = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                    seed=1, nits=16, walk_mask=[1, 0, 1],
+                                    substeps=2, tile_chains=128,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out.theta)[:, :, 1], 2.4e-8,
+                               rtol=1e-6)
+    assert np.unique(np.asarray(out.theta)[:, :, 0]).size > 1
+
+
+def test_mh_fused_chunk_boundary_continuity(setup):
+    """Multi-segment runs (length > record cap) must be indistinguishable
+    from a single-segment run: the counter-based RNG stream is keyed on the
+    global iteration, and chain state (theta, accept count) carries across
+    kernel calls."""
+    spec, obs_host, times_fit, y0 = setup
+    th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
+    kw = dict(seed=2, nits=22, burnin=3, substeps=2, tile_chains=128,
+              interpret=True)
+    whole = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                      **kw)
+    chunked = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                        _rec_cap=5, **kw)
+    its = np.asarray(chunked.iteration)
+    assert (np.diff(its) == 1).all()
+    assert chunked.theta.shape[1] == len(its) == 18
+    np.testing.assert_array_equal(np.asarray(whole.theta),
+                                  np.asarray(chunked.theta))
+    np.testing.assert_array_equal(np.asarray(whole.acceptance_ratio),
+                                  np.asarray(chunked.acceptance_ratio))
+
+
+def test_mh_fused_rejects_array_params(setup):
+    spec, obs_host, times_fit, y0 = setup
+    from odelib_tpu.model import ModelSpec
+    spec_arr = ModelSpec(rhs=spec.rhs, pnames=("a",), snames=("S", "V"),
+                         pshapes=((2,),))
+    with pytest.raises(ValueError, match="scalar parameters"):
+        metropolis_hastings_fused(spec_arr, obs_host, times_fit, y0,
+                                  np.ones((2, 2)), seed=0, nits=8,
+                                  tile_chains=128, interpret=True)
