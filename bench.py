@@ -99,11 +99,16 @@ def main():
         out = metropolis_hastings_fused(spec, obs_host, times_fit, y0,
                                         theta0_np, seed=0, **kw)
         jax.block_until_ready(out.theta)
-        t0 = time.perf_counter()
-        out = metropolis_hastings_fused(spec, obs_host, times_fit, y0,
-                                        theta0_np, seed=0, **kw)
-        jax.block_until_ready(out.theta)
-        elapsed = time.perf_counter() - t0
+        # the timed window is ~0.1s; tunnel dispatch jitter swings single
+        # runs +-30%, so report the median of 3 steady-state repeats
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = metropolis_hastings_fused(spec, obs_host, times_fit, y0,
+                                            theta0_np, seed=0, **kw)
+            jax.block_until_ready(out.theta)
+            reps.append(time.perf_counter() - t0)
+        elapsed = float(np.median(reps))
         engine = "pallas-fused"
     else:
         theta0 = jnp.asarray(theta0_np, dtype)

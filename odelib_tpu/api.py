@@ -18,6 +18,7 @@ Deviations are documented on each method.
 """
 from __future__ import annotations
 
+import time
 import warnings
 from functools import partial
 from typing import Optional
@@ -198,7 +199,10 @@ class ModelFramework:
     arguments beyond the reference: ``ode_style`` ('auto'|'reference'|'jax')
     describing the RHS signature (reference: ``f(y, t, ps)`` with numpy;
     jax: ``f(t, y, ps)``), and solver knobs ``method``/``rtol``/``atol``/
-    ``max_steps``/``substeps`` consumed by the compute methods.
+    ``max_steps``/``substeps`` consumed by the compute methods. ``method``
+    is 'dopri5' | 'kvaerno3' (L-stable stiff ESDIRK) | 'auto' (dopri5 with
+    per-solve fallback to kvaerno3 on failure — LSODA-style switching) |
+    'rk4' (fixed-step).
     """
 
     _SOLVER_KEYS = ("method", "rtol", "atol", "max_steps", "substeps")
@@ -715,7 +719,8 @@ class ModelFramework:
     def MCMC(self, chain_inits=1, iterations_per_chain=1000, cpu_cores=1,
              static_parameters=(), print_report=True, fitsurvey_samples=1000,
              sd_fitdistance=3.0, use_priors=False, rwalk_std=0.05,
-             checkpoint_path=None, backend="auto", burnin=None, **solver_kw):
+             checkpoint_path=None, backend="auto", burnin=None,
+             profile=False, **solver_kw):
         """Markov Chain Monte Carlo over vmapped+mesh-sharded chains.
 
         Same signature and returned DataFrame as the reference
@@ -733,8 +738,14 @@ class ModelFramework:
           loop as the fully-fused Pallas kernel (fixed-step Dopri5 on the
           compact observation grid — typically >10x the XLA path); otherwise
           the adaptive XLA sampler. RNG streams differ between backends, so
-          posteriors agree statistically, not bitwise.
+          posteriors agree statistically, not bitwise;
+        * ``profile=True`` logs per-stage wall times (survey+seeding /
+          chains / postprocess) through the package logger
+          (:mod:`odelib_tpu.utils.profiling`).
         """
+        from .utils.profiling import StageTimer
+        timer = StageTimer() if profile else None
+        _t0 = time.perf_counter()
         nits = iterations_per_chain
         if burnin is None:
             burnin = int(nits / 2)  # MC_args convention, Framework.py:990
@@ -822,6 +833,10 @@ class ModelFramework:
 
         dtype = jnp.result_type(float)
 
+        if timer is not None:
+            timer.times["survey+seeding"] = time.perf_counter() - _t0
+            _t0 = time.perf_counter()
+
         if backend == "pallas":
             from .ops.pallas_mh import metropolis_hastings_fused
             out = metropolis_hastings_fused(
@@ -854,6 +869,11 @@ class ModelFramework:
                 use_priors=use_priors, method=method, rtol=rtol, atol=atol,
                 max_steps=max_steps, substeps=substeps)
 
+        if timer is not None:
+            jax.block_until_ready(out.theta)
+            timer.times[f"chains[{backend}]"] = time.perf_counter() - _t0
+            _t0 = time.perf_counter()
+
         posterior = self._posterior_to_df(out, n_chains, static_parameters)
         if checkpoint_path:
             from .utils import checkpoint as _ckpt
@@ -874,6 +894,9 @@ class ModelFramework:
             report.append(f"\tChi = {fs['Chi']:0.3e}\n\tR-squared = "
                           f"{fs['R^2']:0.3e}\n\tAIC = {fs['AIC']:0.3e}")
             print("\n".join(report))
+        if timer is not None:
+            timer.times["postprocess"] = time.perf_counter() - _t0
+            timer.report()
         return posterior
 
     def _posterior_to_df(self, out: _mh.MHOutput, n_chains,
@@ -968,8 +991,10 @@ class ModelFramework:
         spec = self._spec
         times = jnp.asarray(self.times, dtype)
         if print_status:
-            print(f"Preparing to run {len(p_range)} simulations between "
-                  f"{min(p_range)} and {max(p_range)}")
+            from .utils.profiling import get_logger
+            get_logger().info(
+                "Preparing to run %d simulations between %s and %s",
+                len(p_range), min(p_range), max(p_range))
 
         @jax.jit
         def sweep(theta, y0, ps):
@@ -990,7 +1015,7 @@ class ModelFramework:
                                  jnp.asarray(init, dtype),
                                  jnp.asarray(np.asarray(p_range), dtype)))
         if print_status:
-            print("100.00% Complete")
+            get_logger().info("100.00%% Complete")
         snames = self.get_snames(after_summation=False)
         if aggregate_enpoints:
             end = trajs[:, -1, :]

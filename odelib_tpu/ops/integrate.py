@@ -70,7 +70,22 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
     Parameters mirror ``scipy.integrate.odeint`` semantics where they overlap:
     ``ts`` must be increasing with ``ts[0]`` the initial time; ``y0`` is shape
     (state_dim,). Returns :class:`ODESolution`.
+
+    ``method='auto'`` covers LSODA's stiff/non-stiff switching
+    (``/root/reference/ODElib/Framework.py:4,656``) the XLA-friendly way:
+    solve with Dopri5 and, only if that lane fails (step-size underflow or
+    ``max_steps`` exhaustion — the signature of stiffness), re-solve with the
+    L-stable Kvaerno3 ESDIRK. For an unbatched call ``lax.cond`` skips the
+    stiff solve entirely on the fast path; under ``vmap`` the cond lowers to
+    a select, so batched 'auto' pays for both solves — prefer an explicit
+    method inside MCMC hot loops.
     """
+    if method == "auto":
+        kw = dict(args=args, rtol=rtol, atol=atol, max_steps=max_steps)
+        sol_d = odeint_grid(func, y0, ts, method="dopri5", h0=h0, **kw)
+        return jax.lax.cond(
+            sol_d.ok, lambda: sol_d,
+            lambda: odeint_grid(func, y0, ts, method="kvaerno3", **kw))
     stepper = STEPPERS[method] if isinstance(method, str) else method
     dtype = jnp.result_type(jnp.asarray(y0).dtype, float)
     y0 = jnp.asarray(y0, dtype)

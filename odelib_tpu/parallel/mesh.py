@@ -52,6 +52,45 @@ def shard_chain_batch(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def distributed_init(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> Mesh:
+    """Multi-host entry point: initialize ``jax.distributed`` and return the
+    global chain mesh over every chip in the pod slice.
+
+    The reference never leaves one machine (SURVEY.md section 5.8); here the
+    same share-nothing chain parallelism spans hosts: each process feeds its
+    addressable shard of the chain batch, XLA runs the identical partitioned
+    program everywhere, and only the final posterior gather crosses
+    ICI/DCN. With no arguments, coordinates via the cluster environment
+    (TPU pod metadata / SLURM), per ``jax.distributed.initialize`` defaults.
+
+    Idempotent: safe to call when already initialized (e.g. single-process
+    runs), in which case it just returns :func:`chain_mesh`.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized (or single-process local backend)
+    return chain_mesh()
+
+
+def local_chain_slice(n_chains: int, mesh: Mesh):
+    """(start, stop) of the chain rows this process owns under the mesh.
+
+    Multi-host feeding: each process materializes only its slice and wraps
+    it with ``jax.make_array_from_process_local_data``; single-process
+    meshes get the full range.
+    """
+    n_local = sum(d.process_index == jax.process_index()
+                  for d in mesh.devices.flat)
+    per = n_chains * n_local // mesh.devices.size
+    start = jax.process_index() * per
+    return start, min(start + per, n_chains)
+
+
 def sharded_jit(fn, mesh: Mesh, num_batched_args: int):
     """jit ``fn`` with its first ``num_batched_args`` arguments sharded over
     the chain axis and the outputs sharded likewise. XLA inserts no

@@ -1,0 +1,10 @@
+"""Auxiliary subsystems: checkpoint/resume, profiling, logging.
+
+The reference has none of these (SURVEY.md section 5); they exist here
+because 10k-chain device runs deserve resumability and observability.
+"""
+from .checkpoint import load_posterior, resume_theta, save_posterior
+from .profiling import StageTimer, get_logger, trace
+
+__all__ = ["save_posterior", "load_posterior", "resume_theta",
+           "StageTimer", "get_logger", "trace"]

@@ -125,6 +125,37 @@ def test_stiff_robertson_kvaerno3():
                                atol=1e-10)
 
 
+def test_auto_switches_to_stiff_solver():
+    """method='auto' = LSODA-parity switching: dopri5 exhausts max_steps on
+    Robertson, so auto must fall through to Kvaerno3 and succeed; on a
+    non-stiff model it must return the dopri5 result bit-for-bit."""
+    def rober(t, y, k):
+        k1, k2, k3 = k
+        y1, y2, y3 = y
+        return jnp.stack([-k1 * y1 + k3 * y2 * y3,
+                          k1 * y1 - k2 * y2 * y2 - k3 * y2 * y3,
+                          k2 * y2 * y2])
+
+    ks = jnp.array([0.04, 3e7, 1e4])
+    ts = np.concatenate([[0.0], np.geomspace(1e-5, 1e4, 40)])
+    y0 = jnp.array([1.0, 0.0, 0.0])
+    kw = dict(rtol=1e-8, atol=1e-10, max_steps=20000)
+    assert not bool(odeint_grid(rober, y0, ts, ks, method="dopri5",
+                                **kw).ok)
+    sol = odeint_grid(rober, y0, ts, ks, method="auto", **kw)
+    stiff = odeint_grid(rober, y0, ts, ks, method="kvaerno3", **kw)
+    assert bool(sol.ok)
+    np.testing.assert_array_equal(np.asarray(sol.ys), np.asarray(stiff.ys))
+
+    # non-stiff: auto == dopri5 exactly
+    f = lambda t, y, args: -y
+    ts2 = np.linspace(0, 2, 21)
+    a = odeint_grid(f, jnp.array([1.0]), ts2, ())
+    b = odeint_grid(f, jnp.array([1.0]), ts2, (), method="auto")
+    assert bool(b.ok)
+    np.testing.assert_array_equal(np.asarray(a.ys), np.asarray(b.ys))
+
+
 def test_failure_returns_nan_not_exception():
     """Blow-up in finite time -> NaN tail + ok=False, like the reference's
     NaN-tolerant behavior (Framework.py:997)."""
