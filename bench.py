@@ -74,10 +74,13 @@ def main():
     from odelib_tpu.parallel import chain_mesh, pad_chains, shard_chain_batch
     from odelib_tpu.samplers import metropolis_hastings
 
-    spec, obs_host, times_fit, y0 = build_problem()
+    spec, obs_host, times_fit_h, y0_h = build_problem()
     dtype = jnp.float32
-    times_fit = jnp.asarray(times_fit, dtype)
-    y0 = jnp.asarray(y0, dtype)
+    # keep HOST copies for the fused path: its kernel planner reads times/y0
+    # with numpy, and np.asarray on a device array is a d2h pull — slow
+    # through the tunnel AND it permanently poisons dispatch latency
+    times_fit = jnp.asarray(times_fit_h, dtype)
+    y0 = jnp.asarray(y0_h, dtype)
     obs = obsdata_to_device(obs_host, dtype)
 
     from odelib_tpu.ops.pallas_mh import metropolis_hastings_fused
@@ -96,18 +99,25 @@ def main():
         # headline path: fully-fused Pallas MH kernel (fixed-step Dopri5 on
         # the compact obs grid; whole chain loop in VMEM)
         kw = dict(nits=NITS, substeps=4, stepper="dopri5")
-        out = metropolis_hastings_fused(spec, obs_host, times_fit, y0,
+
+        def sync(o):
+            # on the axon runtime block_until_ready returns before remote
+            # execution finishes; only a device->host pull truly syncs, so
+            # each timed rep ends with a 1-element result fetch
+            return float(o.chi[-1, -1])
+
+        out = metropolis_hastings_fused(spec, obs_host, times_fit_h, y0_h,
                                         theta0_np, seed=0, **kw)
-        jax.block_until_ready(out.theta)
-        # the timed window is ~0.1s; tunnel dispatch jitter swings single
-        # runs +-30%, so report the median of 3 steady-state repeats
+        sync(out)
         reps = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
-            out = metropolis_hastings_fused(spec, obs_host, times_fit, y0,
-                                            theta0_np, seed=0, **kw)
-            jax.block_until_ready(out.theta)
+            out = metropolis_hastings_fused(spec, obs_host, times_fit_h,
+                                            y0_h, theta0_np, seed=0, **kw)
+            sync(out)
             reps.append(time.perf_counter() - t0)
+        if os.environ.get("BENCH_DEBUG"):
+            print("reps:", [round(r, 4) for r in reps], file=sys.stderr)
         elapsed = float(np.median(reps))
         engine = "pallas-fused"
     else:

@@ -249,143 +249,177 @@ def metropolis_hastings_fused(
     plan = _build_plan(spec, obs, times, substeps)
     y0_key = tuple(float(v) for v in np.asarray(y0_base))
 
-    # Records live in VMEM per segment; cap segment length so the record
-    # block (L*(P+4)*tile*4 bytes) stays well under the VMEM budget. The
-    # chain loop is CHUNKED over host-level kernel calls: a burn segment with
-    # no record outputs, then fully-recorded segments. Chain state (theta,
-    # accept count) carries between calls; chi/R^2 are recomputed from theta
-    # at each segment start (deterministic scorer => identical value); RNG
-    # streams are counter-based on the global iteration, so chunking does not
-    # change the sample stream.
-    L_REC = max(1, min(128, (4 * 1024 * 1024) // ((P + 4) * tile * 4)))
-    if _rec_cap is not None:  # test hook: force multi-segment chunking
-        L_REC = min(L_REC, int(_rec_cap))
+    # ONE kernel dispatch for the whole run: grid = (chain_tiles,
+    # segments), both axes sequential (row-major, segment minor), so per
+    # chain tile the segments run back-to-back with chain state (log-theta,
+    # chi, R^2, accept count) carried in VMEM scratch. Each grid step writes
+    # one L_SEG-iteration record block, which the Mosaic pipeline DMAs to
+    # HBM overlapped with the next segment's compute. L_SEG only sets the
+    # pipeline granularity / VMEM record footprint (double-buffered) —
+    # segment boundaries are bitwise-invisible to the chains (counter-based
+    # RNG on the global iteration; state never leaves VMEM). Burn-in rows
+    # are recorded too and sliced off on the host: writing them costs ~free
+    # bandwidth and keeps the program a single dispatch (the multi-call
+    # predecessor of this design spent ~80% of wall time in per-segment
+    # dispatch latency).
+    R = nits - 1                       # total proposals (it in [1, nits-1])
+    if R <= burnin:
+        raise ValueError(f"nits={nits} leaves no recorded iterations after "
+                         f"burnin={burnin}")
+    L_SEG = max(1, min(64, (2 * 1024 * 1024) // ((P + 4) * tile * 4)))
+    if _rec_cap is not None:  # test hook: force specific segmentation
+        L_SEG = min(L_SEG, int(_rec_cap))
+    n_segs = -(-R // L_SEG)
 
-    # chain state crosses segment boundaries in LOG space (the random walk's
-    # native domain) so chunked runs are bitwise-identical to unchunked ones
-    def seg_call(length, record, it0, theta_t, acc):
-        fn = _cached_mh_seg(spec, plan, y0_key, P, tile, C, int(length),
-                            bool(record), walk, float(rwalk_std), num,
-                            stepper, substeps, bool(interpret))
-        seed_arr = jnp.asarray([seed], jnp.int32)
-        it0_arr = jnp.asarray([it0], jnp.int32)
-        return fn(seed_arr, it0_arr, theta_t, acc)
-
-    theta_t = jnp.log(jnp.asarray(theta0.T))                 # (P, C), log
-    acc = jnp.zeros((1, C), jnp.float32)
-    it = 1
-    if burnin > 0:
-        theta_t, acc = seg_call(burnin, False, it, theta_t, acc)
-        it += burnin
-    recs = []
-    remaining = nits - 1 - burnin
-    while remaining > 0:
-        L = min(L_REC, remaining)
-        theta_t, acc, th_r, chi_r, rsq_r, aic_r, ar_r = seg_call(
-            L, True, it, theta_t, acc)
-        recs.append((th_r, chi_r, rsq_r, aic_r, ar_r))
-        it += L
-        remaining -= L
-
-    def cat(i):
-        return jnp.concatenate([r[i] for r in recs], axis=0)
-
-    theta_s = jnp.transpose(cat(0), (2, 0, 1))[:C0]      # (C, R, P)
-    squeeze = lambda a: jnp.transpose(a[:, 0, :], (1, 0))[:C0]
+    run = _cached_mh_run(spec, plan, y0_key, P, tile, C, L_SEG, n_segs,
+                         nits, walk, float(rwalk_std), num, stepper,
+                         substeps, bool(interpret), C0, burnin)
+    # feed in the kernel's native (P, C//128, 128) layout so every in-kernel
+    # store/load is a plain (sub, 128) tile op (a flat (tile,) row would
+    # cost a cross-lane relayout per store)
+    theta_tiles = theta0.T.reshape(P, C // _LANES, _LANES)
+    theta_s, chi_s, rsq_s, aic_s, ar_s = run(
+        jnp.asarray([seed], jnp.int32), jnp.asarray(theta_tiles))
     iterations = jnp.arange(1, nits)[burnin:]
     from ..samplers.mh import MHOutput
-    return MHOutput(theta=theta_s, chi=squeeze(cat(1)),
-                    rsquared=squeeze(cat(2)), aic=squeeze(cat(3)),
-                    acceptance_ratio=squeeze(cat(4)), iteration=iterations)
+    return MHOutput(theta=theta_s, chi=chi_s, rsquared=rsq_s, aic=aic_s,
+                    acceptance_ratio=ar_s, iteration=iterations)
 
 
 @lru_cache(maxsize=64)
-def _cached_mh_seg(spec, plan, y0_key, P, tile, C, length, record, walk,
-                   rwalk_std, num, stepper, substeps, interpret):
-    """Build (once per static config) one traced MH segment pallas_call.
+def _cached_mh_run(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
+                   walk, rwalk_std, num, stepper, substeps, interpret,
+                   C0, burnin):
+    """One jitted program = pallas kernel + record reshape/transpose/slice.
+
+    Fusing the postprocess into the kernel's program matters on remote
+    runtimes where every dispatch costs a tunnel round-trip: the whole MCMC
+    run (kernel + (C, R, P) record layout) is a single XLA executable.
+    """
+    inner = _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs,
+                            nits, walk, rwalk_std, num, stepper, substeps,
+                            interpret)
+    padded_R = n_segs * L_SEG
+    lo, hi = burnin, nits - 1      # keep rows with it in (burnin, nits-1]
+
+    def run(seed_arr, theta_tiles):
+        outs = inner(seed_arr, theta_tiles)
+        th_r, chi_r, rsq_r, aic_r, ar_r = [
+            o.reshape(padded_R, -1, C) for o in outs]
+        theta_s = jnp.transpose(th_r, (2, 0, 1))[:C0, lo:hi]  # (C, R, P)
+        sq = lambda a: jnp.transpose(a[:, 0, :], (1, 0))[:C0, lo:hi]
+        return theta_s, sq(chi_r), sq(rsq_r), sq(aic_r), sq(ar_r)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=64)
+def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
+                    walk, rwalk_std, num, stepper, substeps, interpret):
+    """Build (once per static config) the whole-run MH pallas_call.
 
     pallas_call tracing of the fully-unrolled kernel costs seconds of host
     time; caching on the hashable static config makes repeat invocations
-    dispatch-only. Inputs: seed (SMEM), it0 (SMEM), log-theta (P, C),
-    acc_count (1, C). Outputs: final log-theta/acc, plus (when ``record``)
-    theta/chi/rsq/aic/acceptance-ratio blocks of ``length`` rows.
+    dispatch-only. Inputs: seed (SMEM), theta0 (P, C//128, 128).
+    Outputs: per-iteration
+    theta/chi/rsq/aic/acceptance-ratio record arrays of n_segs*L_SEG rows
+    (rows past nits-2 are padding). Chain state lives in VMEM scratch across
+    the sequential segment grid axis; iterations beyond the last real one
+    are masked out of the accept decision so padding never perturbs state.
     """
     sub = tile // _LANES
     shape = (sub, _LANES)
     step_fn = _dopri5_fixed_step if stepper == "dopri5" else _rk4_fixed_step
     score = _make_scorer_from_key(spec, plan, y0_key, step_fn, substeps)
 
-    def kernel(seed_ref, it0_ref, theta_in, acc_in, theta_fin, acc_fin,
-               *rec_refs):
+    def kernel(seed_ref, theta_in, theta_out, chi_out, rsq_out, aic_out,
+               ar_out, lt_s, chi_s, rsq_s, acc_s):
         rng = _Rng(shape, seed_ref[0], pl.program_id(0), tile)
-        it0 = it0_ref[0]
-        logtheta = [theta_in[p].reshape(shape) for p in range(P)]
-        chi, rsq = score([jnp.exp(lt) for lt in logtheta], shape)
-        acc0 = acc_in[0].reshape(shape)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            theta = [theta_in[p] for p in range(P)]
+            chi0, rsq0 = score(theta, shape)
+            for p in range(P):
+                lt_s[p] = jnp.log(theta[p])
+            chi_s[...] = chi0
+            rsq_s[...] = rsq0
+            acc_s[...] = jnp.zeros(shape, jnp.float32)
+
+        it0 = 1 + j * L_SEG
 
         def body(i, carry):
             logtheta, chi, rsq, acc_count = carry
             it = it0 + i
+            active = it < nits      # padding rows past the last proposal
             prop = [lt + (rwalk_std * walk[p]) * rng.normal(it)
                     if walk[p] != 0.0 else lt
                     for p, lt in enumerate(logtheta)]
             theta_p = [jnp.exp(lt) for lt in prop]
             chi_new, rsq_new = score(theta_p, shape)
             u = rng.uniform(it)
-            accept = jnp.exp(chi - chi_new) > u
+            accept = (jnp.exp(chi - chi_new) > u) & active
             logtheta = [jnp.where(accept, pn, lo)
                         for pn, lo in zip(prop, logtheta)]
             chi = jnp.where(accept, chi_new, chi)
             rsq = jnp.where(accept, rsq_new, rsq)
             acc_count = acc_count + accept.astype(jnp.float32)
 
-            if record:
-                theta_out, chi_out, rsq_out, aic_out, ar_out = rec_refs
-                for p in range(P):
-                    theta_out[i, p] = jnp.exp(logtheta[p]).reshape(tile)
-                chi_out[i, 0] = chi.reshape(tile)
-                rsq_out[i, 0] = rsq.reshape(tile)
-                aic_out[i, 0] = 2.0 * chi.reshape(tile) + 2.0 * num
-                ar_out[i, 0] = (acc_count
-                                / it.astype(jnp.float32)).reshape(tile)
-
+            for p in range(P):
+                theta_out[i, p] = jnp.exp(logtheta[p])
+            chi_out[i, 0] = chi
+            rsq_out[i, 0] = rsq
+            aic_out[i, 0] = 2.0 * chi + 2.0 * num
+            ar_out[i, 0] = acc_count / it.astype(jnp.float32)
             return logtheta, chi, rsq, acc_count
 
+        carry0 = ([lt_s[p] for p in range(P)], chi_s[...], rsq_s[...],
+                  acc_s[...])
         logtheta, chi, rsq, acc_count = jax.lax.fori_loop(
-            0, length, body, (logtheta, chi, rsq, acc0))
+            0, L_SEG, body, carry0)
         for p in range(P):
-            theta_fin[p] = logtheta[p].reshape(tile)
-        acc_fin[0] = acc_count.reshape(tile)
+            lt_s[p] = logtheta[p]
+        chi_s[...] = chi
+        rsq_s[...] = rsq
+        acc_s[...] = acc_count
 
-    grid = C // tile
+    n_rows = C // _LANES   # chain axis as (rows of 128 lanes); tile = sub rows
 
-    def spec2d(k):
-        return pl.BlockSpec((k, tile), lambda i: (0, i),
+    def spec_in(k):
+        return pl.BlockSpec((k, sub, _LANES), lambda i, j: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
-    def spec3d(k):
-        return pl.BlockSpec((length, k, tile), lambda i: (0, 0, i),
+    def spec_rec(k):
+        return pl.BlockSpec((L_SEG, k, sub, _LANES),
+                            lambda i, j: (j, 0, i, 0),
                             memory_space=pltpu.VMEM)
 
-    out_shapes = [jax.ShapeDtypeStruct((P, C), jnp.float32),
-                  jax.ShapeDtypeStruct((1, C), jnp.float32)]
-    out_specs = [spec2d(P), spec2d(1)]
-    if record:
-        out_shapes += [jax.ShapeDtypeStruct((length, P, C), jnp.float32)] + \
-            [jax.ShapeDtypeStruct((length, 1, C), jnp.float32)] * 4
-        out_specs += [spec3d(P)] + [spec3d(1)] * 4
+    padded_R = n_segs * L_SEG
+    out_shapes = \
+        [jax.ShapeDtypeStruct((padded_R, P, n_rows, _LANES), jnp.float32)] + \
+        [jax.ShapeDtypeStruct((padded_R, 1, n_rows, _LANES), jnp.float32)] * 4
+    out_specs = [spec_rec(P)] + [spec_rec(1)] * 4
 
     return pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(C // tile, n_segs),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # seed
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # it0
-            spec2d(P),                                      # theta (P, C)
-            spec2d(1),                                      # acc count
+            spec_in(P),                           # theta0 (P, C/128, 128)
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((P, sub, _LANES), jnp.float32),      # log-theta
+            pltpu.VMEM(shape, jnp.float32),                 # chi
+            pltpu.VMEM(shape, jnp.float32),                 # rsq
+            pltpu.VMEM(shape, jnp.float32),                 # accept count
+        ],
+        # both grid axes 'arbitrary': strict row-major order is what lets
+        # scratch carry chain state across the (minor) segment axis
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.ARBITRARY, pltpu.ARBITRARY)),
         interpret=interpret,
     )
 
