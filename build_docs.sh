@@ -12,7 +12,8 @@ else
              odelib_tpu.native odelib_tpu.ops.integrate \
              odelib_tpu.ops.runge_kutta odelib_tpu.ops.pallas_mh \
              odelib_tpu.samplers.lhs odelib_tpu.samplers.mh \
-             odelib_tpu.parallel.mesh odelib_tpu.utils.checkpoint; do
+             odelib_tpu.parallel.mesh odelib_tpu.utils.checkpoint \
+             odelib_tpu.utils.profiling; do
         python -m pydoc "$m" > "docs/api/${m}.txt" || true
     done
 fi

@@ -845,7 +845,8 @@ class ModelFramework:
                 seed=int(self.random_seed), nits=nits, burnin=burnin,
                 walk_mask=mask, rwalk_std=rwalk_std,
                 stepper="rk4" if method == "rk4" else "dopri5",
-                substeps=substeps)
+                substeps=substeps,
+                mesh=chain_mesh() if jax.device_count() > 1 else None)
         else:
             base_key = jax.random.PRNGKey(self.random_seed)
             mesh = chain_mesh()

@@ -21,9 +21,10 @@ TPU-native specializations:
     both uniform across lanes (no worst-lane adaptivity) and exactly the
     structure the Mosaic scheduler pipelines best.
 
-Use via samplers.metropolis_hastings(..., method='pallas') or directly
-through :func:`metropolis_hastings_fused`. Validated against the XLA path in
-tests (chi parity in eval mode; statistical parity for full chains).
+Use via ``ModelFramework.MCMC(backend='pallas')`` (the default on TPU) or
+directly through :func:`metropolis_hastings_fused`. Validated against the
+XLA path in tests (chi parity in eval mode; statistical parity for full
+chains).
 """
 from __future__ import annotations
 
@@ -215,13 +216,19 @@ def metropolis_hastings_fused(
         walk_mask: Optional[Sequence[float]] = None, rwalk_std: float = 0.05,
         substeps: int = 4, stepper: str = "dopri5",
         tile_chains: int = 1024, interpret: bool = False,
-        _rec_cap: Optional[int] = None):
+        mesh=None, _rec_cap: Optional[int] = None):
     """Run C chains of reference-semantics MH fully inside a Pallas kernel.
 
     theta0: (C, P) float32 (C padded to a multiple of tile_chains
     internally). Returns the same record structure as the XLA sampler:
     (theta (C, R, P), chi, rsq, aic, acc_ratio (C, R), iteration (R,)).
     Scalar parameters only (array-valued params use the XLA path).
+
+    ``mesh``: optional 1-D chain :class:`jax.sharding.Mesh` — the kernel is
+    wrapped in ``shard_map`` with the chain axis sharded, each device running
+    its own tile grid (pure data parallelism, zero collectives). RNG streams
+    are keyed on the GLOBAL tile index, so a sharded run is bitwise-identical
+    to the single-device run of the same total chain batch.
     """
     if burnin is None:
         burnin = int(nits / 2)
@@ -237,7 +244,10 @@ def metropolis_hastings_fused(
     min_tile = _LANES if interpret else _DEF_SUB * _LANES
     assert tile % min_tile == 0, \
         f"tile_chains must be a multiple of {min_tile}"
-    C = int(-(-C0 // tile) * tile)
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    if n_dev == 1:
+        mesh = None
+    C = int(-(-C0 // (tile * n_dev)) * (tile * n_dev))
     if C > C0:
         theta0 = np.concatenate(
             [theta0, np.tile(theta0[-1:], (C - C0, 1))], axis=0)
@@ -273,7 +283,7 @@ def metropolis_hastings_fused(
 
     run = _cached_mh_run(spec, plan, y0_key, P, tile, C, L_SEG, n_segs,
                          nits, walk, float(rwalk_std), num, stepper,
-                         substeps, bool(interpret), C0, burnin)
+                         substeps, bool(interpret), C0, burnin, mesh)
     # feed in the kernel's native (P, C//128, 128) layout so every in-kernel
     # store/load is a plain (sub, 128) tile op (a flat (tile,) row would
     # cost a cross-lane relayout per store)
@@ -289,26 +299,53 @@ def metropolis_hastings_fused(
 @lru_cache(maxsize=64)
 def _cached_mh_run(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
                    walk, rwalk_std, num, stepper, substeps, interpret,
-                   C0, burnin):
+                   C0, burnin, mesh):
     """One jitted program = pallas kernel + record reshape/transpose/slice.
 
     Fusing the postprocess into the kernel's program matters on remote
     runtimes where every dispatch costs a tunnel round-trip: the whole MCMC
-    run (kernel + (C, R, P) record layout) is a single XLA executable.
+    run (kernel + (C, R, P) record layout) is a single XLA executable. With
+    a ``mesh``, the same local program runs per device under ``shard_map``
+    (chain axis sharded; the device's global tile offset feeds the RNG).
     """
-    inner = _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs,
-                            nits, walk, rwalk_std, num, stepper, substeps,
-                            interpret)
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    C_local = C // n_dev
+    inner = _cached_mh_grid(spec, plan, y0_key, P, tile, C_local, L_SEG,
+                            n_segs, nits, walk, rwalk_std, num, stepper,
+                            substeps, interpret)
     padded_R = n_segs * L_SEG
     lo, hi = burnin, nits - 1      # keep rows with it in (burnin, nits-1]
 
-    def run(seed_arr, theta_tiles):
-        outs = inner(seed_arr, theta_tiles)
+    def local_run(seed_arr, off_arr, theta_tiles):
+        outs = inner(seed_arr, off_arr, theta_tiles)
         th_r, chi_r, rsq_r, aic_r, ar_r = [
-            o.reshape(padded_R, -1, C) for o in outs]
-        theta_s = jnp.transpose(th_r, (2, 0, 1))[:C0, lo:hi]  # (C, R, P)
-        sq = lambda a: jnp.transpose(a[:, 0, :], (1, 0))[:C0, lo:hi]
+            o.reshape(padded_R, -1, C_local) for o in outs]
+        theta_s = jnp.transpose(th_r, (2, 0, 1))[:, lo:hi]  # (C_l, R, P)
+        sq = lambda a: jnp.transpose(a[:, 0, :], (1, 0))[:, lo:hi]
         return theta_s, sq(chi_r), sq(rsq_r), sq(aic_r), sq(ar_r)
+
+    if mesh is None:
+        def run(seed_arr, theta_tiles):
+            outs = local_run(seed_arr, jnp.zeros((1,), jnp.int32),
+                             theta_tiles)
+            return tuple(o[:C0] for o in outs)
+    else:
+        from jax.sharding import PartitionSpec as PS
+        axis = mesh.axis_names[0]
+        tiles_local = C_local // tile
+
+        def shard_body(seed_arr, theta_tiles):
+            off = (jax.lax.axis_index(axis) * tiles_local)[None].astype(
+                jnp.int32)
+            return local_run(seed_arr, off, theta_tiles)
+
+        smap = jax.shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(PS(), PS(None, axis, None)),
+            out_specs=tuple([PS(axis)] * 5), check_vma=False)
+
+        def run(seed_arr, theta_tiles):
+            return tuple(o[:C0] for o in smap(seed_arr, theta_tiles))
 
     return jax.jit(run)
 
@@ -320,8 +357,8 @@ def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
 
     pallas_call tracing of the fully-unrolled kernel costs seconds of host
     time; caching on the hashable static config makes repeat invocations
-    dispatch-only. Inputs: seed (SMEM), theta0 (P, C//128, 128).
-    Outputs: per-iteration
+    dispatch-only. Inputs: seed (SMEM), global tile offset (SMEM),
+    theta0 (P, C//128, 128). Outputs: per-iteration
     theta/chi/rsq/aic/acceptance-ratio record arrays of n_segs*L_SEG rows
     (rows past nits-2 are padding). Chain state lives in VMEM scratch across
     the sequential segment grid axis; iterations beyond the last real one
@@ -332,9 +369,11 @@ def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
     step_fn = _dopri5_fixed_step if stepper == "dopri5" else _rk4_fixed_step
     score = _make_scorer_from_key(spec, plan, y0_key, step_fn, substeps)
 
-    def kernel(seed_ref, theta_in, theta_out, chi_out, rsq_out, aic_out,
-               ar_out, lt_s, chi_s, rsq_s, acc_s):
-        rng = _Rng(shape, seed_ref[0], pl.program_id(0), tile)
+    def kernel(seed_ref, off_ref, theta_in, theta_out, chi_out, rsq_out,
+               aic_out, ar_out, lt_s, chi_s, rsq_s, acc_s):
+        # off = this device's global tile offset (shard_map), so RNG streams
+        # stay unique and sharding-invariant across the whole chain batch
+        rng = _Rng(shape, seed_ref[0], pl.program_id(0) + off_ref[0], tile)
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -406,6 +445,7 @@ def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
         grid=(C // tile, n_segs),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # tile offset
             spec_in(P),                           # theta0 (P, C/128, 128)
         ],
         out_specs=out_specs,

@@ -113,6 +113,27 @@ def test_mh_fused_chunk_boundary_continuity(setup):
                                   np.asarray(chunked.acceptance_ratio))
 
 
+def test_mh_fused_sharded_matches_single_device(setup):
+    """shard_map over the 8-device CPU mesh must be bitwise-identical to the
+    unsharded run: RNG streams key on the GLOBAL tile index."""
+    from odelib_tpu.parallel import chain_mesh
+
+    spec, obs_host, times_fit, y0 = setup
+    rng = np.random.default_rng(3)
+    th0 = np.array([0.6, 2.4e-8, 24.0]) * np.exp(
+        rng.normal(0, 0.1, (1024, 3)))
+    kw = dict(seed=7, nits=10, burnin=2, substeps=2, tile_chains=128,
+              interpret=True)
+    single = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                       **kw)
+    sharded = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                        mesh=chain_mesh(), **kw)
+    np.testing.assert_array_equal(np.asarray(single.theta),
+                                  np.asarray(sharded.theta))
+    np.testing.assert_array_equal(np.asarray(single.chi),
+                                  np.asarray(sharded.chi))
+
+
 def test_mh_fused_rejects_array_params(setup):
     spec, obs_host, times_fit, y0 = setup
     from odelib_tpu.model import ModelSpec
