@@ -174,14 +174,14 @@ def config5_stiff_and_aic():
 
     solve = jax.jit(jax.vmap(
         lambda k: odeint_grid(rober, y0, ts, k, rtol=1e-5, atol=1e-8,
-                              method="kvaerno3", max_steps=4096).ys[-1]))
+                              method="kvaerno5", max_steps=4096).ys[-1]))
 
     def run():
         _sync(solve(ks)[-1:, -1:])
 
     med = _timed(run, reps=3)
     return {"config": 5,
-            "metric": f"stiff Robertson batch ({N} Kvaerno3 solves)",
+            "metric": f"stiff Robertson batch ({N} Kvaerno5 solves)",
             "value": round(N / med, 1), "unit": "solves/sec",
             "elapsed_ms": round(med * 1e3, 2),
             "aic_ranking": "see examples/demo_infection_states.py"}

@@ -200,9 +200,9 @@ class ModelFramework:
     describing the RHS signature (reference: ``f(y, t, ps)`` with numpy;
     jax: ``f(t, y, ps)``), and solver knobs ``method``/``rtol``/``atol``/
     ``max_steps``/``substeps`` consumed by the compute methods. ``method``
-    is 'dopri5' | 'kvaerno3' (L-stable stiff ESDIRK) | 'auto' (dopri5 with
-    per-solve fallback to kvaerno3 on failure — LSODA-style switching) |
-    'rk4' (fixed-step).
+    is 'dopri5' | 'kvaerno3' / 'kvaerno5' (L-stable stiff ESDIRKs) | 'auto'
+    (dopri5 with per-solve fallback to kvaerno5 on failure — LSODA-style
+    switching) | 'rk4' (fixed-step).
     """
 
     _SOLVER_KEYS = ("method", "rtol", "atol", "max_steps", "substeps")

@@ -75,7 +75,7 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
     (``/root/reference/ODElib/Framework.py:4,656``) the XLA-friendly way:
     solve with Dopri5 and, only if that lane fails (step-size underflow or
     ``max_steps`` exhaustion — the signature of stiffness), re-solve with the
-    L-stable Kvaerno3 ESDIRK. For an unbatched call ``lax.cond`` skips the
+    L-stable Kvaerno5 ESDIRK. For an unbatched call ``lax.cond`` skips the
     stiff solve entirely on the fast path; under ``vmap`` the cond lowers to
     a select, so batched 'auto' pays for both solves — prefer an explicit
     method inside MCMC hot loops.
@@ -85,7 +85,7 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
         sol_d = odeint_grid(func, y0, ts, method="dopri5", h0=h0, **kw)
         return jax.lax.cond(
             sol_d.ok, lambda: sol_d,
-            lambda: odeint_grid(func, y0, ts, method="kvaerno3", **kw))
+            lambda: odeint_grid(func, y0, ts, method="kvaerno5", **kw))
     stepper = STEPPERS[method] if isinstance(method, str) else method
     dtype = jnp.result_type(jnp.asarray(y0).dtype, float)
     y0 = jnp.asarray(y0, dtype)
@@ -122,8 +122,20 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
         ok=jnp.asarray(True),
     )
 
-    def attempt_step(c: Carry) -> Carry:
-        y_new, f_new, err, dense = stepper.step(func, c.t, c.y, c.f, c.h, args)
+    # Implicit (stiff) steppers take steps spanning many output intervals,
+    # and their cubic-Hermite dense output cannot hold method-order accuracy
+    # over such spans — so they STEP TO the output points (truncate h at the
+    # target; the controller's preferred h survives truncations). Explicit
+    # Dopri5 keeps free stepping + its matched 4th-order interpolant.
+    step_to_output = bool(getattr(stepper, "IMPLICIT", False))
+
+    def attempt_step(c: Carry, t_target) -> Carry:
+        if step_to_output:
+            h_try = jnp.minimum(c.h, t_target - c.t)
+        else:
+            h_try = c.h
+        y_new, f_new, err, dense = stepper.step(func, c.t, c.y, c.f, h_try,
+                                                args)
         ratio = _error_ratio(err, rtol, atol, c.y, y_new)
         # NaN anywhere -> treat as a rejected step so h shrinks.
         bad = ~jnp.isfinite(ratio) | ~jnp.all(jnp.isfinite(y_new))
@@ -134,18 +146,19 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
             ratio == 0.0, _MAX_FACTOR,
             jnp.clip(_SAFETY * ratio ** err_exp, _MIN_FACTOR, _MAX_FACTOR))
         factor = jnp.where(accept, factor, jnp.minimum(factor, 1.0))
-        h_next = c.h * factor
+        # an accepted truncated step keeps the controller's preferred h
+        h_next = jnp.where(accept & (h_try < c.h), c.h, h_try * factor)
 
         # Step-size underflow => the lane is stuck (stiff blow-up): fail it.
         still_ok = c.ok & (h_next > tiny) & jnp.isfinite(h_next)
 
         return Carry(
-            t=jnp.where(accept, c.t + c.h, c.t),
+            t=jnp.where(accept, c.t + h_try, c.t),
             y=jnp.where(accept, y_new, c.y),
             f=jnp.where(accept, f_new, c.f),
             h=h_next,
             t_prev=jnp.where(accept, c.t, c.t_prev),
-            h_prev=jnp.where(accept, c.h, c.h_prev),
+            h_prev=jnp.where(accept, h_try, c.h_prev),
             dense=jnp.where(accept, dense, c.dense),
             nsteps=c.nsteps + 1,
             ok=still_ok,
@@ -155,7 +168,8 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
         def cond(c):
             return c.ok & (c.t < t_target) & (c.nsteps < max_steps)
 
-        c = jax.lax.while_loop(cond, attempt_step, carry)
+        c = jax.lax.while_loop(cond, lambda c: attempt_step(c, t_target),
+                               carry)
         reached = c.t >= t_target
         theta = (t_target - c.t_prev) / c.h_prev
         y_t = stepper.interp(c.dense, jnp.clip(theta, 0.0, 1.0))

@@ -88,58 +88,55 @@ class Dopri5:
 
 
 # ---------------------------------------------------------------------------
-# Kvaerno 3(2): 4-stage, stiffly-accurate, L-stable ESDIRK (Kvaerno 2004)
+# Stiffly-accurate, L-stable ESDIRK methods (Kvaerno 2004)
 # ---------------------------------------------------------------------------
-
-_KV_GAMMA = 0.4358665215084590
-_KV_A = (
-    (),
-    (_KV_GAMMA, _KV_GAMMA),
-    (0.4905633884192052, 0.0735700900723358, _KV_GAMMA),
-    (0.3088099699294934, 1.4905633884192052, -1.2352398798571576, _KV_GAMMA),
-)
-_KV_C = (0.0, 2 * _KV_GAMMA, 1.0, 1.0)
-# 3rd-order solution = row 4 (stiffly accurate); embedded 2nd order = row 3
-_KV_B = _KV_A[3]
-_KV_BHAT = _KV_A[2] + (0.0,)
 
 _NEWTON_ITERS = 6
 
 
-class Kvaerno3:
-    """Implicit adaptive ESDIRK 3(2) with modified Newton stage solves.
+class _ESDIRK:
+    """Implicit adaptive ESDIRK with modified Newton stage solves.
+
+    Subclasses provide the tableau (A with the diagonal gamma as the last
+    entry of each row, C, ERROR_ORDER); the solution is the last stage
+    (stiffly accurate, B = A[-1]) and the embedded method is the
+    second-to-last row.
 
     The Jacobian is evaluated once per step at (t, y) via jax.jacfwd and its
     LU factorization reused across stages and Newton iterations — state
     dimension is tiny (<= ~16) so the dense solve is cheap and vmap-friendly.
-    Dense output is cubic Hermite on (y, f0) -> (y_new, f_new), adequate for a
-    3rd-order method.
+    Dense output is cubic Hermite on (y, f0) -> (y_new, f_new) (4th-order
+    interpolation, same as the Dopri5 dense output order).
     """
 
-    ERROR_ORDER = 3.0
     IMPLICIT = True
+    A: tuple
+    C: tuple
+    GAMMA: float
+    ERROR_ORDER: float
 
-    @staticmethod
-    def first_stage(func, t, y, args):
+    @classmethod
+    def first_stage(cls, func, t, y, args):
         return func(t, y, args)
 
-    @staticmethod
-    def step(func, t, y, f0, h, args):
+    @classmethod
+    def step(cls, func, t, y, f0, h, args):
         n = y.shape[0]
+        n_stages = len(cls.A)
         jac = jax.jacfwd(lambda yy: func(t, yy, args))(y)
         eye = jnp.eye(n, dtype=y.dtype)
-        m = eye - (h * _KV_GAMMA) * jac
+        m = eye - (h * cls.GAMMA) * jac
         lu, piv = jax.scipy.linalg.lu_factor(m)
 
         def solve_stage(i, prev_ks, z_guess):
             """Solve z = y + h*(sum_j<i a_ij k_j) + h*gamma*f(t_i, z)."""
-            ti = t + _KV_C[i] * h
-            base = y + h * sum(a * k for a, k in zip(_KV_A[i][:-1], prev_ks)
+            ti = t + cls.C[i] * h
+            base = y + h * sum(a * k for a, k in zip(cls.A[i][:-1], prev_ks)
                                if a != 0.0)
 
             def newton(_, z):
                 fz = func(ti, z, args)
-                res = z - base - h * _KV_GAMMA * fz
+                res = z - base - h * cls.GAMMA * fz
                 dz = jax.scipy.linalg.lu_solve((lu, piv), res)
                 return z - dz
 
@@ -148,14 +145,15 @@ class Kvaerno3:
 
         ks = [f0]
         z = y
-        for i in range(1, 4):
+        for i in range(1, n_stages):
             z, ki = solve_stage(i, ks, z)
             ks.append(ki)
 
         y_new = z  # stiffly accurate: last stage value is the solution
-        f_new = ks[3]
-        err = h * sum((b - bh) * k
-                      for b, bh, k in zip(_KV_B, _KV_BHAT, ks))
+        f_new = ks[-1]
+        b = cls.A[-1]
+        bhat = cls.A[-2] + (0.0,)
+        err = h * sum((bi - bh) * k for bi, bh, k in zip(b, bhat, ks))
         dense = jnp.stack([y, y_new, h * f0, h * f_new])
         return y_new, f_new, err, dense
 
@@ -177,4 +175,46 @@ class Kvaerno3:
         return jnp.stack([y, y, z, z])
 
 
-STEPPERS = {"dopri5": Dopri5, "kvaerno3": Kvaerno3}
+class Kvaerno3(_ESDIRK):
+    """Kvaerno 3(2): 4-stage ESDIRK, gamma = 0.4358665215."""
+
+    ERROR_ORDER = 3.0
+    GAMMA = 0.4358665215084590
+    A = (
+        (),
+        (GAMMA, GAMMA),
+        (0.4905633884192052, 0.0735700900723358, GAMMA),
+        (0.3088099699294934, 1.4905633884192052, -1.2352398798571576, GAMMA),
+    )
+    C = (0.0, 2 * GAMMA, 1.0, 1.0)
+
+
+class Kvaerno5(_ESDIRK):
+    """Kvaerno 5(4): 7-stage ESDIRK, gamma = 0.26 (Kvaerno 2004, Table 5.1).
+
+    Higher order means far fewer steps than Kvaerno3 at tight tolerances on
+    stiff problems (Robertson et al.) — the better default for
+    ``method='kvaerno5'`` production stiff solves.
+    """
+
+    ERROR_ORDER = 5.0
+    GAMMA = 0.26
+    A = (
+        (),
+        (0.26, 0.26),
+        (0.13, 0.84033320996790809, 0.26),
+        (0.22371961478320505, 0.47675532319799699, -0.06470895363112615,
+         0.26),
+        (0.16648564323248321, 0.10450018841591720, 0.03631482272098715,
+         -0.13090704451073998, 0.26),
+        (0.13855640231268224, 0.0, -0.04245337201752043, 0.02446657898003141,
+         0.61943039072480676, 0.26),
+        (0.13659751177640291, 0.0, -0.05496908796538376,
+         -0.04118626728321046, 0.62993304899016403, 0.06962479448202728,
+         0.26),
+    )
+    C = (0.0, 0.52, 1.230333209967908, 0.8957659843500759,
+         0.43639360985864756, 1.0, 1.0)
+
+
+STEPPERS = {"dopri5": Dopri5, "kvaerno3": Kvaerno3, "kvaerno5": Kvaerno5}

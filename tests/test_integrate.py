@@ -115,14 +115,19 @@ def test_stiff_robertson_kvaerno3():
     ts = np.geomspace(1e-5, 1e4, 40)
     ts = np.concatenate([[0.0], ts])
     y0 = jnp.array([1.0, 0.0, 0.0])
-    sol = odeint_grid(rober, y0, ts, ks, rtol=1e-8, atol=1e-10,
-                      method="kvaerno3", max_steps=20000)
     ref = solve_ivp(lambda t, y: np.asarray(rober(t, jnp.asarray(y), ks)),
                     (0, ts[-1]), np.asarray(y0), method="LSODA",
                     t_eval=ts, rtol=1e-10, atol=1e-12)
-    assert bool(sol.ok)
-    np.testing.assert_allclose(np.asarray(sol.ys), ref.y.T, rtol=2e-4,
-                               atol=1e-10)
+    steps = {}
+    for method in ("kvaerno3", "kvaerno5"):
+        sol = odeint_grid(rober, y0, ts, ks, rtol=1e-8, atol=1e-10,
+                          method=method, max_steps=20000)
+        assert bool(sol.ok), method
+        np.testing.assert_allclose(np.asarray(sol.ys), ref.y.T, rtol=2e-4,
+                                   atol=1e-9)
+        steps[method] = int(sol.num_steps)
+    # the point of the 5th-order method: far fewer steps at the same rtol
+    assert steps["kvaerno5"] < steps["kvaerno3"] / 5
 
 
 def test_auto_switches_to_stiff_solver():
@@ -143,7 +148,7 @@ def test_auto_switches_to_stiff_solver():
     assert not bool(odeint_grid(rober, y0, ts, ks, method="dopri5",
                                 **kw).ok)
     sol = odeint_grid(rober, y0, ts, ks, method="auto", **kw)
-    stiff = odeint_grid(rober, y0, ts, ks, method="kvaerno3", **kw)
+    stiff = odeint_grid(rober, y0, ts, ks, method="kvaerno5", **kw)
     assert bool(sol.ok)
     np.testing.assert_array_equal(np.asarray(sol.ys), np.asarray(stiff.ys))
 
