@@ -31,7 +31,7 @@ import pandas as pd
 from . import data as _data
 from . import distributions as _dist
 from . import stats as jstats
-from .model import ModelSpec, fit_metrics, integrate_theta, make_spec, observe
+from .model import ModelSpec, integrate_theta, make_spec
 from .parallel import chain_mesh, pad_chains, shard_chain_batch
 from .samplers import metropolis_hastings, sample_lhs
 from .samplers import mh as _mh

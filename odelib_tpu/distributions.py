@@ -16,7 +16,6 @@ plus guarded Newton iterations on the regularized incomplete gamma function.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax

@@ -28,9 +28,8 @@ chains).
 """
 from __future__ import annotations
 
-import math
-from functools import lru_cache, partial
-from typing import Any, NamedTuple, Optional, Sequence
+from functools import lru_cache
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
