@@ -24,9 +24,17 @@ from ..samplers import sample_lhs as _sample_lhs_core
 from .. import distributions as _dist
 
 
-def sample_lhs(parameter_dict, samples):
-    """LHS draws for a dict of parameter objects (reference signature)."""
-    key = jax.random.PRNGKey(0)
+def sample_lhs(parameter_dict, samples, seed=None):
+    """LHS draws for a dict of parameter objects (reference signature).
+
+    ``seed=None`` draws a fresh seed from numpy's global RNG — matching the
+    reference's reseedable global-state behavior (``Samplers.py:33``), so
+    repeated calls give new stratified draws; pass an int for
+    reproducibility.
+    """
+    if seed is None:
+        seed = int(np.random.randint(0, 2**31 - 1))
+    key = jax.random.PRNGKey(seed)
     names, dists, dims, templates = [], [], [], {}
     for p, par in parameter_dict.items():
         jd = _dist.from_scipy(par.dist, getattr(par, "hp", None))

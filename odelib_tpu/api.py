@@ -284,11 +284,30 @@ class ModelFramework:
         style = self._ode_style
         if style == "auto":
             # Reference convention is f(y, t, ps); TPU convention f(t, y, ps).
-            # Disambiguate by argument names when possible.
+            # Disambiguate by argument names. Only clearly time-like /
+            # state-like names decide; anything ambiguous (f(a, b, ps),
+            # builtins without argspecs) raises so the user states
+            # ode_style explicitly instead of getting silently-swapped
+            # (t, y) arguments and wrong trajectories.
+            time_names = {"t", "time", "times"}
+            state_names = {"y", "state", "states", "u", "x"}
             try:
                 import inspect
-                args = inspect.getfullargspec(f).args
-                style = "jax" if args[:2] in (["t", "y"],) else "reference"
+                args = list(inspect.getfullargspec(f).args)
+                if args and args[0] in ("self", "cls"):
+                    args = args[1:]
+                a0 = args[0].lower() if len(args) > 0 else ""
+                a1 = args[1].lower() if len(args) > 1 else ""
+                if a0 in time_names or a1 in state_names:
+                    style = "jax"
+                elif a0 in state_names or a1 in time_names:
+                    style = "reference"
+                else:
+                    raise ValueError(
+                        f"cannot infer the RHS argument convention from "
+                        f"signature {args!r}: name the first two arguments "
+                        f"like (y, t, ...) [reference] or (t, y, ...) "
+                        f"[jax], or pass ode_style='reference'|'jax'")
             except TypeError:
                 style = "reference"
         if style == "reference":
@@ -495,8 +514,21 @@ class ModelFramework:
         return mod
 
     def get_residuals(self):
+        """Model-minus-observed abundances, row-aligned with ``self.df``.
+
+        The reference subtracts two duplicate-label Series
+        (``Framework.py:617-620``), which pandas aligns as a cartesian
+        product per label — wrong length, silently wrong values. Documented
+        deviation: residuals here are computed per state with positional
+        alignment (within a state, prediction rows follow the dataframe's
+        row order by construction of ``_pred_tindex``).
+        """
         mod = self.integrate(predict_obs=True)
-        return mod.abundance - self.df.abundance
+        res = self.df["abundance"].astype(float).copy()
+        for s in self.get_snames(predict_obs=True):
+            res.loc[[s]] = (mod.loc[[s], "abundance"].to_numpy()
+                            - self.df.loc[[s], "abundance"].to_numpy())
+        return res
 
     # ------------------------------------------------------------------
     # goodness of fit (Framework.py:617-722)
@@ -653,16 +685,25 @@ class ModelFramework:
                              f"provided for {', '.join(sorted(missing))}")
         key = jax.random.PRNGKey(self.random_seed)
         names = list(self.get_snames(after_summation=False))
-        dists, fixed = [], {}
+        dists, expflags, fixed = [], [], {}
         for s in names:
             if s in var_dist:
                 d = var_dist[s]
-                dists.append(_dist.from_scipy(d[0] if isinstance(d, tuple)
-                                              else d))
+                # reference contract (Framework.py:518-521): value may be a
+                # (scipy distribution, exponentiate: bool) tuple
+                if isinstance(d, tuple):
+                    dists.append(_dist.from_scipy(d[0]))
+                    expflags.append(bool(d[1]) if len(d) > 1 else False)
+                else:
+                    dists.append(_dist.from_scipy(d))
+                    expflags.append(False)
             else:
                 fixed[s] = float(kwargs[s])
-        draws = np.asarray(sample_lhs(key, dists, 10000)) if dists else \
+        draws = np.array(sample_lhs(key, dists, 10000)) if dists else \
             np.zeros((10000, 0))
+        for di, ef in enumerate(expflags):
+            if ef:
+                draws[:, di] = np.exp(draws[:, di])
         rows = np.zeros((10000, len(names)))
         di = 0
         for j, s in enumerate(names):
@@ -753,10 +794,19 @@ class ModelFramework:
         method, rtol, atol, max_steps, substeps = self._solver_args(solver_kw)
 
         if backend == "auto":
+            # the fused kernel is TPU-only (Mosaic), integrates fixed-step
+            # dopri5/rk4, and has no prior term — anything else (CPU/GPU,
+            # stiff/adaptive method, priors, array params) takes XLA
             backend = "pallas" if (
-                jax.default_backend() not in ("cpu",)
+                jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+                and method in ("dopri5", "rk4")
                 and not use_priors
                 and not any(s for s in self._spec.pshapes)) else "xla"
+        if backend == "pallas" and method not in ("dopri5", "rk4"):
+            warnings.warn(
+                f"backend='pallas' integrates fixed-step dopri5; the "
+                f"configured method={method!r} (stiff/adaptive) is not "
+                f"honored there — use backend='xla' to keep it")
 
         if isinstance(chain_inits, pd.DataFrame):
             chain_inits = [row.to_dict() for _, row in
@@ -819,17 +869,27 @@ class ModelFramework:
 
         prior_logpdf = None
         if use_priors:
-            jdists = [(self.parameters[p].jdist
-                       if self.parameters[p] is not None else None)
-                      for p in self._pnames]
+            jdists = tuple(self.parameters[p].jdist
+                           if self.parameters[p] is not None else None
+                           for p in self._pnames)
+            # the sampler jit treats prior_logpdf as a static arg (hashed by
+            # identity) — reuse one closure per distinct prior tuple so
+            # repeat MCMC(use_priors=True) calls don't recompile the chains
+            cached = getattr(self, "_prior_logpdf_cache", None)
+            if cached is not None and cached[0] == jdists:
+                prior_logpdf = cached[1]
+            else:
+                spec = self._spec
 
-            def prior_logpdf(theta):
-                ps = self._spec.unpack_theta(theta)
-                tot = 0.0
-                for d, v in zip(jdists, ps):
-                    if d is not None:
-                        tot = tot + jnp.sum(d.logpdf(v))
-                return tot
+                def prior_logpdf(theta):
+                    ps = spec.unpack_theta(theta)
+                    tot = 0.0
+                    for d, v in zip(jdists, ps):
+                        if d is not None:
+                            tot = tot + jnp.sum(d.logpdf(v))
+                    return tot
+
+                self._prior_logpdf_cache = (jdists, prior_logpdf)
 
         dtype = jnp.result_type(float)
 
@@ -1016,7 +1076,8 @@ class ModelFramework:
                                  jnp.asarray(init, dtype),
                                  jnp.asarray(np.asarray(p_range), dtype)))
         if print_status:
-            get_logger().info("100.00%% Complete")
+            # no format args -> logging leaves '%' untouched
+            get_logger().info("100.00% Complete")
         snames = self.get_snames(after_summation=False)
         if aggregate_enpoints:
             end = trajs[:, -1, :]

@@ -58,7 +58,10 @@ def fit_setup(df: pd.DataFrame, times: np.ndarray):
     pred_tindex = {}
     obs_logabundance = {}
     obs_logsigma = {}
-    for sname in set(df.index):
+    # first-appearance order, NOT set(): set order depends on str hashing,
+    # which made observed-state ordering (and any duplicate-label Series
+    # arithmetic downstream) nondeterministic across processes
+    for sname in dict.fromkeys(df.index):
         sub = df.loc[[sname]]
         pred_tindex[sname] = nearest_grid_indices(
             np.atleast_1d(sub["time"].to_numpy(dtype=float)), times)

@@ -228,18 +228,12 @@ class Gamma(Distribution):
 class DiscreteNormal(Distribution):
     """Integer-valued normal, mirroring ``Statistics/distributions.py:16-19``.
 
-    pmf(k) ∝ exp(-((k-mu)/sigma)^2 / 2) evaluated at integers, normalized over
-    mu +/- 12 sigma (the reference leaves it unnormalized; we normalize).
+    pmf(k) ∝ exp(-((k-mu)/sigma)^2 / 2) evaluated at integers. cdf/ppf use
+    the continuity-corrected normal (P(K <= k) = Phi((k + 1/2 - mu)/sigma)),
+    which is window-free — valid for any sigma, unlike a fixed support scan.
     """
     mu: Any = 0.0
     sigma: Any = 1.0
-
-    _HALF_SUPPORT = 64  # static window half-width in sigma-units scan
-
-    def _support(self):
-        lo = jnp.floor(self.mu - 12.0 * self.sigma)
-        ks = lo + jnp.arange(int(24 * 12))  # static-size window
-        return ks
 
     def logpdf(self, k):
         z = (k - self.mu) / self.sigma
@@ -247,17 +241,11 @@ class DiscreteNormal(Distribution):
         return raw
 
     def cdf(self, x):
-        ks = self._support()
-        p = self.pdf(ks)
-        p = p / jnp.sum(p)
-        return jnp.sum(jnp.where(ks <= x, p, 0.0))
+        return jsp.ndtr((jnp.floor(x) + 0.5 - self.mu) / self.sigma)
 
     def ppf(self, q):
-        ks = self._support()
-        p = self.pdf(ks)
-        cum = jnp.cumsum(p / jnp.sum(p))
-        idx = jnp.searchsorted(cum, q)
-        return ks[jnp.clip(idx, 0, ks.shape[0] - 1)]
+        # smallest integer k with cdf(k) >= q
+        return jnp.ceil(self.mu + self.sigma * jsp.ndtri(q) - 0.5)
 
     def rvs(self, key, shape=()):
         return jnp.round(self.mu + self.sigma

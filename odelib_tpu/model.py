@@ -145,7 +145,7 @@ def make_spec(rhs, pnames, snames, state_summations=None,
                         f"{pop} state variable is not a valid state name")
                 summed.add(pop)
                 idxs.append(sname_i[pop])
-            if len(idxs) < 1:
+            if len(idxs) < 2:
                 raise ValueError(
                     f"Summation of {newname} needs two or more states")
             idxs.sort()

@@ -82,13 +82,18 @@ def local_chain_slice(n_chains: int, mesh: Mesh):
 
     Multi-host feeding: each process materializes only its slice and wraps
     it with ``jax.make_array_from_process_local_data``; single-process
-    meshes get the full range.
+    meshes get the full range. Uses jax's equal-block semantics — per-device
+    blocks of ceil(n / n_devices) with the trailing shard short — so a
+    non-divisible ``n_chains`` loses no rows (prefer :func:`pad_chains`).
     """
-    n_local = sum(d.process_index == jax.process_index()
-                  for d in mesh.devices.flat)
-    per = n_chains * n_local // mesh.devices.size
-    start = jax.process_index() * per
-    return start, min(start + per, n_chains)
+    devs = list(mesh.devices.flat)
+    pid = jax.process_index()
+    block = -(-n_chains // len(devs))
+    first = next((i for i, d in enumerate(devs) if d.process_index == pid),
+                 len(devs))
+    n_local = sum(d.process_index == pid for d in devs)
+    return (min(first * block, n_chains),
+            min((first + n_local) * block, n_chains))
 
 
 def sharded_jit(fn, mesh: Mesh, num_batched_args: int):

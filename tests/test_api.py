@@ -313,3 +313,77 @@ def test_reset_dataframe(zeroI):
     zeroI.reset_dataframe(df2)
     assert zeroI._samples == len(zeroI.df)
     assert len(zeroI.times) == 288
+
+
+# ---------------------------------------------------------------------------
+# regression tests for review findings (round 1 code review)
+# ---------------------------------------------------------------------------
+
+def test_get_residuals_row_aligned(zeroI):
+    """One residual per observation row, aligned with the dataframe — the
+    reference's duplicate-label Series subtraction cartesian-joins."""
+    zeroI.set_parameters(mu=0.9, phi=3e-8, beta=25.0)
+    res = zeroI.get_residuals()
+    assert len(res) == len(zeroI.df)
+    assert list(res.index) == list(zeroI.df.index)
+    mod = zeroI.integrate(predict_obs=True)
+    s0 = zeroI.get_snames(predict_obs=True)[0]
+    np.testing.assert_allclose(
+        np.asarray(res.loc[[s0]], float),
+        mod.loc[[s0], "abundance"].to_numpy()
+        - zeroI.df.loc[[s0], "abundance"].to_numpy())
+
+
+def test_adapt_rhs_naming_conventions():
+    """jax-style RHS with non-literal names is recognized; ambiguous names
+    raise instead of silently swapping (t, y)."""
+    import jax.numpy as jnp
+
+    def jax_style(time, state, ps):
+        return jnp.stack([ps[0] * state[0], -ps[0] * state[1]])
+
+    m = ModelFramework(ODE=jax_style, parameter_names=["r"],
+                       state_names=["A", "B"], t_end=1.0, t_steps=16,
+                       r=parameter(init_value=1.0))
+    m.set_inits(A=1.0, B=1.0)
+    ys = m.integrate(as_dataframe=False)
+    np.testing.assert_allclose(ys[-1, 0], np.e, rtol=1e-4)
+
+    def ambiguous(a, b, ps):
+        return [a[0], b]
+
+    with pytest.raises(ValueError, match="cannot infer"):
+        ModelFramework(ODE=ambiguous, parameter_names=["r"],
+                       state_names=["A"], t_steps=8,
+                       r=parameter(init_value=1.0))
+
+
+def test_single_member_summation_rejected():
+    with pytest.raises(ValueError, match="two or more"):
+        ModelFramework(ODE=zero_i, parameter_names=["mu", "phi", "beta"],
+                       state_names=["S", "V"],
+                       state_summations={"H": ["S"]}, t_steps=8,
+                       mu=parameter(init_value=1.0),
+                       phi=parameter(init_value=1.0),
+                       beta=parameter(init_value=1.0))
+
+
+def test_statistics_sample_lhs_reseeds(zeroI):
+    from odelib_tpu.Statistics import Samplers as S
+    a = S.sample_lhs(zeroI.parameters, 32)
+    b = S.sample_lhs(zeroI.parameters, 32)
+    c = S.sample_lhs(zeroI.parameters, 32, seed=11)
+    d = S.sample_lhs(zeroI.parameters, 32, seed=11)
+    assert not a.equals(b)           # global-RNG reseeding, like reference
+    pd.testing.assert_frame_equal(c, d)   # explicit seed reproducible
+
+
+def test_find_inits_exponentiate_flag(zeroI):
+    # parameters making both derivatives positive, so log-scores are finite
+    zeroI.set_parameters(mu=0.9, phi=1e-12, beta=25.0)
+    df = zeroI.find_inits(
+        var_dist={"S": (scipy.stats.uniform(loc=1.0, scale=2.0), True)},
+        set_best=False, V=1e7)
+    assert len(df)
+    s = df["S"].to_numpy()
+    assert s.min() >= np.e * 0.99 and s.max() <= np.e ** 3 * 1.01

@@ -116,3 +116,19 @@ def test_discrete_normal_pmf_shape():
     draws = np.asarray(d.rvs(key, (1000,)))
     assert np.allclose(draws, np.round(draws))
     assert abs(draws.mean() - 10.0) < 0.3
+
+
+def test_discrete_normal_large_sigma():
+    """cdf/ppf must hold for any sigma (the old fixed 288-integer window
+    collapsed for sigma > 12)."""
+    d = D.DiscreteNormal(mu=0.0, sigma=50.0)
+    assert float(d.ppf(0.5)) == pytest.approx(0.0, abs=1)
+    q99 = float(d.ppf(0.99))
+    assert 110 < q99 < 122          # Phi^-1(0.99) * 50 = 116.3
+    assert float(d.cdf(q99)) >= 0.99
+    assert float(d.cdf(-q99)) <= 0.011
+    # round-trip on the lattice
+    for q in (0.1, 0.25, 0.75, 0.9):
+        k = float(d.ppf(q))
+        assert float(d.cdf(k)) >= q - 1e-6
+        assert float(d.cdf(k - 1)) < q + 1e-6

@@ -68,3 +68,11 @@ def test_mcmc_profile_flag():
     text = "\n".join(records)
     assert "survey+seeding" in text and "chains[" in text \
         and "postprocess" in text
+
+
+def test_local_chain_slice_non_divisible_covers_all():
+    """Equal-block (ceil) semantics: a non-divisible chain count loses no
+    rows across the union of process slices."""
+    mesh = chain_mesh()
+    start, stop = local_chain_slice(10, mesh)
+    assert (start, stop) == (0, 10)
