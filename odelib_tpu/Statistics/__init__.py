@@ -8,7 +8,6 @@ are first-class:
 
     from odelib_tpu.Statistics import stats, Samplers, distributions
 """
-from . import Samplers, stats
-from .. import distributions
+from . import Samplers, distributions, stats
 
 __all__ = ["Samplers", "stats", "distributions"]
