@@ -793,15 +793,30 @@ class ModelFramework:
         static_parameters = list(static_parameters)
         method, rtol, atol, max_steps, substeps = self._solver_args(solver_kw)
 
+        pallas_priors = None
+        if use_priors:
+            from .ops.pallas_mh import kernel_priors_supported
+            jd = tuple(self.parameters[p].jdist
+                       if self.parameters[p] is not None else None
+                       for p in self._pnames)
+            if kernel_priors_supported(jd):
+                pallas_priors = jd
+
         if backend == "auto":
-            # the fused kernel is TPU-only (Mosaic), integrates fixed-step
-            # dopri5/rk4, and has no prior term — anything else (CPU/GPU,
-            # stiff/adaptive method, priors, array params) takes XLA
+            # the fused kernel is TPU-only (Mosaic) and integrates
+            # fixed-step dopri5/rk4; priors run in-kernel when every family
+            # is supported there — anything else (CPU/GPU, stiff/adaptive
+            # method, exotic priors, array params) takes XLA
             backend = "pallas" if (
                 jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
                 and method in ("dopri5", "rk4")
-                and not use_priors
+                and (not use_priors or pallas_priors is not None)
                 and not any(s for s in self._spec.pshapes)) else "xla"
+        if backend == "pallas" and use_priors and pallas_priors is None:
+            raise ValueError(
+                "backend='pallas' with use_priors=True requires every prior "
+                "to be a kernel-supported family (Normal, LogNormal, "
+                "Uniform, Gamma, TruncNormal); use backend='xla'")
         if backend == "pallas" and method not in ("dopri5", "rk4"):
             warnings.warn(
                 f"backend='pallas' integrates fixed-step dopri5; the "
@@ -906,6 +921,7 @@ class ModelFramework:
                 walk_mask=mask, rwalk_std=rwalk_std,
                 stepper="rk4" if method == "rk4" else "dopri5",
                 substeps=substeps,
+                priors=pallas_priors if use_priors else None,
                 mesh=chain_mesh() if jax.device_count() > 1 else None)
         else:
             base_key = jax.random.PRNGKey(self.random_seed)

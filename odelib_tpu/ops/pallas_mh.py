@@ -123,6 +123,74 @@ class _Rng:
         return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
 
 
+def _kernel_logpdf(d):
+    """Mosaic-safe static logpdf closure for a prior Distribution, or None.
+
+    All normalization constants are pre-computed on host with stdlib math
+    (no jsp.special calls inside the kernel); the returned closure uses only
+    elementwise jnp ops on the (sub, 128) theta tile.
+    """
+    import math
+
+    from .. import distributions as D
+
+    if d is None:
+        return None
+    if isinstance(d, D.LogNormal):
+        s, loc, scale = float(d.s), float(d.loc), float(d.scale)
+        const = -math.log(s) - math.log(scale) - 0.5 * math.log(2 * math.pi)
+
+        def lp(x):
+            y = (x - loc) / scale
+            ly = jnp.log(jnp.maximum(y, 1e-37))
+            return jnp.where(y > 0, -0.5 * (ly / s) ** 2 - ly + const,
+                             -jnp.inf)
+        return lp
+    if isinstance(d, D.Normal):
+        loc, scale = float(d.loc), float(d.scale)
+        const = -math.log(scale) - 0.5 * math.log(2 * math.pi)
+
+        def lp(x):
+            z = (x - loc) / scale
+            return -0.5 * z * z + const
+        return lp
+    if isinstance(d, D.Uniform):
+        lo, scale = float(d.loc), float(d.scale)
+        const = -math.log(scale)
+
+        def lp(x):
+            return jnp.where((x >= lo) & (x <= lo + scale), const, -jnp.inf)
+        return lp
+    if isinstance(d, D.Gamma):
+        a, loc, scale = float(d.a), float(d.loc), float(d.scale)
+        const = -math.lgamma(a) - math.log(scale)
+
+        def lp(x):
+            y = (x - loc) / scale
+            ly = jnp.log(jnp.maximum(y, 1e-37))
+            return jnp.where(y > 0, (a - 1.0) * ly - y + const, -jnp.inf)
+        return lp
+    if isinstance(d, D.TruncNormal):
+        a, b = float(d.a), float(d.b)
+        loc, scale = float(d.loc), float(d.scale)
+        ndtr = lambda z: (0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+                          if math.isfinite(z) else (1.0 if z > 0 else 0.0))
+        const = (-math.log(ndtr(b) - ndtr(a)) - math.log(scale)
+                 - 0.5 * math.log(2 * math.pi))
+
+        def lp(x):
+            z = (x - loc) / scale
+            return jnp.where((z >= a) & (z <= b), -0.5 * z * z + const,
+                             -jnp.inf)
+        return lp
+    return None
+
+
+def kernel_priors_supported(priors) -> bool:
+    """True when every prior can run inside the fused kernel."""
+    return all(d is None or _kernel_logpdf(d) is not None for d in priors)
+
+
 class _StaticPlan(NamedTuple):
     """Everything the kernel bakes in at trace time."""
     step_ts: tuple          # (t, h) per integration sub-step
@@ -215,7 +283,7 @@ def metropolis_hastings_fused(
         walk_mask: Optional[Sequence[float]] = None, rwalk_std: float = 0.05,
         substeps: int = 4, stepper: str = "dopri5",
         tile_chains: int = 1024, interpret: bool = False,
-        mesh=None, _rec_cap: Optional[int] = None):
+        mesh=None, priors=None, _rec_cap: Optional[int] = None):
     """Run C chains of reference-semantics MH fully inside a Pallas kernel.
 
     theta0: (C, P) float32 (C padded to a multiple of tile_chains
@@ -275,14 +343,27 @@ def metropolis_hastings_fused(
     if R <= burnin:
         raise ValueError(f"nits={nits} leaves no recorded iterations after "
                          f"burnin={burnin}")
-    L_SEG = max(1, min(64, (2 * 1024 * 1024) // ((P + 4) * tile * 4)))
+    L_SEG = max(1, min(64, R, (2 * 1024 * 1024) // ((P + 4) * tile * 4)))
     if _rec_cap is not None:  # test hook: force specific segmentation
         L_SEG = min(L_SEG, int(_rec_cap))
     n_segs = -(-R // L_SEG)
 
+    if priors is not None:
+        priors = tuple(priors)
+        if len(priors) != P:
+            raise ValueError(f"priors must have one entry per parameter "
+                             f"({P}), got {len(priors)}")
+        if not kernel_priors_supported(priors):
+            raise ValueError(
+                "unsupported prior family for the fused kernel (supported: "
+                "Normal, LogNormal, Uniform, Gamma, TruncNormal); use the "
+                "XLA backend")
+        if not any(d is not None for d in priors):
+            priors = None
     run = _cached_mh_run(spec, plan, y0_key, P, tile, C, L_SEG, n_segs,
                          nits, walk, float(rwalk_std), num, stepper,
-                         substeps, bool(interpret), C0, burnin, mesh)
+                         substeps, bool(interpret), C0, burnin, mesh,
+                         priors)
     # feed in the kernel's native (P, C//128, 128) layout so every in-kernel
     # store/load is a plain (sub, 128) tile op (a flat (tile,) row would
     # cost a cross-lane relayout per store)
@@ -298,7 +379,7 @@ def metropolis_hastings_fused(
 @lru_cache(maxsize=64)
 def _cached_mh_run(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
                    walk, rwalk_std, num, stepper, substeps, interpret,
-                   C0, burnin, mesh):
+                   C0, burnin, mesh, priors=None):
     """One jitted program = pallas kernel + record reshape/transpose/slice.
 
     Fusing the postprocess into the kernel's program matters on remote
@@ -311,7 +392,7 @@ def _cached_mh_run(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
     C_local = C // n_dev
     inner = _cached_mh_grid(spec, plan, y0_key, P, tile, C_local, L_SEG,
                             n_segs, nits, walk, rwalk_std, num, stepper,
-                            substeps, interpret)
+                            substeps, interpret, priors)
     padded_R = n_segs * L_SEG
     lo, hi = burnin, nits - 1      # keep rows with it in (burnin, nits-1]
 
@@ -351,7 +432,8 @@ def _cached_mh_run(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
 
 @lru_cache(maxsize=64)
 def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
-                    walk, rwalk_std, num, stepper, substeps, interpret):
+                    walk, rwalk_std, num, stepper, substeps, interpret,
+                    priors=None):
     """Build (once per static config) the whole-run MH pallas_call.
 
     pallas_call tracing of the fully-unrolled kernel costs seconds of host
@@ -367,9 +449,20 @@ def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
     shape = (sub, _LANES)
     step_fn = _dopri5_fixed_step if stepper == "dopri5" else _rk4_fixed_step
     score = _make_scorer_from_key(spec, plan, y0_key, step_fn, substeps)
+    # static prior evaluators: prior-aware acceptance fully in-kernel
+    lps = [None] * P if priors is None else [_kernel_logpdf(d)
+                                             for d in priors]
+    use_priors = any(f is not None for f in lps)
+
+    def logprior(theta_list):
+        tot = jnp.zeros(shape, jnp.float32)
+        for f, th in zip(lps, theta_list):
+            if f is not None:
+                tot = tot + f(th)
+        return tot
 
     def kernel(seed_ref, off_ref, theta_in, theta_out, chi_out, rsq_out,
-               aic_out, ar_out, lt_s, chi_s, rsq_s, acc_s):
+               aic_out, ar_out, lt_s, chi_s, rsq_s, acc_s, lp_s):
         # off = this device's global tile offset (shard_map), so RNG streams
         # stay unique and sharding-invariant across the whole chain batch
         rng = _Rng(shape, seed_ref[0], pl.program_id(0) + off_ref[0], tile)
@@ -384,11 +477,13 @@ def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
             chi_s[...] = chi0
             rsq_s[...] = rsq0
             acc_s[...] = jnp.zeros(shape, jnp.float32)
+            lp_s[...] = (logprior(theta) if use_priors
+                         else jnp.zeros(shape, jnp.float32))
 
         it0 = 1 + j * L_SEG
 
         def body(i, carry):
-            logtheta, chi, rsq, acc_count = carry
+            logtheta, chi, rsq, acc_count, lp = carry
             it = it0 + i
             active = it < nits      # padding rows past the last proposal
             prop = [lt + (rwalk_std * walk[p]) * rng.normal(it)
@@ -397,11 +492,18 @@ def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
             theta_p = [jnp.exp(lt) for lt in prop]
             chi_new, rsq_new = score(theta_p, shape)
             u = rng.uniform(it)
-            accept = (jnp.exp(chi - chi_new) > u) & active
+            log_ratio = chi - chi_new
+            if use_priors:
+                lp_new = logprior(theta_p)
+                log_ratio = log_ratio + (lp_new - lp)
+            # NaN/-inf ratios compare False -> rejected
+            accept = (jnp.exp(log_ratio) > u) & active
             logtheta = [jnp.where(accept, pn, lo)
                         for pn, lo in zip(prop, logtheta)]
             chi = jnp.where(accept, chi_new, chi)
             rsq = jnp.where(accept, rsq_new, rsq)
+            if use_priors:
+                lp = jnp.where(accept, lp_new, lp)
             acc_count = acc_count + accept.astype(jnp.float32)
 
             for p in range(P):
@@ -410,17 +512,18 @@ def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
             rsq_out[i, 0] = rsq
             aic_out[i, 0] = 2.0 * chi + 2.0 * num
             ar_out[i, 0] = acc_count / it.astype(jnp.float32)
-            return logtheta, chi, rsq, acc_count
+            return logtheta, chi, rsq, acc_count, lp
 
         carry0 = ([lt_s[p] for p in range(P)], chi_s[...], rsq_s[...],
-                  acc_s[...])
-        logtheta, chi, rsq, acc_count = jax.lax.fori_loop(
+                  acc_s[...], lp_s[...])
+        logtheta, chi, rsq, acc_count, lp = jax.lax.fori_loop(
             0, L_SEG, body, carry0)
         for p in range(P):
             lt_s[p] = logtheta[p]
         chi_s[...] = chi
         rsq_s[...] = rsq
         acc_s[...] = acc_count
+        lp_s[...] = lp
 
     n_rows = C // _LANES   # chain axis as (rows of 128 lanes); tile = sub rows
 
@@ -454,6 +557,7 @@ def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
             pltpu.VMEM(shape, jnp.float32),                 # chi
             pltpu.VMEM(shape, jnp.float32),                 # rsq
             pltpu.VMEM(shape, jnp.float32),                 # accept count
+            pltpu.VMEM(shape, jnp.float32),                 # prior logpdf
         ],
         # both grid axes 'arbitrary': strict row-major order is what lets
         # scratch carry chain state across the (minor) segment axis

@@ -21,6 +21,9 @@ from helpers import zero_i, synthetic_df
 @pytest.fixture(scope="module")
 def setup():
     df = format_dataframe(synthetic_df(), ("S", "V"))
+    # halve the observation grid: interpret-mode tests compile the fully
+    # unrolled in-kernel scorer, so their cost scales with obs x substeps
+    df = df[np.isclose(np.mod(np.round(df["time"] / 0.2), 2), 0)]
     times = np.linspace(0, 3.1, 288)
     spec = make_spec(zero_i, ("mu", "phi", "beta"), ("S", "V"))
     obs_host, _ = build_obsdata_host(df, times, spec.post_snames)
@@ -38,21 +41,21 @@ def test_survey_fused_matches_xla_fixed_step(setup):
     thetas = np.array([0.6, 2.4e-8, 24.0]) * np.exp(
         rng.normal(0, 0.2, (16, 3)))
     pal = np.asarray(survey_fused(spec, obs_host, times_fit, y0, thetas,
-                                  substeps=2, tile_chains=128,
+                                  substeps=1, tile_chains=128,
                                   interpret=True))
     obs_dev = obsdata_to_device(obs_host, jnp.float32)
     xla = np.asarray(survey(spec, obs_dev, jnp.asarray(times_fit, jnp.float32),
                             jnp.asarray(y0, jnp.float32),
                             jnp.asarray(thetas, jnp.float32),
-                            method="fixed_dopri5", substeps=2))
-    np.testing.assert_allclose(pal, xla, rtol=2e-5)
+                            method="fixed_dopri5", substeps=1))
+    np.testing.assert_allclose(pal, xla, rtol=2e-4)
 
 
 def test_mh_fused_semantics(setup):
     spec, obs_host, times_fit, y0 = setup
     th0 = np.tile([0.6, 2.4e-8, 24.0], (4, 1))
     out = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
-                                    seed=0, nits=24, burnin=12, substeps=2,
+                                    seed=0, nits=24, burnin=12, substeps=1,
                                     tile_chains=128, interpret=True)
     # reference iteration convention: records for it in (burnin, nits-1]
     assert out.theta.shape == (4, 11, 3)
@@ -68,7 +71,7 @@ def test_mh_fused_semantics(setup):
 def test_mh_fused_deterministic_and_seeded(setup):
     spec, obs_host, times_fit, y0 = setup
     th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
-    kw = dict(nits=16, substeps=2, tile_chains=128, interpret=True)
+    kw = dict(nits=16, substeps=1, tile_chains=128, interpret=True)
     a = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
                                   seed=5, **kw)
     b = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
@@ -84,7 +87,7 @@ def test_mh_fused_static_parameters(setup):
     th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
     out = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
                                     seed=1, nits=16, walk_mask=[1, 0, 1],
-                                    substeps=2, tile_chains=128,
+                                    substeps=1, tile_chains=128,
                                     interpret=True)
     np.testing.assert_allclose(np.asarray(out.theta)[:, :, 1], 2.4e-8,
                                rtol=1e-6)
@@ -98,7 +101,7 @@ def test_mh_fused_chunk_boundary_continuity(setup):
     kernel calls."""
     spec, obs_host, times_fit, y0 = setup
     th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
-    kw = dict(seed=2, nits=22, burnin=3, substeps=2, tile_chains=128,
+    kw = dict(seed=2, nits=22, burnin=3, substeps=1, tile_chains=128,
               interpret=True)
     whole = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
                                       **kw)
@@ -122,7 +125,7 @@ def test_mh_fused_sharded_matches_single_device(setup):
     rng = np.random.default_rng(3)
     th0 = np.array([0.6, 2.4e-8, 24.0]) * np.exp(
         rng.normal(0, 0.1, (1024, 3)))
-    kw = dict(seed=7, nits=10, burnin=2, substeps=2, tile_chains=128,
+    kw = dict(seed=7, nits=10, burnin=2, substeps=1, tile_chains=128,
               interpret=True)
     single = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
                                        **kw)
@@ -143,3 +146,52 @@ def test_mh_fused_rejects_array_params(setup):
         metropolis_hastings_fused(spec_arr, obs_host, times_fit, y0,
                                   np.ones((2, 2)), seed=0, nits=8,
                                   tile_chains=128, interpret=True)
+
+
+def test_kernel_logpdf_matches_distributions():
+    """The kernel's host-constant logpdf closures must match the JAX
+    Distribution implementations on a value grid, family by family."""
+    import odelib_tpu.distributions as D
+    from odelib_tpu.ops.pallas_mh import _kernel_logpdf
+
+    cases = [
+        D.LogNormal(s=0.7, loc=0.0, scale=2.5),
+        D.Normal(loc=1.5, scale=0.8),
+        D.Uniform(loc=-1.0, scale=3.0),
+        D.Gamma(a=2.3, loc=0.0, scale=1.7),
+        D.TruncNormal(a=0.0, b=4.0, loc=1.0, scale=2.0),
+        D.TruncNormal(a=-1.0, b=np.inf, loc=0.0, scale=1.0),
+    ]
+    xs = jnp.asarray(np.linspace(0.05, 6.0, 41), jnp.float32)
+    for d in cases:
+        lp = _kernel_logpdf(d)
+        got = np.asarray(lp(xs), float)
+        want = np.asarray(d.logpdf(xs), float)
+        mask = np.isfinite(want)
+        np.testing.assert_allclose(got[mask], want[mask], rtol=2e-5,
+                                   atol=1e-6)
+        assert np.array_equal(np.isfinite(got), mask)
+
+
+def test_mh_fused_priors_enforced(setup):
+    """In-kernel prior-aware acceptance: a tight Uniform prior must confine
+    every recorded sample to its support (moves outside are rejected by
+    the -inf prior term)."""
+    import odelib_tpu.distributions as D
+
+    spec, obs_host, times_fit, y0 = setup
+    th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
+    kw = dict(seed=4, nits=20, burnin=0, substeps=1, rwalk_std=0.05,
+              tile_chains=128, interpret=True)
+    priors = (D.Uniform(loc=0.58, scale=0.04), None, None)
+    out = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                    priors=priors, **kw)
+    mu = np.asarray(out.theta)[:, :, 0]
+    assert mu.min() >= 0.58 - 1e-6 and mu.max() <= 0.62 + 1e-6
+    # the same walk without the prior leaves the box (likelihood alone
+    # accepts mu below 0.58), so the prior term demonstrably acted
+    out2 = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                     **kw)
+    mu2 = np.asarray(out2.theta)[:, :, 0]
+    assert mu2.min() < 0.58
+    assert not np.array_equal(mu, mu2)
