@@ -16,7 +16,12 @@ import pandas as pd
 
 
 def save_posterior(path: str, posterior: pd.DataFrame) -> None:
-    """Save a posterior DataFrame to ``<path>`` (npz)."""
+    """Save a posterior DataFrame to exactly ``<path>`` (npz format).
+
+    Written through a file handle: bare ``np.savez_compressed(path)``
+    silently appends ``.npz`` when the extension differs, which would break
+    the save->load round trip on the user's own path.
+    """
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     arrays = {}
     meta = {"columns": list(posterior.columns)}
@@ -25,8 +30,9 @@ def save_posterior(path: str, posterior: pd.DataFrame) -> None:
         if v.dtype == object:  # array-valued parameter columns
             v = np.stack([np.asarray(x, float) for x in v])
         arrays[f"col_{c}"] = v
-    np.savez_compressed(path, __meta__=np.frombuffer(
-        json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+    with open(path, "wb") as f:
+        np.savez_compressed(f, __meta__=np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8), **arrays)
 
 
 def load_posterior(path: str) -> pd.DataFrame:
@@ -39,7 +45,8 @@ def load_posterior(path: str) -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
-def resume_theta(posterior: pd.DataFrame, pnames, n_chains: int) -> np.ndarray:
+def resume_theta(posterior: pd.DataFrame, pnames,
+                 n_chains: int) -> pd.DataFrame:
     """Last recorded parameter vector of each chain — restart point for a
     continued MCMC run (pass as ``MCMC(chain_inits=<this dataframe>)``)."""
     rows = []

@@ -1,5 +1,7 @@
 """Posterior checkpoint / resume (new capability over the reference,
 SURVEY.md section 5.4)."""
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -48,3 +50,17 @@ def test_mcmc_checkpoint_and_resume(model, tmp_path):
     post2 = model.MCMC(chain_inits=resume, iterations_per_chain=40,
                        print_report=False)
     assert len(post2) == len(post)
+
+
+def test_save_honors_exact_path(tmp_path):
+    """np.savez appends .npz to foreign extensions; save_posterior must not
+    (the save->load round trip uses the user's exact path)."""
+    import pandas as pd
+
+    from odelib_tpu.utils import load_posterior, save_posterior
+
+    p = str(tmp_path / "post.parquet")  # deliberately non-npz extension
+    df = pd.DataFrame({"mu": [1.0, 2.0], "chain#": [0, 0]})
+    save_posterior(p, df)
+    assert os.path.exists(p) and not os.path.exists(p + ".npz")
+    pd.testing.assert_frame_equal(load_posterior(p), df)
