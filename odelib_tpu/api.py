@@ -13,7 +13,11 @@ Reference defects fixed here (SURVEY.md section 4):
      value (``Framework.py:103``);
   4. ``search_initparamfits`` positional-argument bug (``Framework.py:881``)
      and ``find_inits`` (#BROKEN, ``Framework.py:512``);
-  5. array-valued-parameter LHS path (``Samplers.py:45``).
+  5. array-valued-parameter LHS path (``Samplers.py:45``);
+  6. ``gradient`` crashes on any normal model — it assigns a raw float into
+     ``self.parameters`` (``Framework.py:1095``) and ``get_parameters`` then
+     dereferences ``.val`` on it (``Framework.py:581``); here the sweep runs
+     on packed theta vectors without touching the parameter objects.
 Deviations are documented on each method.
 """
 from __future__ import annotations

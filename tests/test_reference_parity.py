@@ -133,3 +133,46 @@ def test_posterior_parity_with_reference(ref_odelib):
         med_ref = np.nanmedian(post_ref[p].to_numpy(float))
         med_ours = np.nanmedian(post_ours[p].to_numpy(float))
         assert 0.25 < med_ours / med_ref < 4.0, (p, med_ref, med_ours)
+
+
+def test_reference_gradient_is_broken_and_ours_matches_its_intent(ref_odelib):
+    """The reference's gradient() crashes on any normal model: it assigns a
+    raw float into self.parameters (Framework.py:1095) and get_parameters
+    then dereferences .val on it (Framework.py:581) — latent defect #6.
+    Confirm the crash, then check our lax.scan gradient() against a serial
+    scipy loop implementing the reference's INTENDED semantics (odeint per
+    p, equilibrium seeding via clip(final, 1e-3), endpoint aggregation)."""
+    from scipy.integrate import odeint as scipy_odeint
+
+    import odelib_tpu
+
+    ref = _build(ref_odelib.ModelFramework, ref_odelib.parameter)
+    ours = _build(odelib_tpu.ModelFramework, odelib_tpu.parameter)
+    for m in (ref, ours):
+        m.set_parameters(mu=0.9, phi=3e-8, beta=25.0)
+        m.set_inits(S=5.2e6, V=1.1e7)
+
+    p_range = np.linspace(0.5, 1.2, 5)
+    with contextlib.redirect_stdout(io.StringIO()):
+        with pytest.raises(AttributeError):
+            ref.gradient("mu", p_range, seed_equilibrium=True,
+                         aggregate_enpoints=True, print_status=False)
+
+    out_ours = ours.gradient("mu", p_range, seed_equilibrium=True,
+                             aggregate_enpoints=True, print_status=False)
+
+    # intended reference semantics, serial scipy
+    times = np.asarray(ours.times, float)
+    init = np.array([5.2e6, 1.1e7])
+    rows = []
+    for p in p_range:
+        ys = scipy_odeint(_zero_i_ref, init, times,
+                          args=([p, 3e-8, 25.0],), rtol=1e-8, atol=1e-8)
+        init = np.clip(ys[-1], 0.001, None)
+        rows.append(ys[-1])
+    expect = np.asarray(rows)
+
+    got = out_ours[["S", "V"]].to_numpy(float)
+    scale = np.abs(expect) + 1e2
+    assert np.max(np.abs(got - expect) / scale) < 1e-3
+    np.testing.assert_allclose(out_ours["mu"].to_numpy(float), p_range)
