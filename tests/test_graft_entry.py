@@ -1,0 +1,42 @@
+"""Driver-contract tests for __graft_entry__.py.
+
+Round-1 VERDICT item 1: the driver imports the module and calls
+``dryrun_multichip(8)`` directly (it never runs the ``__main__`` block), so
+the function must provision its own virtual mesh when the runtime has fewer
+than 8 devices. These tests exercise both paths.
+"""
+import os
+import subprocess
+import sys
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_inline_on_provisioned_mesh():
+    # conftest provisions 8 virtual CPU devices: the inline path runs.
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as g
+    finally:
+        sys.path.remove(REPO)
+    assert len(jax.devices()) >= 8
+    g.dryrun_multichip(8)
+
+
+def test_dryrun_self_provisions_from_single_device():
+    # Reproduce the driver: fresh process, one CPU device, no XLA_FLAGS mesh,
+    # direct call to dryrun_multichip(8). Must self-provision and pass.
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "assert len(jax.devices()) < 8, 'precondition: single-device parent'; "
+        "import __graft_entry__ as g; g.dryrun_multichip(8)")
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr
+    assert "dryrun_multichip OK" in proc.stdout
