@@ -106,10 +106,16 @@ class parameter:
     """
 
     def __init__(self, stats_gen=None, hyperparameters=None, init_value=None,
-                 name=None):
+                 name=None, random_seed=None):
         self.dist = stats_gen
         self.hp = hyperparameters
         self.name = name
+        # Host-side RNG: seeded when random_seed is given, so prior draws at
+        # construction and rwalk proposals reproduce (the reference relies on
+        # the *global* numpy RNG, seeded only at chain start —
+        # Samplers.py:70 — so its construction draws are irreproducible).
+        self.random_seed = random_seed
+        self._rng = np.random.default_rng(random_seed)
         if init_value is not None:
             self.val = np.array(init_value)
         else:
@@ -123,9 +129,10 @@ class parameter:
     def _host_rvs(self, size=None):
         if hasattr(self.dist, "rvs") and not isinstance(self.dist,
                                                         _dist.Distribution):
-            return self.dist.rvs(**(self.hp or {}), size=size)
+            return self.dist.rvs(**(self.hp or {}), size=size,
+                                 random_state=self._rng)
         d = self.jdist
-        u = np.random.rand(*(() if size is None else (size,)))
+        u = self._rng.random(() if size is None else (size,))
         return np.asarray(d.ppf(u))
 
     @property
@@ -164,7 +171,7 @@ class parameter:
     def rwalk(self, std=0.05):
         """Multiplicative lognormal random walk (``Framework.py:107-122``)."""
         stds = np.full(self._dim, std)
-        self.val = np.exp(np.log(self.val) + np.random.normal(0, stds))
+        self.val = np.exp(np.log(self.val) + self._rng.normal(0, stds))
 
     def has_distribution(self):
         return self.dist is not None
@@ -183,7 +190,8 @@ class parameter:
 
     def copy(self):
         return parameter(init_value=self.val, stats_gen=self.dist,
-                         hyperparameters=self.hp, name=self.name)
+                         hyperparameters=self.hp, name=self.name,
+                         random_seed=self.random_seed)
 
     def __repr__(self):
         out = [str(self.val) + "  "]
@@ -765,7 +773,8 @@ class ModelFramework:
              static_parameters=(), print_report=True, fitsurvey_samples=1000,
              sd_fitdistance=3.0, use_priors=False, rwalk_std=0.05,
              checkpoint_path=None, backend="auto", burnin=None,
-             profile=False, **solver_kw):
+             profile=False, pallas_interpret=False, pallas_tile_chains=1024,
+             **solver_kw):
         """Markov Chain Monte Carlo over vmapped+mesh-sharded chains.
 
         Same signature and returned DataFrame as the reference
@@ -786,7 +795,10 @@ class ModelFramework:
           posteriors agree statistically, not bitwise;
         * ``profile=True`` logs per-stage wall times (survey+seeding /
           chains / postprocess) through the package logger
-          (:mod:`odelib_tpu.utils.profiling`).
+          (:mod:`odelib_tpu.utils.profiling`);
+        * ``pallas_interpret`` / ``pallas_tile_chains``: advanced knobs for
+          the fused backend — interpreter emulation (CPU testing of the
+          kernel path) and the per-dispatch chain tile size.
         """
         from .utils.profiling import StageTimer
         timer = StageTimer() if profile else None
@@ -843,7 +855,9 @@ class ModelFramework:
                 chis = np.asarray(survey_fused(
                     self._spec, self._obsdata_fit_host, self._times_fit,
                     self.get_inits(), thetas, substeps=substeps,
-                    stepper="rk4" if method == "rk4" else "dopri5"))
+                    stepper="rk4" if method == "rk4" else "dopri5",
+                    tile_chains=int(pallas_tile_chains),
+                    interpret=bool(pallas_interpret)))
                 fitsurvey = ps[self.get_pnames()].copy()
                 fitsurvey["chi"] = np.where(np.isfinite(chis), chis, np.nan)
             else:
@@ -926,7 +940,10 @@ class ModelFramework:
                 stepper="rk4" if method == "rk4" else "dopri5",
                 substeps=substeps,
                 priors=pallas_priors if use_priors else None,
-                mesh=chain_mesh() if jax.device_count() > 1 else None)
+                tile_chains=int(pallas_tile_chains),
+                interpret=bool(pallas_interpret),
+                mesh=chain_mesh() if (jax.device_count() > 1
+                                      and not pallas_interpret) else None)
         else:
             base_key = jax.random.PRNGKey(self.random_seed)
             mesh = chain_mesh()

@@ -217,7 +217,8 @@ class Gamma(Distribution):
         return self.loc + self.scale * jnp.exp(u)
 
     def fit(self, data):
-        """Method-of-moments + one digamma Newton step (loc fixed 0)."""
+        """Method-of-moments estimate (a = mean^2/var, scale = var/mean,
+        loc fixed 0)."""
         d = jnp.asarray(data)
         m, v = jnp.mean(d), jnp.var(d)
         a = m * m / v
@@ -292,7 +293,19 @@ def from_scipy(stats_gen, hyperparameters=None):
     unknown = set(hp) - field_names
     if unknown:
         raise ValueError(f"Unknown hyperparameters {unknown} for {name}")
-    return cls(**{k: jnp.asarray(v, jnp.result_type(float)) for k, v in hp.items()})
+    # Scalar hyperparameters stay plain Python floats so the resulting
+    # (frozen, eq) dataclass is hashable — the fused-kernel MH path keys an
+    # lru_cache on the priors tuple (ops/pallas_mh.py), and jnp scalars would
+    # raise "unhashable type" there. Array-valued hyperparameters (vector
+    # loc/scale for array parameters) become device arrays; those priors are
+    # not kernel-supported and route to the XLA sampler.
+    def _coerce(v):
+        import numpy as _np
+        if _np.ndim(v) == 0:
+            return float(v)
+        return jnp.asarray(v, jnp.result_type(float))
+
+    return cls(**{k: _coerce(v) for k, v in hp.items()})
 
 
 def _frozen_kwds(frozen):

@@ -38,15 +38,40 @@ RHS_CFUNC = ctypes.CFUNCTYPE(
     ctypes.c_void_p)
 
 
+def _compile_cmd() -> list:
+    import platform
+    cmd = ["g++", "-O3", "-shared", "-fPIC"]
+    if platform.machine() in ("x86_64", "AMD64"):
+        # portable baseline with SIMD (unlike -march=native, runs on any
+        # post-2009 x86-64 — ADVICE r1: never ship builder-CPU-specific code)
+        cmd.append("-march=x86-64-v2")
+    return cmd + [_SRC, "-o", _LIB]
+
+
 def _build() -> str:
+    """Compile the native core, trusting only content, never mtime.
+
+    The library is NOT version-controlled (ADVICE r1: a committed binary is
+    unauditable and may SIGILL on foreign CPUs). A sha256 sidecar of
+    (source bytes, compile command) decides staleness; a checked-out or
+    hand-dropped .so without a matching sidecar is rebuilt from source.
+    """
+    import hashlib
+
     if not os.path.exists(_SRC):
         raise RuntimeError(f"native source missing: {_SRC}")
-    stale = (not os.path.exists(_LIB)
-             or os.path.getmtime(_LIB) < os.path.getmtime(_SRC))
-    if stale:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-             "-o", _LIB], check=True, capture_output=True)
+    cmd = _compile_cmd()
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read() + repr(cmd).encode()).hexdigest()
+    sidecar = _LIB + ".sha256"
+    fresh = False
+    if os.path.exists(_LIB) and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            fresh = f.read().strip() == digest
+    if not fresh:
+        subprocess.run(cmd, check=True, capture_output=True)
+        with open(sidecar, "w") as f:
+            f.write(digest + "\n")
     return _LIB
 
 

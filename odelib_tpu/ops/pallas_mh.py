@@ -28,6 +28,7 @@ chains).
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import lru_cache
 from typing import NamedTuple, Optional, Sequence
 
@@ -104,6 +105,17 @@ class _Rng:
         self._slot = 0
 
     def bits(self, it):
+        # Static slot budget: streams are spaced 1024 words per iteration, so
+        # more than 1024 draw-sites per iteration would silently overlap the
+        # next iteration's stream. Each walked parameter costs 2 slots
+        # (Box-Muller) + 1 for the accept draw -> fires at ~511 walked
+        # parameters, far beyond any ODE-fitting workload. Trace-time check
+        # (self._slot is a Python int during tracing).
+        if self._slot >= 1024:
+            raise ValueError(
+                "per-iteration RNG slot budget (1024) exhausted — too many "
+                "draw sites (walked parameters) for the fused kernel; use "
+                "the XLA backend")
         ctr = (it.astype(jnp.uint32) * jnp.uint32(1024)
                + jnp.uint32(self._slot))
         self._slot += 1
@@ -135,6 +147,14 @@ def _kernel_logpdf(d):
     from .. import distributions as D
 
     if d is None:
+        return None
+    # Vector-valued hyperparameters (array parameters) can't be baked into
+    # the kernel as scalar constants — report unsupported so the caller
+    # routes to the XLA sampler instead of crashing on float().
+    try:
+        for f in dataclasses.fields(d):
+            float(getattr(d, f.name))
+    except (TypeError, ValueError):
         return None
     if isinstance(d, D.LogNormal):
         s, loc, scale = float(d.s), float(d.loc), float(d.scale)
@@ -189,6 +209,19 @@ def _kernel_logpdf(d):
 def kernel_priors_supported(priors) -> bool:
     """True when every prior can run inside the fused kernel."""
     return all(d is None or _kernel_logpdf(d) is not None for d in priors)
+
+
+def _static_prior(d):
+    """Rebuild a prior with plain-float fields.
+
+    Distribution dataclasses may carry jnp-scalar hyperparameters (e.g. built
+    by ``from_scipy`` before it coerced scalars, or constructed by a user
+    with device values); those are unhashable and would crash the
+    ``lru_cache`` keyed on the priors tuple. ``_kernel_logpdf`` only ever
+    reads ``float(field)``, so a float-field twin is semantically identical.
+    """
+    kw = {f.name: float(getattr(d, f.name)) for f in dataclasses.fields(d)}
+    return type(d)(**kw)
 
 
 class _StaticPlan(NamedTuple):
@@ -299,7 +332,6 @@ def metropolis_hastings_fused(
     """
     if burnin is None:
         burnin = int(nits / 2)
-    R = max(nits - 1 - burnin, 0)
     P = len(spec.pnames)
     if any(s for s in spec.pshapes):
         raise ValueError("pallas MH path supports scalar parameters only")
@@ -360,6 +392,9 @@ def metropolis_hastings_fused(
                 "XLA backend")
         if not any(d is not None for d in priors):
             priors = None
+        else:
+            priors = tuple(None if d is None else _static_prior(d)
+                           for d in priors)
     run = _cached_mh_run(spec, plan, y0_key, P, tile, C, L_SEG, n_segs,
                          nits, walk, float(rwalk_std), num, stepper,
                          substeps, bool(interpret), C0, burnin, mesh,

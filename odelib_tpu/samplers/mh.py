@@ -140,6 +140,12 @@ def metropolis_hastings(
     """
     if burnin is None:
         burnin = int(nits / 2)
+    # Match the fused backend's error for the degenerate configuration
+    # (burnin consumes every proposal) instead of silently returning
+    # zero-record outputs.
+    if nits - 1 <= burnin:
+        raise ValueError(f"nits={nits} leaves no recorded iterations after "
+                         f"burnin={burnin}")
     theta0 = jnp.atleast_2d(theta0)
     P = theta0.shape[-1]
     if walk_mask is None:

@@ -387,3 +387,31 @@ def test_find_inits_exponentiate_flag(zeroI):
     assert len(df)
     s = df["S"].to_numpy()
     assert s.min() >= np.e * 0.99 and s.max() <= np.e ** 3 * 1.01
+
+
+def test_mcmc_pallas_backend_with_priors(zeroI):
+    """ADVICE r1 (high): MCMC(use_priors=True) on the fused backend crashed
+    with 'unhashable type ArrayImpl' when priors came from from_scipy.
+    Drive the full public path (interpret mode emulates the kernel on CPU)."""
+    inits = pd.DataFrame([
+        {"mu": 0.6, "phi": 2.4e-8, "beta": 24.0},
+        {"mu": 0.7, "phi": 2.0e-8, "beta": 20.0},
+    ])
+    post = zeroI.MCMC(chain_inits=inits, iterations_per_chain=12, burnin=6,
+                      use_priors=True, backend="pallas",
+                      pallas_interpret=True, pallas_tile_chains=128,
+                      substeps=1, print_report=False)
+    assert len(post) == 2 * 5
+    assert np.isfinite(post["chi"]).all()
+    assert set(post["chain#"]) == {0, 1}
+
+
+def test_parameter_random_seed_reproducible():
+    """VERDICT r1 task 7: seeded construction draws and walks reproduce."""
+    a = parameter(scipy.stats.lognorm, {"s": 1, "scale": 25}, random_seed=7)
+    b = parameter(scipy.stats.lognorm, {"s": 1, "scale": 25}, random_seed=7)
+    assert float(a.val) == float(b.val)
+    a.rwalk(); b.rwalk()
+    assert float(a.val) == float(b.val)
+    c = parameter(scipy.stats.lognorm, {"s": 1, "scale": 25}, random_seed=8)
+    assert float(c.val) != float(a.val)

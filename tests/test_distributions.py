@@ -132,3 +132,21 @@ def test_discrete_normal_large_sigma():
         k = float(d.ppf(q))
         assert float(d.cdf(k)) >= q - 1e-6
         assert float(d.cdf(k - 1)) < q + 1e-6
+
+
+def test_from_scipy_scalar_hyperparams_are_hashable():
+    """ADVICE r1 (high): jnp-scalar hyperparameters made the priors tuple
+    unhashable at the fused-kernel lru_cache boundary. Scalars must coerce
+    to Python floats; array hyperparameters stay device arrays."""
+    import jax.numpy as jnp
+    import scipy.stats
+
+    d = D.from_scipy(scipy.stats.lognorm,
+                     {"s": jnp.float32(3.0), "scale": jnp.asarray(1e-8)})
+    hash((d,))  # must not raise
+    assert isinstance(d.s, float) and d.s == 3.0
+    assert isinstance(d.scale, float)
+    # vector hyperparameters (array parameters) are preserved as arrays
+    dv = D.from_scipy(scipy.stats.norm,
+                      {"loc": jnp.asarray([0.0, 1.0]), "scale": 2.0})
+    assert np.asarray(dv.loc).shape == (2,)

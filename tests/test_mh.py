@@ -139,3 +139,17 @@ def test_survey_matches_serial_chi(setup):
         single = float(chi_of_theta(spec, obs, thetas[i], y0, times,
                                     rtol=1e-8, atol=1e-3))
         np.testing.assert_allclose(batched[i], single, rtol=1e-10)
+
+
+def test_burnin_exhausting_nits_raises(setup):
+    """ADVICE r1 (low): degenerate burnin >= nits-1 must raise like the
+    fused backend instead of returning zero-record outputs."""
+    spec, obs, times, y0 = setup[:4]
+    import jax
+    import pytest as _pytest
+
+    theta0 = jnp.asarray([[0.6, 2.4e-8, 24.0]])
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    with _pytest.raises(ValueError, match="no recorded iterations"):
+        metropolis_hastings(spec, obs, times, y0, theta0, keys,
+                            nits=8, burnin=7)

