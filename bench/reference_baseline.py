@@ -1,16 +1,23 @@
-"""Measure the reference's serial scipy+numpy MCMC throughput (the
-denominator for BASELINE.json's >=1000x target).
+"""Measure the reference's serial scipy+numpy performance for EVERY bench
+config (the denominators for BENCH_SUITE.json's vs_baseline columns).
 
-The reference itself cannot be imported here (pyDOE2 is absent), so this
-mirrors its per-iteration cost structure exactly (SURVEY.md call stack 3.3):
-per MH iteration — lognormal random walk on each parameter
-(``Framework.py:107-122``), a full ``scipy.integrate.odeint`` solve on the
-288-point grid (``Framework.py:656``), observation subsetting via
-precomputed nearest-grid indices (``Framework.py:670-682``), and the
-masked-invalid chi reduction (``stats.py:22-41``) plus R^2/AIC bookkeeping
-on acceptance — i.e. serial chain-steps/sec of the reference implementation.
+The reference itself cannot be imported here (pyDOE2 is absent), so each
+measurement mirrors its cost structure exactly (SURVEY.md call stacks):
+integration is ``scipy.integrate.odeint`` (LSODA — the reference's only
+engine, ``Framework.py:4,656``), chi is the masked-invalid reduction
+(``stats.py:22-41``), MH follows ``Samplers.py:104-153``.
 
-Writes BASELINE_MEASURED.json at the repo root.
+Configs (BASELINE.json):
+  1. single integrate + chi latency (call stack 3.2)
+  2. single-chain MH posterior, 1000 iterations (call stack 3.3 inner loop)
+  3. Lotka-Volterra parameter sweep, serial LSODA per draw
+     (explore_equilibriums cost structure, call stack 3.4)
+  4. MCMC chain-steps/sec, serial chain (the >=1000x headline denominator)
+  5. stiff Robertson solves/sec, serial LSODA per draw
+
+Writes BASELINE_MEASURED.json at the repo root:
+  {"value": <config-4 chain-steps/s>,          # bench.py compat
+   "configs": {"1": {...}, "2": {...}, ...}}
 """
 import json
 import os
@@ -47,18 +54,16 @@ def load_demo():
     return df
 
 
-def main(n_iters=60, n_chains=3, t_steps=288):
+def _setup(t_steps=288):
     df = load_demo()
     times = np.linspace(0, df["time"].max(), t_steps)
-    tidx = {}
-    obs_log, obs_sig = {}, {}
+    tidx, obs_log, obs_sig = {}, {}, {}
     for s in set(df.index):
         sub = df.loc[[s]]
         a = sub["time"].to_numpy()
         tidx[s] = np.array([np.argmin(np.abs(t - times)) for t in a])
         obs_log[s] = sub["log_abundance"].to_numpy()
         obs_sig[s] = sub["log_sigma"].to_numpy()
-
     y0 = [float(df.loc[["S"]].iloc[0]["abundance"]),
           float(df.loc[["V"]].iloc[0]["abundance"])]
 
@@ -70,6 +75,84 @@ def main(n_iters=60, n_chains=3, t_steps=288):
                           / (2 * obs_sig[s] ** 2)).sum())
         return tot
 
+    return times, y0, chi_of
+
+
+def _timed(fn, reps):
+    fn()  # warm caches
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def config1_single_solve(reps=50):
+    """Single LSODA solve on the 288-point grid + chi (call stack 3.2)."""
+    times, y0, chi_of = _setup()
+    ps = np.array([0.9, 3.0e-8, 25.0])
+
+    def run():
+        chi_of(odeint(zero_i, y0, times, args=(ps,)))
+
+    med = _timed(run, reps)
+    return {"metric": "LSODA integrate+chi latency (288-grid)",
+            "value_ms": round(med * 1e3, 3)}
+
+
+def config2_single_chain(nits=1000):
+    """One full 1000-iteration MH chain, serial (Samplers.py:104-153)."""
+    times, y0, chi_of = _setup()
+    np.random.seed(0)
+    ps = np.array([0.9, 3.0e-8, 25.0])
+    chi = chi_of(odeint(zero_i, y0, times, args=(ps,)))
+    t0 = time.perf_counter()
+    for it in range(1, nits):
+        prop = np.exp(np.log(ps) + np.random.normal(0, 0.05, ps.shape))
+        mod = odeint(zero_i, y0, times, args=(prop,))
+        chinew = chi_of(mod)
+        if np.exp(chi - chinew) > np.random.rand():
+            ps, chi = prop, chinew
+    elapsed = time.perf_counter() - t0
+    return {"metric": f"single-chain MH, {nits} iterations (serial LSODA)",
+            "value_ms": round(elapsed * 1e3, 1), "iterations": nits}
+
+
+def config3_lv_sweep(n=64):
+    """Serial Lotka-Volterra equilibrium sweep (explore_equilibriums cost
+    structure: one LSODA solve per LHS draw, keep the final state)."""
+
+    def lv(y, t, ps):
+        a, b, c, d = ps
+        x, z = y
+        return np.array([a * x - b * x * z, c * b * x * z - d * z])
+
+    rng = np.random.default_rng(0)
+    draws = np.array([1.1, 0.4, 0.1, 0.4]) * np.exp(
+        rng.normal(0, 0.3, (n, 4)))
+    ts = np.linspace(0, 50, 64)
+    y0 = [10.0, 5.0]
+
+    t0 = time.perf_counter()
+    for ps in draws:
+        _ = odeint(lv, y0, ts, args=(ps,))[-1]
+    elapsed = time.perf_counter() - t0
+    return {"metric": f"Lotka-Volterra sweep, {n} serial LSODA trajectories",
+            "value_traj_per_s": round(n / elapsed, 1),
+            "elapsed_ms": round(elapsed * 1e3, 1)}
+
+
+def config4_chain_steps(n_iters=200, n_chains=3):
+    """Serial reference MCMC chain-steps/sec — the headline denominator."""
+    df = load_demo()
+    times, y0, chi_of = _setup()
+    tidx, obs_log = {}, {}
+    for s in set(df.index):
+        sub = df.loc[[s]]
+        tidx[s] = np.array([np.argmin(np.abs(t - times))
+                            for t in sub["time"].to_numpy()])
+        obs_log[s] = sub["log_abundance"].to_numpy()
     steps = 0
     np.random.seed(0)
     start = time.perf_counter()
@@ -91,20 +174,59 @@ def main(n_iters=60, n_chains=3, t_steps=288):
                 _ = 2 * chi + 2 * 3
             steps += 1
     elapsed = time.perf_counter() - start
-    rate = steps / elapsed
+    return {"metric": "serial reference MCMC chain-steps/sec (scipy LSODA, "
+                      "zero_i, 288-grid)",
+            "value": steps / elapsed, "chains": n_chains,
+            "iterations": n_iters, "elapsed_s": elapsed}
+
+
+def config5_robertson(n=32):
+    """Serial stiff Robertson solves (LSODA auto-switches to BDF — the
+    reference's transparent stiff coverage, Framework.py:4,656)."""
+
+    def rober(y, t, k):
+        k1, k2, k3 = k
+        y1, y2, y3 = y
+        return np.array([-k1 * y1 + k3 * y2 * y3,
+                         k1 * y1 - k2 * y2 * y2 - k3 * y2 * y3,
+                         k2 * y2 * y2])
+
+    rng = np.random.default_rng(0)
+    ks = np.array([0.04, 3e7, 1e4]) * np.exp(rng.normal(0, 0.1, (n, 3)))
+    ts = np.concatenate([[0.0], np.geomspace(1e-5, 1e3, 31)])
+    y0 = [1.0, 0.0, 0.0]
+
+    t0 = time.perf_counter()
+    for k in ks:
+        _ = odeint(rober, y0, ts, args=(k,), rtol=1e-5, atol=1e-8)[-1]
+    elapsed = time.perf_counter() - t0
+    return {"metric": f"stiff Robertson, {n} serial LSODA solves",
+            "value_solves_per_s": round(n / elapsed, 1),
+            "elapsed_ms": round(elapsed * 1e3, 1)}
+
+
+def main():
+    configs = {
+        "1": config1_single_solve(),
+        "2": config2_single_chain(),
+        "3": config3_lv_sweep(),
+        "4": config4_chain_steps(),
+        "5": config5_robertson(),
+    }
     out = {
-        "metric": "serial reference MCMC chain-steps/sec (scipy LSODA, "
-                  "zero_i, 288-grid)",
-        "value": rate,
-        "chains": n_chains,
-        "iterations": n_iters,
-        "elapsed_s": elapsed,
+        # top level mirrors config 4 for bench.py compatibility
+        "metric": configs["4"]["metric"],
+        "value": configs["4"]["value"],
+        "chains": configs["4"]["chains"],
+        "iterations": configs["4"]["iterations"],
+        "elapsed_s": configs["4"]["elapsed_s"],
+        "configs": configs,
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BASELINE_MEASURED.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
-    return rate
+    return out
 
 
 if __name__ == "__main__":
