@@ -1,0 +1,306 @@
+"""Author examples/Demo_InfectionStates.ipynb programmatically.
+
+Mirrors the narrative arc of the reference's 40-cell demo
+(/root/reference/demo/Demo_InfectionStates.ipynb, SURVEY.md C21) — same
+three models, same data, same workload shapes (32 chains x 1000 iterations,
+10k LHS survey) — written fresh for the TPU-native framework. Execute with:
+
+    python examples/make_notebook.py          # writes the unexecuted nb
+    jupyter nbconvert --to notebook --execute --inplace \
+        examples/Demo_InfectionStates.ipynb
+"""
+import json
+import os
+
+C, M = "code", "markdown"
+
+CELLS = [
+    (M, """\
+# Demo notebook for odelib_tpu — Modeling Infection States
+
+TPU-native rebuild of ODElib's demo (`demo/Demo_InfectionStates.ipynb` in the
+reference): Bayesian fitting of host–virus infection ODE models to
+experimental time series. Everything the reference notebook does happens
+here with the same API — but chains run as vectorized device lanes (one
+fused TPU kernel on real hardware, XLA elsewhere) instead of one CPU process
+per chain."""),
+    (C, """\
+import os
+import warnings
+warnings.filterwarnings('ignore')
+
+import numpy as np
+import pandas as pd
+import scipy.stats
+import matplotlib
+matplotlib.rcParams['figure.dpi'] = 72
+import matplotlib.pyplot as plt
+
+import sys
+sys.path.insert(0, os.path.abspath('..'))
+if os.environ.get('ODELIB_DEMO_CPU'):          # CI executes on CPU
+    import jax; jax.config.update('jax_platforms', 'cpu')
+import jax
+import odelib_tpu
+from odelib_tpu import ModelFramework, parameter
+
+# CI smoke-executes this notebook with tiny shapes; the committed outputs
+# use the reference demo's full workload (32 chains x 1000 its, 10k survey).
+FAST = bool(os.environ.get('ODELIB_DEMO_FAST'))
+N_CHAINS, N_ITERS, N_SURVEY = (8, 100, 512) if FAST else (32, 1000, 10000)
+
+print('devices:', jax.devices())"""),
+    (M, """\
+# Writing your models
+
+Models are plain Python functions `f(y, t, ps)` returning `dy/dt` — the same
+signature the reference uses, so existing ODElib model code works verbatim.
+The framework traces them with JAX for the device hot loops (use `np.array`
+or `jnp.stack` for the return; both trace).
+
+We define three candidate mechanisms for the same experiment:
+* `zero_i` — infection kills the host instantly (no infected class),
+* `one_i` — one infected class `I1` with lysis rate `lam`,
+* `two_i` — two infected classes with transition rate `tau`."""),
+    (C, '''\
+def zero_i(y, t, ps):
+    """Host-virus model, no infected class."""
+    mu, phi, beta = ps[0], ps[1], ps[2]
+    S, V = y[0], y[1]
+    dSdt = mu * S - phi * S * V
+    dVdt = beta * phi * S * V - phi * S * V
+    return np.array([dSdt, dVdt])
+
+def one_i(y, t, ps):
+    """One infected class: S -> I1 -> lysis."""
+    mu, phi, beta, lam = ps[0], ps[1], ps[2], ps[3]
+    S, I1, V = y[0], y[1], y[2]
+    dSdt = mu * S - phi * S * V
+    dI1dt = phi * S * V - lam * I1
+    dVdt = beta * lam * I1 - phi * S * V
+    return np.array([dSdt, dI1dt, dVdt])
+
+def two_i(y, t, ps):
+    """Two infected classes with transition rate tau."""
+    mu, phi, beta, lam, tau = ps[0], ps[1], ps[2], ps[3], ps[4]
+    S, I1, I2, V = y[0], y[1], y[2], y[3]
+    dSdt = mu * S - phi * S * V
+    dI1dt = phi * S * V - tau * I1
+    dI2dt = tau * I1 - lam * I2
+    dVdt = beta * lam * I2 - phi * S * V
+    return np.array([dSdt, dI1dt, dI2dt, dVdt])'''),
+    (M, """\
+# The data
+
+Host and virus abundances over ~3 days with per-point log-space standard
+deviations (`log_sigma` schema; the framework also accepts the replicate
+schema and computes log-moments itself)."""),
+    (C, """\
+path = '/root/reference/demo/demodata.csv'
+if os.path.exists(path):
+    df = pd.read_csv(path)
+else:                       # synthetic stand-in with the same shape
+    sys.path.insert(0, os.path.abspath('../tests'))
+    from helpers import synthetic_df
+    df = synthetic_df().replace({'S': 'host', 'V': 'virus'})
+df"""),
+    (C, """\
+df = df.replace({'virus': 'V', 'host': 'S'})  # match the model state names
+df.head()"""),
+    (M, """\
+# Initializing parameters and the ModelFramework
+
+Each fitted parameter carries a scipy-style prior (`stats_gen` +
+`hyperparameters`); an initial value is drawn from the prior at
+construction. Pass `random_seed=` for reproducible draws (the reference
+leaves construction draws unseeded)."""),
+    (C, """\
+mu_prior = parameter(stats_gen=scipy.stats.lognorm,
+                     hyperparameters={'s': 3, 'scale': 1e-8}, random_seed=1)
+phi_prior = parameter(stats_gen=scipy.stats.lognorm,
+                      hyperparameters={'s': 3, 'scale': 1e-8}, random_seed=2)
+beta_prior = parameter(stats_gen=scipy.stats.lognorm,
+                       hyperparameters={'s': 1, 'scale': 25}, random_seed=3)
+
+zeroI = ModelFramework(ODE=zero_i,
+                       parameter_names=['mu', 'phi', 'beta'],
+                       state_names=['S', 'V'],
+                       dataframe=df,
+                       mu=mu_prior, phi=phi_prior, beta=beta_prior,
+                       t_steps=288, random_seed=0)
+zeroI"""),
+    (M, "Prior histograms (`parameter.get_figure`):"),
+    (C, """\
+fig = mu_prior.get_figure(samples=2000, logspace=True)
+plt.show()"""),
+    (M, """\
+# Poor fits
+
+The initial parameter values are raw prior draws, so the model curve
+(dashed) misses the data (errorbars):"""),
+    (C, """\
+f = zeroI.plot()
+plt.show()"""),
+    (M, """\
+# MCMC
+
+One call runs the whole reference pipeline — Latin-hypercube pre-survey,
+chi-threshold chain seeding, and every chain's full
+propose→integrate→score→accept loop — as device programs. The workload
+shape matches the reference demo (32 chains × 1000 iterations, 10,000 LHS
+samples); on a TPU the chain loop is a single fused Pallas kernel and takes
+milliseconds, so feel free to raise `chain_inits` to 10,000."""),
+    (C, """\
+posterior = zeroI.MCMC(chain_inits=N_CHAINS, iterations_per_chain=N_ITERS,
+                       fitsurvey_samples=N_SURVEY, sd_fitdistance=6.0)"""),
+    (C, "posterior"),
+    (C, '''\
+def plot_histogram(series, logspace=True, name=None):
+    """Posterior marginal histogram (reference demo cell 15)."""
+    fig, ax = plt.subplots(figsize=(5, 3))
+    s = pd.Series(series).dropna()
+    if logspace:
+        bins = np.logspace(np.log10(s.min()), np.log10(s.max()), 50)
+        ax.set_xscale('log')
+    else:
+        bins = np.linspace(s.min(), s.max(), 50)
+    ax.hist(s, bins=bins)
+    ax.set_title(name)
+    plt.show()
+    return ax'''),
+    (C, "_ = plot_histogram(posterior['mu'], name='mu posterior')"),
+    (C, "_ = plot_histogram(posterior['phi'], name='phi posterior')"),
+    (C, "_ = plot_histogram(posterior['beta'], name='beta posterior', "
+        "logspace=False)"),
+    (M, """\
+`MCMC` already pushed the best posterior sample into the framework
+(`set_best_params`), so the fit overlay now tracks the data:"""),
+    (C, """\
+f = zeroI.plot()
+plt.show()
+zeroI.get_fitstats()"""),
+    (M, """\
+# Results from zeroI
+
+`beta` and `phi` are well constrained while `mu` stays broad — killing the
+host instantly fits the virus curve but limits how well the host decline is
+captured. Next, add an explicit infected class. The observed 'host' is then
+the **sum** of susceptible and infected cells: `state_summations` maps the
+observable `H` to `S + I1`, and the initial susceptible population is set
+directly (`S=5236900`) since only `H = S + I1` is observed at t=0."""),
+    (C, """\
+df1 = df.replace({'S': 'H'})
+oneI = ModelFramework(ODE=one_i,
+                      parameter_names=['mu', 'phi', 'beta', 'lam'],
+                      state_names=['S', 'I1', 'V'],
+                      dataframe=df1,
+                      state_summations={'H': ['S', 'I1']},
+                      mu=parameter(scipy.stats.lognorm, {'s': 3, 'scale': 1e-8}, random_seed=4),
+                      phi=parameter(scipy.stats.lognorm, {'s': 3, 'scale': 1e-8}, random_seed=5),
+                      beta=parameter(scipy.stats.lognorm, {'s': 1, 'scale': 20}, random_seed=6),
+                      lam=parameter(scipy.stats.lognorm, {'s': 2, 'scale': 0.1}, random_seed=7),
+                      S=5236900, t_steps=288, random_seed=1)
+posterior_onei = oneI.MCMC(chain_inits=N_CHAINS, iterations_per_chain=N_ITERS,
+                           fitsurvey_samples=N_SURVEY, sd_fitdistance=10.0)"""),
+    (C, "_ = plot_histogram(posterior_onei['mu'], name='mu posterior (oneI)')"),
+    (C, "_ = plot_histogram(posterior_onei['phi'], name='phi posterior (oneI)')"),
+    (C, "_ = plot_histogram(posterior_onei['beta'], name='beta posterior (oneI)', logspace=False)"),
+    (C, "_ = plot_histogram(posterior_onei['lam'], name='lambda posterior (oneI)')"),
+    (C, """\
+f = oneI.plot()
+plt.show()
+oneI.get_fitstats()"""),
+    (M, """\
+# One infection state results
+
+`phi`, `beta` and now `lam` are constrained; the infected-class model tracks
+the host decline. Finally, split the infected pool into two sequential
+classes (latent then lysing) with transition rate `tau`:"""),
+    (C, """\
+twoI = ModelFramework(ODE=two_i,
+                      parameter_names=['mu', 'phi', 'beta', 'lam', 'tau'],
+                      state_names=['S', 'I1', 'I2', 'V'],
+                      dataframe=df1,
+                      state_summations={'H': ['S', 'I1', 'I2']},
+                      mu=parameter(scipy.stats.lognorm, {'s': 3, 'scale': 1e-8}, random_seed=8),
+                      phi=parameter(scipy.stats.lognorm, {'s': 3, 'scale': 1e-8}, random_seed=9),
+                      beta=parameter(scipy.stats.lognorm, {'s': 1, 'scale': 20}, random_seed=10),
+                      lam=parameter(scipy.stats.lognorm, {'s': 2, 'scale': 0.1}, random_seed=11),
+                      tau=parameter(scipy.stats.lognorm, {'s': 2, 'scale': 1}, random_seed=12),
+                      S=5236900, t_steps=288, random_seed=2)
+posterior_twoi = twoI.MCMC(chain_inits=N_CHAINS, iterations_per_chain=N_ITERS,
+                           fitsurvey_samples=N_SURVEY, sd_fitdistance=10.0)"""),
+    (C, "_ = plot_histogram(posterior_twoi['mu'], name='mu posterior (twoI)')"),
+    (C, "_ = plot_histogram(posterior_twoi['phi'], name='phi posterior (twoI)')"),
+    (C, "_ = plot_histogram(posterior_twoi['beta'], name='beta posterior (twoI)', logspace=False)"),
+    (C, "_ = plot_histogram(posterior_twoi['lam'], name='lambda posterior (twoI)')"),
+    (C, "_ = plot_histogram(posterior_twoi['tau'], name='tau posterior (twoI)')"),
+    (M, """\
+# Bonus trace figures to watch chains changing parameter values
+
+Each chain's post-burn-in trajectory through parameter space:"""),
+    (C, """\
+ax = posterior[posterior['chain#'] == 0].plot(
+    x='iteration', y='phi', logy=True, legend=False,
+    title='phi trace, chain 0 (zeroI)')
+plt.show()"""),
+    (C, """\
+fig, axs = plt.subplots(3, 1, figsize=(9, 6), sharex=True)
+for ax, p in zip(axs, ('mu', 'phi', 'beta')):
+    for c, g in posterior.groupby('chain#'):
+        ax.plot(g['iteration'], g[p], lw=0.7, alpha=0.8)
+    ax.set_ylabel(p); ax.set_yscale('log')
+axs[-1].set_xlabel('iteration')
+plt.show()"""),
+    (M, """\
+# Model comparison by AIC
+
+Which mechanism does the data prefer? (Lower AIC wins; the reference leaves
+this comparison to the reader — here it's one loop.)"""),
+    (C, """\
+rows = []
+for name, m in (('zero_i', zeroI), ('one_i', oneI), ('two_i', twoI)):
+    fs = m.get_fitstats()
+    rows.append({'model': name, 'Chi': fs['Chi'], 'R^2': fs['R^2'],
+                 'AIC': fs['AIC']})
+comparison = pd.DataFrame(rows).sort_values('AIC').reset_index(drop=True)
+comparison"""),
+    (M, """\
+# Scaling out
+
+Everything above also runs (a) **fused on a real TPU chip** — `MCMC`
+auto-selects the single-dispatch Pallas kernel, ~100M chain-steps/s at 10k
+chains — and (b) **sharded over a TPU pod slice**: chains are pure data
+parallelism over a 1-D `jax.sharding.Mesh`, RNG streams are keyed on global
+chain index so results are bitwise-identical to the single-chip run. See
+`docs/DESIGN.md` and `bench/suite.py`; `BASELINE.md` records the measured
+speedups vs the reference (26×–94,000× depending on workload)."""),
+]
+
+
+def main():
+    nb = {
+        "cells": [
+            {"cell_type": t, "metadata": {},
+             "source": [ln + "\n" for ln in src.splitlines()][:-1]
+             + [src.splitlines()[-1]],
+             **({"outputs": [], "execution_count": None} if t == C else {})}
+            for t, src in CELLS
+        ],
+        "metadata": {
+            "kernelspec": {"display_name": "Python 3", "language": "python",
+                           "name": "python3"},
+            "language_info": {"name": "python", "version": "3"},
+        },
+        "nbformat": 4,
+        "nbformat_minor": 5,
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "Demo_InfectionStates.ipynb")
+    with open(out, "w") as f:
+        json.dump(nb, f, indent=1)
+    print(f"wrote {out} ({len(CELLS)} cells)")
+
+
+if __name__ == "__main__":
+    main()
