@@ -249,11 +249,18 @@ def config4b_full_grid_adaptive(base):
 
 
 def config5_stiff_and_aic(base):
-    """Stiff batch (Robertson, Kvaerno5) + the 3-model AIC comparison."""
+    """Stiff batch (Robertson) + the 3-model AIC comparison.
+
+    Headline: the batched stiff FAST path — fixed-step Kvaerno3 ESDIRK
+    (odeint_fixed, chord-Newton in registers) on the geomspace output grid,
+    which tracks the problem's time scales with zero per-lane divergence.
+    Accuracy is verified in-bench against high-accuracy LSODA (the adaptive
+    batch, serialized by its worst lane, is reported alongside).
+    """
     import jax
     import jax.numpy as jnp
 
-    from odelib_tpu.ops.integrate import odeint_grid
+    from odelib_tpu.ops.integrate import odeint_fixed, odeint_grid
 
     def rober(t, y, k):
         k1, k2, k3 = k
@@ -266,24 +273,44 @@ def config5_stiff_and_aic(base):
     rng = np.random.default_rng(0)
     ks = jnp.asarray(np.array([0.04, 3e7, 1e4])
                      * np.exp(rng.normal(0, 0.1, (N, 3))), jnp.float32)
-    ts = jnp.asarray(np.concatenate([[0.0], np.geomspace(1e-5, 1e3, 31)]),
-                     jnp.float32)
+    ts_np = np.concatenate([[0.0], np.geomspace(1e-5, 1e3, 31)])
+    ts = jnp.asarray(ts_np, jnp.float32)
     y0 = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
 
-    solve = jax.jit(jax.vmap(
+    solve_fixed = jax.jit(jax.vmap(
+        lambda k: odeint_fixed(rober, y0, ts, k, substeps=8,
+                               method="kvaerno3").ys[-1]))
+    solve_adapt = jax.jit(jax.vmap(
         lambda k: odeint_grid(rober, y0, ts, k, rtol=1e-5, atol=1e-8,
                               method="kvaerno5", max_steps=4096).ys[-1]))
 
-    def run():
-        _sync(solve(ks)[-1:, -1:])
+    med = _timed(lambda: _sync(solve_fixed(ks)[-1:, -1:]), reps=3)
+    med_adapt = _timed(lambda: _sync(solve_adapt(ks)[-1:, -1:]), reps=3)
 
-    med = _timed(run, reps=3)
+    # honesty gate: the fast path must actually be accurate
+    from scipy.integrate import odeint as scipy_odeint
+    ref = scipy_odeint(
+        lambda y, t, kk: np.array(
+            [-kk[0] * y[0] + kk[2] * y[1] * y[2],
+             kk[0] * y[0] - kk[1] * y[1] ** 2 - kk[2] * y[1] * y[2],
+             kk[1] * y[1] ** 2]),
+        [1.0, 0.0, 0.0], ts_np, args=((0.04, 3e7, 1e4),),
+        rtol=1e-10, atol=1e-14)[-1]
+    got = np.asarray(solve_fixed(jnp.asarray(
+        np.tile([0.04, 3e7, 1e4], (N, 1)), jnp.float32)))[0]
+    max_rel = float(np.max(np.abs(got - ref) / np.maximum(np.abs(ref),
+                                                          1e-10)))
+    assert max_rel < 1e-3, f"stiff fast path inaccurate: {max_rel:.2e}"
+
     rate = N / med
     ref_rate = base.get("5", {}).get("value_solves_per_s")
     return {"config": 5,
-            "metric": f"stiff Robertson batch ({N} Kvaerno5 solves)",
+            "metric": f"stiff Robertson batch ({N} fixed-Kvaerno3 ESDIRK "
+                      "solves, geomspace grid)",
             "value": round(rate, 1), "unit": "solves/sec",
             "elapsed_ms": round(med * 1e3, 2),
+            "final_state_max_rel_err_vs_lsoda": round(max_rel, 8),
+            "adaptive_kvaerno5_solves_per_s": round(N / med_adapt, 1),
             "baseline_solves_per_s": ref_rate,
             "vs_baseline": round(rate / ref_rate, 1) if ref_rate else None,
             "aic_ranking": "see examples/demo_infection_states.py"}

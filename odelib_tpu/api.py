@@ -772,7 +772,8 @@ class ModelFramework:
     def MCMC(self, chain_inits=1, iterations_per_chain=1000, cpu_cores=1,
              static_parameters=(), print_report=True, fitsurvey_samples=1000,
              sd_fitdistance=3.0, use_priors=False, rwalk_std=0.05,
-             checkpoint_path=None, backend="auto", burnin=None,
+             checkpoint_path=None, checkpoint_every=None, resume_from=None,
+             backend="auto", burnin=None,
              profile=False, pallas_interpret=False, pallas_tile_chains=1024,
              **solver_kw):
         """Markov Chain Monte Carlo over vmapped+mesh-sharded chains.
@@ -798,7 +799,11 @@ class ModelFramework:
           (:mod:`odelib_tpu.utils.profiling`);
         * ``pallas_interpret`` / ``pallas_tile_chains``: advanced knobs for
           the fused backend — interpreter emulation (CPU testing of the
-          kernel path) and the per-dispatch chain tile size.
+          kernel path) and the per-dispatch chain tile size;
+        * ``checkpoint_every=N`` (fused backend): persist chain state and
+          records every N iterations to ``<checkpoint_path>.progress`` so a
+          killed run resumes bit-exact via ``resume_from=<that file>``
+          (the reference has no persistence at all — SURVEY.md section 5.4).
         """
         from .utils.profiling import StageTimer
         timer = StageTimer() if profile else None
@@ -825,7 +830,7 @@ class ModelFramework:
             # method, exotic priors, array params) takes XLA
             backend = "pallas" if (
                 jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
-                and method in ("dopri5", "rk4")
+                and method in ("dopri5", "rk4", "kvaerno3")
                 and (not use_priors or pallas_priors is not None)
                 and not any(s for s in self._spec.pshapes)) else "xla"
         if backend == "pallas" and use_priors and pallas_priors is None:
@@ -833,11 +838,12 @@ class ModelFramework:
                 "backend='pallas' with use_priors=True requires every prior "
                 "to be a kernel-supported family (Normal, LogNormal, "
                 "Uniform, Gamma, TruncNormal); use backend='xla'")
-        if backend == "pallas" and method not in ("dopri5", "rk4"):
+        if backend == "pallas" and method not in ("dopri5", "rk4",
+                                                  "kvaerno3"):
             warnings.warn(
-                f"backend='pallas' integrates fixed-step dopri5; the "
-                f"configured method={method!r} (stiff/adaptive) is not "
-                f"honored there — use backend='xla' to keep it")
+                f"backend='pallas' integrates fixed-step dopri5/rk4/"
+                f"kvaerno3; the configured method={method!r} is not honored "
+                f"there — use backend='xla' to keep it")
 
         if isinstance(chain_inits, pd.DataFrame):
             chain_inits = [row.to_dict() for _, row in
@@ -855,7 +861,8 @@ class ModelFramework:
                 chis = np.asarray(survey_fused(
                     self._spec, self._obsdata_fit_host, self._times_fit,
                     self.get_inits(), thetas, substeps=substeps,
-                    stepper="rk4" if method == "rk4" else "dopri5",
+                    stepper=method if method in ("rk4", "kvaerno3")
+                    else "dopri5",
                     tile_chains=int(pallas_tile_chains),
                     interpret=bool(pallas_interpret)))
                 fitsurvey = ps[self.get_pnames()].copy()
@@ -930,18 +937,33 @@ class ModelFramework:
             timer.times["survey+seeding"] = time.perf_counter() - _t0
             _t0 = time.perf_counter()
 
+        if checkpoint_every is not None and backend != "pallas":
+            warnings.warn("checkpoint_every is only supported on the fused "
+                          "(pallas) backend; running without periodic "
+                          "checkpoints")
         if backend == "pallas":
             from .ops.pallas_mh import metropolis_hastings_fused
+            progress_path = None
+            if checkpoint_every is not None:
+                if checkpoint_path is None:
+                    raise ValueError(
+                        "checkpoint_every requires checkpoint_path (chain "
+                        "state is persisted to <checkpoint_path>.progress)")
+                progress_path = checkpoint_path + ".progress"
             out = metropolis_hastings_fused(
                 self._spec, self._obsdata_fit_host, self._times_fit,
                 self.get_inits(), np.asarray(theta0, np.float32),
                 seed=int(self.random_seed), nits=nits, burnin=burnin,
                 walk_mask=mask, rwalk_std=rwalk_std,
-                stepper="rk4" if method == "rk4" else "dopri5",
+                stepper=method if method in ("rk4", "kvaerno3")
+                    else "dopri5",
                 substeps=substeps,
                 priors=pallas_priors if use_priors else None,
                 tile_chains=int(pallas_tile_chains),
                 interpret=bool(pallas_interpret),
+                checkpoint_every=checkpoint_every,
+                checkpoint_path=progress_path,
+                resume_from=resume_from,
                 mesh=chain_mesh() if (jax.device_count() > 1
                                       and not pallas_interpret) else None)
         else:

@@ -29,6 +29,7 @@ chains).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import lru_cache
 from typing import NamedTuple, Optional, Sequence
 
@@ -72,6 +73,20 @@ def _rk4_fixed_step(rhs, t, y, h, ps):
     k3 = rhs(t + 0.5 * h, y + 0.5 * h * k2, ps)
     k4 = rhs(t + h, y + h * k3, ps)
     return y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+# The fused STIFF stepper — fixed-step Kvaerno3 ESDIRK with chord-Newton
+# stage solves, Mosaic-lowerable by construction (shared with
+# odeint_fixed(method='kvaerno3'); implementation + rationale in
+# ops/runge_kutta.py). Covers LSODA's stiff half inside the fused MH kernel
+# (the reference reaches it through scipy odeint, Framework.py:4,656).
+from .runge_kutta import kvaerno3_fixed_step as _kvaerno3_fixed_step  # noqa: E402
+
+_FIXED_STEPPERS = {
+    "dopri5": _dopri5_fixed_step,
+    "rk4": _rk4_fixed_step,
+    "kvaerno3": _kvaerno3_fixed_step,
+}
 
 
 def _mix(x):
@@ -316,7 +331,11 @@ def metropolis_hastings_fused(
         walk_mask: Optional[Sequence[float]] = None, rwalk_std: float = 0.05,
         substeps: int = 4, stepper: str = "dopri5",
         tile_chains: int = 1024, interpret: bool = False,
-        mesh=None, priors=None, _rec_cap: Optional[int] = None):
+        mesh=None, priors=None, checkpoint_every: Optional[int] = None,
+        checkpoint_path: Optional[str] = None,
+        resume_from: Optional[str] = None,
+        _stop_after_chunks: Optional[int] = None,
+        _rec_cap: Optional[int] = None):
     """Run C chains of reference-semantics MH fully inside a Pallas kernel.
 
     theta0: (C, P) float32 (C padded to a multiple of tile_chains
@@ -395,16 +414,25 @@ def metropolis_hastings_fused(
         else:
             priors = tuple(None if d is None else _static_prior(d)
                            for d in priors)
+    # feed in the kernel's native (P, C//128, 128) layout so every in-kernel
+    # store/load is a plain (sub, 128) tile op (a flat (tile,) row would
+    # cost a cross-lane relayout per store)
+    theta_tiles = jnp.asarray(theta0.T.reshape(P, C // _LANES, _LANES))
+
+    if checkpoint_every is not None or resume_from is not None:
+        return _mh_fused_chunked(
+            spec, plan, y0_key, P, tile, C, nits, burnin, walk,
+            float(rwalk_std), num, stepper, substeps, bool(interpret), C0,
+            mesh, priors, theta_tiles, int(seed),
+            checkpoint_every if checkpoint_every is not None else nits,
+            checkpoint_path, resume_from, _stop_after_chunks)
+
     run = _cached_mh_run(spec, plan, y0_key, P, tile, C, L_SEG, n_segs,
                          nits, walk, float(rwalk_std), num, stepper,
                          substeps, bool(interpret), C0, burnin, mesh,
                          priors)
-    # feed in the kernel's native (P, C//128, 128) layout so every in-kernel
-    # store/load is a plain (sub, 128) tile op (a flat (tile,) row would
-    # cost a cross-lane relayout per store)
-    theta_tiles = theta0.T.reshape(P, C // _LANES, _LANES)
     theta_s, chi_s, rsq_s, aic_s, ar_s = run(
-        jnp.asarray([seed], jnp.int32), jnp.asarray(theta_tiles))
+        jnp.asarray([seed], jnp.int32), theta_tiles)
     iterations = jnp.arange(1, nits)[burnin:]
     from ..samplers.mh import MHOutput
     return MHOutput(theta=theta_s, chi=chi_s, rsquared=rsq_s, aic=aic_s,
@@ -465,10 +493,154 @@ def _cached_mh_run(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
     return jax.jit(run)
 
 
+@lru_cache(maxsize=128)
+def _cached_mh_run_chunk(spec, plan, y0_key, P, tile, C, L_SEG, n_segs,
+                         nits, walk, rwalk_std, num, stepper, substeps,
+                         interpret, C0, mesh, priors, R_chunk, resume):
+    """Jitted program for ONE checkpoint chunk: kernel + record postprocess.
+
+    Returns (theta (C0,R_chunk,P), chi, rsq, aic, ar (C0,R_chunk),
+    state (P+4, C//128, 128)) — burnin slicing happens on the host across
+    chunks. See :func:`_cached_mh_grid` (R_chunk mode) for bitwise-equality
+    guarantees with the single-dispatch kernel.
+    """
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    C_local = C // n_dev
+    inner = _cached_mh_grid(spec, plan, y0_key, P, tile, C_local, L_SEG,
+                            n_segs, nits, walk, rwalk_std, num, stepper,
+                            substeps, interpret, priors,
+                            R_chunk=R_chunk, resume=resume)
+    padded_R = n_segs * L_SEG
+
+    def local_run(seed_arr, off_arr, itb_arr, theta_tiles, state_in):
+        ins = (seed_arr, off_arr, itb_arr)
+        if resume:
+            ins = ins + (state_in,)
+        *recs, state = inner(*ins, theta_tiles)
+        th_r, chi_r, rsq_r, aic_r, ar_r = [
+            o.reshape(padded_R, -1, C_local) for o in recs]
+        theta_s = jnp.transpose(th_r, (2, 0, 1))[:, :R_chunk]
+        sq = lambda a: jnp.transpose(a[:, 0, :], (1, 0))[:, :R_chunk]
+        return theta_s, sq(chi_r), sq(rsq_r), sq(aic_r), sq(ar_r), state
+
+    if mesh is None:
+        def run(seed_arr, itb_arr, theta_tiles, state_in=None):
+            outs = local_run(seed_arr, jnp.zeros((1,), jnp.int32), itb_arr,
+                             theta_tiles, state_in)
+            return tuple(o[:C0] for o in outs[:5]) + (outs[5],)
+    else:
+        from jax.sharding import PartitionSpec as PS
+        axis = mesh.axis_names[0]
+        tiles_local = C_local // tile
+        state_spec = PS(None, axis, None)
+
+        def shard_body(seed_arr, itb_arr, theta_tiles, state_in):
+            off = (jax.lax.axis_index(axis) * tiles_local)[None].astype(
+                jnp.int32)
+            return local_run(seed_arr, off, itb_arr, theta_tiles, state_in)
+
+        in_specs = (PS(), PS(), PS(None, axis, None),
+                    state_spec if resume else PS())
+        smap = jax.shard_map(
+            shard_body, mesh=mesh, in_specs=in_specs,
+            out_specs=tuple([PS(axis)] * 5) + (state_spec,),
+            check_vma=False)
+
+        def run(seed_arr, itb_arr, theta_tiles, state_in=None):
+            if state_in is None:   # dummy replicated placeholder
+                state_in = jnp.zeros((0,), jnp.float32)
+            outs = smap(seed_arr, itb_arr, theta_tiles, state_in)
+            return tuple(o[:C0] for o in outs[:5]) + (outs[5],)
+
+    return jax.jit(run)
+
+
+def _mh_fused_chunked(spec, plan, y0_key, P, tile, C, nits, burnin, walk,
+                      rwalk_std, num, stepper, substeps, interpret, C0,
+                      mesh, priors, theta_tiles, seed, checkpoint_every,
+                      checkpoint_path, resume_from, _stop_after_chunks=None):
+    """Checkpointed fused MH: the run is split into chunks of
+    ``checkpoint_every`` proposals; after each chunk the chain state and the
+    records so far are persisted (npz) so a killed run resumes bit-exact
+    (SURVEY.md section 5.4 gap; VERDICT r1 task 6).
+
+    ``_stop_after_chunks``: test hook simulating a mid-run kill — the
+    function persists that many chunks and returns None.
+    """
+    import json as _json
+
+    R = nits - 1
+    E = int(checkpoint_every)
+    if E < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    n_chunks = -(-R // E)
+    sig = repr((spec.pnames, P, tile, C, nits, walk, rwalk_std, num,
+                stepper, substeps, C0, int(seed), priors,
+                None if mesh is None else int(mesh.devices.size)))
+    seed_arr = jnp.asarray([seed], jnp.int32)
+
+    k0, state, recs = 0, None, []
+    if resume_from:
+        with np.load(resume_from, allow_pickle=False) as z:
+            saved_sig = bytes(z["sig"]).decode()
+            if saved_sig != sig:
+                raise ValueError(
+                    "checkpoint was written by a different MCMC "
+                    f"configuration:\n  saved: {saved_sig}\n  this:  {sig}")
+            k0 = int(z["next_chunk"])
+            state = z["state"]
+            if k0 > 0:
+                recs = [tuple(z[f"rec{i}"] for i in range(5))]
+
+    for k in range(k0, n_chunks):
+        R_chunk = min(E, R - k * E)
+        L_SEG = max(1, min(64, R_chunk,
+                           (2 * 1024 * 1024) // ((P + 4) * tile * 4)))
+        n_segs = -(-R_chunk // L_SEG)
+        run = _cached_mh_run_chunk(spec, plan, y0_key, P, tile, C, L_SEG,
+                                   n_segs, nits, walk, rwalk_std, num,
+                                   stepper, substeps, interpret, C0, mesh,
+                                   priors, R_chunk, resume=(k > 0))
+        itb = jnp.asarray([k * E], jnp.int32)
+        if k == 0:
+            outs = run(seed_arr, itb, theta_tiles)
+        else:
+            outs = run(seed_arr, itb, theta_tiles, jnp.asarray(state))
+        # d2h pull: inherent to checkpointing (this is the persistence point)
+        rec = tuple(np.asarray(o) for o in outs[:5])
+        state = np.asarray(outs[5])
+        recs.append(rec)
+        if checkpoint_path:
+            merged = tuple(np.concatenate([r[i] for r in recs], axis=1)
+                           for i in range(5))
+            recs = [merged]
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez_compressed(
+                    f, sig=np.frombuffer(sig.encode(), np.uint8),
+                    next_chunk=np.asarray(k + 1), state=state,
+                    **{f"rec{i}": merged[i] for i in range(5)})
+            os.replace(tmp, checkpoint_path)
+        if (_stop_after_chunks is not None
+                and k + 1 - k0 >= _stop_after_chunks and k + 1 < n_chunks):
+            return None
+
+    th, chi, rsq, aic, ar = (np.concatenate([r[i] for r in recs], axis=1)
+                             for i in range(5))
+    from ..samplers.mh import MHOutput
+    iterations = jnp.arange(1, nits)[burnin:]
+    return MHOutput(theta=jnp.asarray(th[:, burnin:]),
+                    chi=jnp.asarray(chi[:, burnin:]),
+                    rsquared=jnp.asarray(rsq[:, burnin:]),
+                    aic=jnp.asarray(aic[:, burnin:]),
+                    acceptance_ratio=jnp.asarray(ar[:, burnin:]),
+                    iteration=iterations)
+
+
 @lru_cache(maxsize=64)
 def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
                     walk, rwalk_std, num, stepper, substeps, interpret,
-                    priors=None):
+                    priors=None, R_chunk=None, resume=False):
     """Build (once per static config) the whole-run MH pallas_call.
 
     pallas_call tracing of the fully-unrolled kernel costs seconds of host
@@ -479,10 +651,19 @@ def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
     (rows past nits-2 are padding). Chain state lives in VMEM scratch across
     the sequential segment grid axis; iterations beyond the last real one
     are masked out of the accept decision so padding never perturbs state.
+
+    ``R_chunk``: checkpointed-chunk mode — the call covers only R_chunk
+    proposals starting at global iteration ``it_base+1`` (it_base is an
+    extra SMEM input), emits the final chain state as an extra output, and
+    with ``resume=True`` loads the incoming chain state from an extra input
+    instead of scoring theta0. Because the RNG is counter-based on the
+    GLOBAL iteration and chain state round-trips exactly (f32 in, f32 out),
+    a chunked run is bitwise identical to the single-dispatch run.
     """
+    stateful = R_chunk is not None
     sub = tile // _LANES
     shape = (sub, _LANES)
-    step_fn = _dopri5_fixed_step if stepper == "dopri5" else _rk4_fixed_step
+    step_fn = _FIXED_STEPPERS[stepper]
     score = _make_scorer_from_key(spec, plan, y0_key, step_fn, substeps)
     # static prior evaluators: prior-aware acceptance fully in-kernel
     lps = [None] * P if priors is None else [_kernel_logpdf(d)
@@ -496,8 +677,21 @@ def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
                 tot = tot + f(th)
         return tot
 
-    def kernel(seed_ref, off_ref, theta_in, theta_out, chi_out, rsq_out,
-               aic_out, ar_out, lt_s, chi_s, rsq_s, acc_s, lp_s):
+    def kernel(*refs):
+        if stateful and resume:
+            (seed_ref, off_ref, itb_ref, state_in, theta_in, theta_out,
+             chi_out, rsq_out, aic_out, ar_out, state_out,
+             lt_s, chi_s, rsq_s, acc_s, lp_s) = refs
+        elif stateful:
+            (seed_ref, off_ref, itb_ref, theta_in, theta_out,
+             chi_out, rsq_out, aic_out, ar_out, state_out,
+             lt_s, chi_s, rsq_s, acc_s, lp_s) = refs
+            state_in = None
+        else:
+            (seed_ref, off_ref, theta_in, theta_out,
+             chi_out, rsq_out, aic_out, ar_out,
+             lt_s, chi_s, rsq_s, acc_s, lp_s) = refs
+            itb_ref = state_in = state_out = None
         # off = this device's global tile offset (shard_map), so RNG streams
         # stay unique and sharding-invariant across the whole chain batch
         rng = _Rng(shape, seed_ref[0], pl.program_id(0) + off_ref[0], tile)
@@ -505,6 +699,14 @@ def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
 
         @pl.when(j == 0)
         def _init():
+            if stateful and resume:
+                for p in range(P):
+                    lt_s[p] = state_in[p]
+                chi_s[...] = state_in[P]
+                rsq_s[...] = state_in[P + 1]
+                acc_s[...] = state_in[P + 2]
+                lp_s[...] = state_in[P + 3]
+                return
             theta = [theta_in[p] for p in range(P)]
             chi0, rsq0 = score(theta, shape)
             for p in range(P):
@@ -516,11 +718,17 @@ def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
                          else jnp.zeros(shape, jnp.float32))
 
         it0 = 1 + j * L_SEG
+        if stateful:
+            it0 = it0 + itb_ref[0]
 
         def body(i, carry):
             logtheta, chi, rsq, acc_count, lp = carry
             it = it0 + i
             active = it < nits      # padding rows past the last proposal
+            if stateful:
+                # rows past this CHUNK's range belong to the next chunk —
+                # advancing state through them would double-apply them
+                active = active & (j * L_SEG + i < R_chunk)
             prop = [lt + (rwalk_std * walk[p]) * rng.normal(it)
                     if walk[p] != 0.0 else lt
                     for p, lt in enumerate(logtheta)]
@@ -559,6 +767,15 @@ def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
         rsq_s[...] = rsq
         acc_s[...] = acc_count
         lp_s[...] = lp
+        if stateful:
+            # the state block's index map ignores j, so the block stays
+            # resident across the segment axis; the last write wins
+            for p in range(P):
+                state_out[p] = logtheta[p]
+            state_out[P] = chi
+            state_out[P + 1] = rsq
+            state_out[P + 2] = acc_count
+            state_out[P + 3] = lp
 
     n_rows = C // _LANES   # chain axis as (rows of 128 lanes); tile = sub rows
 
@@ -577,14 +794,23 @@ def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
         [jax.ShapeDtypeStruct((padded_R, 1, n_rows, _LANES), jnp.float32)] * 4
     out_specs = [spec_rec(P)] + [spec_rec(1)] * 4
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),          # seed
+        pl.BlockSpec(memory_space=pltpu.SMEM),          # tile offset
+    ]
+    if stateful:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # it_base
+        if resume:
+            in_specs.append(spec_in(P + 4))             # incoming state
+        out_shapes = out_shapes + [
+            jax.ShapeDtypeStruct((P + 4, n_rows, _LANES), jnp.float32)]
+        out_specs = out_specs + [spec_in(P + 4)]
+    in_specs.append(spec_in(P))                          # theta0
+
     return pl.pallas_call(
         kernel,
         grid=(C // tile, n_segs),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # seed
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # tile offset
-            spec_in(P),                           # theta0 (P, C/128, 128)
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
@@ -627,7 +853,7 @@ def _cached_survey_call(spec, plan, y0_key, P, tile, N, stepper, substeps,
                         interpret):
     sub = tile // _LANES
     shape = (sub, _LANES)
-    step_fn = _dopri5_fixed_step if stepper == "dopri5" else _rk4_fixed_step
+    step_fn = _FIXED_STEPPERS[stepper]
     score = _make_scorer_from_key(spec, plan, y0_key, step_fn, substeps)
 
     def kernel(theta_in, chi_out):

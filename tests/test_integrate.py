@@ -233,3 +233,42 @@ def test_fixed_step_accuracy():
     np.testing.assert_allclose(np.asarray(sol.ys), ref, rtol=1e-6)
     sol4 = odeint_fixed(zero_i, y0, ts, ps, substeps=4, method="rk4")
     np.testing.assert_allclose(np.asarray(sol4.ys), ref, rtol=1e-5)
+
+
+def test_odeint_fixed_kvaerno3_robertson():
+    """Batched stiff fast path: fixed-step ESDIRK on a geomspace grid must
+    match high-accuracy LSODA where fixed explicit steps blow up."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.integrate import odeint as scipy_odeint
+
+    from odelib_tpu.ops.integrate import odeint_fixed
+
+    def rober(t, y, k):
+        return jnp.stack([-k[0]*y[0] + k[2]*y[1]*y[2],
+                          k[0]*y[0] - k[1]*y[1]**2 - k[2]*y[1]*y[2],
+                          k[1]*y[1]**2])
+
+    ts = np.concatenate([[0.0], np.geomspace(1e-5, 1e3, 31)])
+    k = jnp.asarray([0.04, 3e7, 1e4])
+    sol = odeint_fixed(rober, jnp.asarray([1.0, 0.0, 0.0]), jnp.asarray(ts),
+                       k, substeps=8, method="kvaerno3")
+    assert bool(sol.ok)
+    ref = scipy_odeint(
+        lambda y, t, kk: np.array([-kk[0]*y[0] + kk[2]*y[1]*y[2],
+                                   kk[0]*y[0] - kk[1]*y[1]**2
+                                   - kk[2]*y[1]*y[2],
+                                   kk[1]*y[1]**2]),
+        [1.0, 0.0, 0.0], ts, args=((0.04, 3e7, 1e4),),
+        rtol=1e-10, atol=1e-14)
+    ys = np.asarray(sol.ys)
+    np.testing.assert_allclose(ys[:, 0], ref[:, 0], rtol=1e-3, atol=1e-9)
+    np.testing.assert_allclose(ys[:, 2], ref[:, 2], rtol=1e-3, atol=1e-9)
+    np.testing.assert_allclose(ys[:, 1], ref[:, 1], rtol=3e-2, atol=1e-10)
+    # vmaps cleanly (the batched fast path used by bench config 5)
+    ks = jnp.asarray(np.array([0.04, 3e7, 1e4])
+                     * np.exp(np.random.default_rng(0).normal(0, 0.1, (8, 3))))
+    batch = jax.vmap(lambda kk: odeint_fixed(
+        rober, jnp.asarray([1.0, 0.0, 0.0]), jnp.asarray(ts), kk,
+        substeps=8, method="kvaerno3").ys[-1])(ks)
+    assert np.isfinite(np.asarray(batch)).all()

@@ -247,3 +247,141 @@ def test_rng_slot_budget_guard():
         rng.bits(it)
     with pytest.raises(ValueError, match="slot budget"):
         rng.bits(it)
+
+
+def test_checkpointed_run_bitwise_equals_single_dispatch(setup, tmp_path):
+    """VERDICT r1 task 6: chunked (checkpoint_every) fused MH is bitwise
+    identical to the uninterrupted single-dispatch run."""
+    spec, obs_host, times_fit, y0 = setup
+    th0 = np.tile([0.6, 2.4e-8, 24.0], (4, 1))
+    kw = dict(seed=3, nits=25, burnin=6, substeps=1, tile_chains=128,
+              interpret=True)
+    ref = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0, **kw)
+    ckpt = str(tmp_path / "run.npz")
+    chk = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                    checkpoint_every=7, checkpoint_path=ckpt,
+                                    **kw)
+    for a, b in zip(ref, chk):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.load(ckpt)["next_chunk"] == 4  # ceil(24/7)
+
+
+def test_kill_and_resume_reproduces_uninterrupted_run(setup, tmp_path):
+    spec, obs_host, times_fit, y0 = setup
+    th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
+    kw = dict(seed=9, nits=25, burnin=6, substeps=1, tile_chains=128,
+              interpret=True)
+    ref = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0, **kw)
+    ckpt = str(tmp_path / "run.npz")
+    # simulate a kill after the first chunk was persisted
+    out = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                    checkpoint_every=10,
+                                    checkpoint_path=ckpt,
+                                    _stop_after_chunks=1, **kw)
+    assert out is None
+    assert np.load(ckpt)["next_chunk"] == 1
+    res = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                    checkpoint_every=10,
+                                    checkpoint_path=ckpt, resume_from=ckpt,
+                                    **kw)
+    for a, b in zip(ref, res):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_rejects_mismatched_config(setup, tmp_path):
+    spec, obs_host, times_fit, y0 = setup
+    th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
+    ckpt = str(tmp_path / "run.npz")
+    metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0, seed=1,
+                              nits=25, burnin=6, substeps=1, tile_chains=128,
+                              interpret=True, checkpoint_every=10,
+                              checkpoint_path=ckpt, _stop_after_chunks=1)
+    with pytest.raises(ValueError, match="different MCMC configuration"):
+        metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0, seed=2,
+                                  nits=25, burnin=6, substeps=1,
+                                  tile_chains=128, interpret=True,
+                                  checkpoint_every=10, resume_from=ckpt)
+
+
+def test_kvaerno3_fixed_step_handles_robertson_stiffness():
+    """The fused stiff stepper (chord-Newton ESDIRK) must integrate the
+    Robertson problem on a geomspace grid where explicit fixed steps blow
+    up. Pure-function test (the stepper is plain jnp tile math)."""
+    import jax.numpy as jnp
+    from scipy.integrate import odeint as scipy_odeint
+
+    from odelib_tpu.ops.pallas_mh import (_dopri5_fixed_step,
+                                          _kvaerno3_fixed_step)
+
+    def rhs(t, y, ps):
+        k1, k2, k3 = ps
+        y1, y2, y3 = y[0], y[1], y[2]
+        return jnp.stack([-k1 * y1 + k3 * y2 * y3,
+                          k1 * y1 - k2 * y2 * y2 - k3 * y2 * y3,
+                          k2 * y2 * y2])
+
+    ps = [jnp.full((1, 1), v, jnp.float64) for v in (0.04, 3e7, 1e4)]
+    ts = np.concatenate([[0.0], np.geomspace(1e-5, 1e3, 41)])
+    substeps = 8
+
+    def run(stepper):
+        y = jnp.asarray([1.0, 0.0, 0.0], jnp.float64).reshape(3, 1, 1)
+        out = [np.asarray(y).ravel()]
+        for i in range(len(ts) - 1):
+            h = (ts[i + 1] - ts[i]) / substeps
+            for s in range(substeps):
+                y = stepper(lambda t, yy, pp: rhs(t, yy, pp),
+                            ts[i] + s * h, y, h, ps)
+            out.append(np.asarray(y).ravel())
+        return np.array(out)
+
+    kv = run(_kvaerno3_fixed_step)
+    assert np.isfinite(kv).all()
+    ref = scipy_odeint(
+        lambda y, t, k: np.array([-k[0]*y[0] + k[2]*y[1]*y[2],
+                                  k[0]*y[0] - k[1]*y[1]**2 - k[2]*y[1]*y[2],
+                                  k[1]*y[1]**2]),
+        [1.0, 0.0, 0.0], ts, args=((0.04, 3e7, 1e4),),
+        rtol=1e-8, atol=1e-12)
+    # y1 and y3 are O(1); y2 is O(1e-5) — compare with a mixed tolerance
+    np.testing.assert_allclose(kv[:, 0], ref[:, 0], rtol=2e-3, atol=1e-8)
+    np.testing.assert_allclose(kv[:, 2], ref[:, 2], rtol=2e-3, atol=1e-8)
+    np.testing.assert_allclose(kv[:, 1], ref[:, 1], rtol=5e-2, atol=1e-9)
+    # explicit fixed steps diverge on the same grid (that's WHY the fused
+    # stiff stepper exists)
+    dp = run(_dopri5_fixed_step)
+    assert not np.isfinite(dp).all()
+
+
+def test_survey_fused_kvaerno3_matches_adaptive(setup):
+    """Fused fixed-step kvaerno3 chi vs the XLA adaptive ESDIRK oracle.
+
+    The stepper is 3rd order: measured max rel chi err on this problem is
+    2.0e-1 / 2.7e-2 / 3.7e-3 at substeps 2/4/8 (clean 8x per doubling).
+    substeps=4 keeps the interpret-mode compile cheap; the bound reflects
+    the measured discretization error, not kernel defects."""
+    spec, obs_host, times_fit, y0 = setup
+    rng = np.random.default_rng(0)
+    thetas = np.array([0.6, 2.4e-8, 24.0]) * np.exp(
+        rng.normal(0, 0.1, (8, 3)))
+    pal = np.asarray(survey_fused(spec, obs_host, times_fit, y0, thetas,
+                                  substeps=4, stepper="kvaerno3",
+                                  tile_chains=128, interpret=True))
+    obs_dev = obsdata_to_device(obs_host, jnp.float32)
+    xla = np.asarray(survey(spec, obs_dev,
+                            jnp.asarray(times_fit, jnp.float32),
+                            jnp.asarray(y0, jnp.float32),
+                            jnp.asarray(thetas, jnp.float32),
+                            method="kvaerno3", rtol=1e-6, atol=1e-2))
+    np.testing.assert_allclose(pal, xla, rtol=5e-2)
+
+
+def test_mh_fused_kvaerno3_semantics(setup):
+    spec, obs_host, times_fit, y0 = setup
+    th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
+    out = metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                    seed=0, nits=12, burnin=6, substeps=1,
+                                    stepper="kvaerno3", tile_chains=128,
+                                    interpret=True)
+    assert out.theta.shape == (2, 5, 3)
+    assert np.isfinite(np.asarray(out.chi)).all()
