@@ -166,5 +166,89 @@ def main():
     print(json.dumps(result))
 
 
+def _multichip_inner(n_devices: int) -> None:
+    """Measure fused-MH mesh scaling on whatever devices exist (requires
+    >= n_devices visible). On real multi-chip TPU this is the production
+    path (compiled kernel, shard_map over ICI); on the virtual CPU mesh the
+    kernel runs in interpret mode, so the row validates the turnkey
+    machinery and records emulated scaling, flagged as virtual."""
+    import jax
+
+    from odelib_tpu.ops.pallas_mh import metropolis_hastings_fused
+    from odelib_tpu.parallel import chain_mesh
+
+    devices = jax.devices()
+    assert len(devices) >= n_devices
+    virtual = jax.default_backend() == "cpu"
+    interpret = virtual
+    C, NITS, substeps = (2048, 64, 1) if virtual else (10240, 1000, 4)
+
+    spec, obs_host, times_fit, y0 = build_problem()
+    rng = np.random.default_rng(0)
+    theta0 = np.asarray(np.array([0.9, 3.0e-8, 25.0])
+                        * np.exp(rng.normal(0, 0.05, (C, 3))), np.float32)
+
+    def rate(mesh):
+        kw = dict(nits=NITS, substeps=substeps, stepper="dopri5",
+                  interpret=interpret, tile_chains=128 if virtual else 1024,
+                  mesh=mesh)
+        out = metropolis_hastings_fused(spec, obs_host, times_fit, y0,
+                                        theta0, seed=0, **kw)
+        float(out.chi[-1, -1])
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = metropolis_hastings_fused(spec, obs_host, times_fit, y0,
+                                            theta0, seed=0, **kw)
+            float(out.chi[-1, -1])
+            reps.append(time.perf_counter() - t0)
+        return C * (NITS - 1) / float(np.median(reps))
+
+    r1 = rate(None)
+    rn = rate(chain_mesh(devices[:n_devices]))
+    row = {
+        "metric": f"fused MH mesh scaling over {n_devices} devices "
+                  f"({'virtual CPU mesh, interpret mode' if virtual else 'TPU'})",
+        "value": round(rn / r1, 3), "unit": "x over single device",
+        "steps_per_s_1dev": round(r1, 1),
+        f"steps_per_s_{n_devices}dev": round(rn, 1),
+        "scaling_efficiency": round(rn / r1 / n_devices, 3),
+        "virtual_mesh": virtual, "chains": C, "iterations": NITS,
+    }
+    print(json.dumps(row))
+    with open(os.path.join(ROOT, "BENCH_MULTICHIP.json"), "w") as f:
+        json.dump(row, f, indent=1)
+
+
+def multichip_main(n_devices: int = 8) -> None:
+    """One flag == one JSON row (BASELINE.json SURVEY 5.8 turnkey check).
+    Self-provisions a virtual CPU mesh when fewer devices are visible,
+    exactly like __graft_entry__.dryrun_multichip."""
+    import jax
+
+    try:
+        have = len(jax.devices())
+    except Exception:
+        have = 0
+    if have >= n_devices:
+        _multichip_inner(n_devices)
+        return
+    import subprocess
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + f" --xla_force_host_platform_device_count="
+                          f"{n_devices}").strip()
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            f"import bench; bench._multichip_inner({n_devices})")
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=ROOT,
+                          timeout=1800)
+    if proc.returncode != 0:
+        raise RuntimeError("multichip bench subprocess failed")
+
+
 if __name__ == "__main__":
-    main()
+    if "--multichip" in sys.argv:
+        multichip_main()
+    else:
+        main()
