@@ -81,3 +81,41 @@ def test_sharded_matches_unsharded_mh(setup):
                               nits=30, rtol=1e-6, atol=1e-3)
     np.testing.assert_allclose(np.asarray(out.theta), np.asarray(ref.theta),
                                rtol=1e-12)
+
+
+def test_mesh_chunked_checkpoint_sharding_invariant(tmp_path):
+    """Checkpointed (chunked) fused MH under shard_map: bitwise equal to
+    both the mesh single-dispatch run and the UNSHARDED chunked run (RNG is
+    keyed on global tile index; state round-trips exactly)."""
+    import sys
+    from odelib_tpu.data import (build_obsdata_host,
+                                 compact_observation_grid, format_dataframe)
+    from odelib_tpu.model import make_spec
+    from odelib_tpu.ops.pallas_mh import metropolis_hastings_fused
+
+    from helpers import zero_i, synthetic_df
+
+    df = format_dataframe(synthetic_df(), ("S", "V"))
+    df = df[np.isclose(np.mod(np.round(df["time"] / 0.2), 2), 0)]
+    times = np.linspace(0, 3.1, 288)
+    spec = make_spec(zero_i, ("mu", "phi", "beta"), ("S", "V"))
+    obs_host, _ = build_obsdata_host(df, times, spec.post_snames)
+    times_fit, obs_fit = compact_observation_grid(obs_host, times)
+    y0 = np.array([df.loc["S"].iloc[0]["abundance"],
+                   df.loc["V"].iloc[0]["abundance"]])
+    th0 = np.tile([0.6, 2.4e-8, 24.0], (1024, 1))
+    mesh = chain_mesh(jax.devices()[:8])
+    kw = dict(seed=3, nits=13, burnin=4, substeps=1, tile_chains=128,
+              interpret=True)
+    ck = str(tmp_path / "m.npz")
+    ref = metropolis_hastings_fused(spec, obs_fit, times_fit, y0, th0,
+                                    mesh=mesh, **kw)
+    chk = metropolis_hastings_fused(spec, obs_fit, times_fit, y0, th0,
+                                    mesh=mesh, checkpoint_every=5,
+                                    checkpoint_path=ck, **kw)
+    unsh = metropolis_hastings_fused(spec, obs_fit, times_fit, y0, th0,
+                                     checkpoint_every=5, checkpoint_path=ck,
+                                     **kw)
+    for a, b, c in zip(ref, chk, unsh):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(c))
