@@ -22,8 +22,11 @@ def __getattr__(name):
     if name in ("ModelFramework", "parameter"):
         from . import api
         return getattr(api, name)
+    if name == "models":
+        import importlib
+        return importlib.import_module(".models", __name__)
     raise AttributeError(f"module 'odelib_tpu' has no attribute {name!r}")
 
 
 __all__ = ["ModelFramework", "parameter", "distributions", "stats", "ops",
-           "__version__"]
+           "models", "__version__"]
