@@ -69,6 +69,26 @@ def jaxify_rhs(f):
     return jf
 
 
+def _norm_substeps_arg(substeps):
+    """Validate/normalize a user substeps setting: positive int, the string
+    'auto' (calibrated per-interval schedule, resolved inside MCMC), or an
+    explicit per-interval schedule (stored as a hashable tuple)."""
+    if isinstance(substeps, str):
+        if substeps != "auto":
+            raise ValueError(
+                f"substeps must be an int, 'auto', or a per-interval "
+                f"sequence; got {substeps!r}")
+        return "auto"
+    if isinstance(substeps, (int, np.integer)):
+        if int(substeps) < 1:
+            raise ValueError("substeps must be >= 1")
+        return int(substeps)
+    sched = tuple(int(v) for v in np.asarray(substeps).ravel())
+    if not sched or any(v < 1 for v in sched):
+        raise ValueError("substeps schedule entries must be >= 1")
+    return sched
+
+
 # ---------------------------------------------------------------------------
 # Module-level jitted kernels: static over (spec, solver settings) so the
 # compile cache is shared across ModelFramework copies (the reference's
@@ -214,7 +234,10 @@ class ModelFramework:
     ``max_steps``/``substeps`` consumed by the compute methods. ``method``
     is 'dopri5' | 'kvaerno3' / 'kvaerno5' (L-stable stiff ESDIRKs) | 'auto'
     (dopri5 with per-solve fallback to kvaerno5 on failure — LSODA-style
-    switching) | 'rk4' (fixed-step).
+    switching) | 'rk4' (fixed-step). ``substeps`` (fixed-step paths,
+    including the fused Pallas MCMC kernel) is a uniform int, a per-interval
+    schedule, or 'auto' — calibrate the schedule from the adaptive solver's
+    accepted-step counts at MCMC time (:mod:`odelib_tpu.ops.schedule`).
     """
 
     _SOLVER_KEYS = ("method", "rtol", "atol", "max_steps", "substeps")
@@ -228,7 +251,8 @@ class ModelFramework:
         self._model = ODE
         self._ode_style = ode_style
         self._solver = dict(method=method, rtol=float(rtol), atol=float(atol),
-                            max_steps=int(max_steps), substeps=int(substeps))
+                            max_steps=int(max_steps),
+                            substeps=_norm_substeps_arg(substeps))
 
         self.parameters = {el: None for el in self._pnames}
         self.istates = {el: 0 for el in self._snames}
@@ -468,12 +492,33 @@ class ModelFramework:
                 cols.append(np.tile(v, (len(df), 1)))
         return jnp.asarray(np.concatenate(cols, axis=1))
 
-    def _solver_args(self, overrides):
+    def _solver_args(self, overrides, n_intervals=None, keep_auto=False):
         s = dict(self._solver)
-        s.update({k: overrides[k] for k in self._SOLVER_KEYS
-                  if k in overrides})
-        return (s["method"], s["rtol"], s["atol"], s["max_steps"],
-                s["substeps"])
+        s.update({k: _norm_substeps_arg(overrides[k]) if k == "substeps"
+                  else overrides[k]
+                  for k in self._SOLVER_KEYS if k in overrides})
+        sub = s["substeps"]
+        if not keep_auto:
+            sub = self._resolve_substeps(sub, n_intervals)
+        return (s["method"], s["rtol"], s["atol"], s["max_steps"], sub)
+
+    def _resolve_substeps(self, substeps, n_intervals=None):
+        """Concrete substeps for a compute path: 'auto' resolves to the
+        MCMC-calibrated schedule when its length matches this grid (MCMC
+        calibrates on the compact fit grid), else to the uniform default 4;
+        explicit schedules are length-checked against the grid."""
+        if substeps == "auto":
+            sched = getattr(self, "_auto_schedule", None)
+            if sched is not None and (n_intervals is None
+                                      or len(sched) == n_intervals):
+                return sched
+            return 4
+        if (isinstance(substeps, tuple) and n_intervals is not None
+                and len(substeps) != n_intervals):
+            raise ValueError(
+                f"substeps schedule has {len(substeps)} entries but this "
+                f"integration grid has {n_intervals} intervals")
+        return substeps
 
     # ------------------------------------------------------------------
     # integration (Framework.py:622-683)
@@ -495,7 +540,8 @@ class ModelFramework:
         ys = _integrate_jit(self._spec, jnp.asarray(theta, dtype),
                             jnp.asarray(initials, dtype),
                             jnp.asarray(self.times, dtype),
-                            *self._solver_args(solver_kw))
+                            *self._solver_args(
+                                solver_kw, len(self.times) - 1))
         mod = np.asarray(ys)
 
         if sum_subpopulations and self._spec.sum_matrix is not None:
@@ -643,7 +689,8 @@ class ModelFramework:
                            jnp.asarray(self._times_fit, dtype),
                            jnp.asarray(self.get_inits(), dtype),
                            jnp.asarray(thetas, dtype),
-                           *self._solver_args(solver_kw))
+                           *self._solver_args(
+                               solver_kw, len(self._times_fit) - 1))
         out = ps[self.get_pnames()].copy()
         out["chi"] = np.asarray(chis)
         return out
@@ -662,7 +709,9 @@ class ModelFramework:
         eqs = _equilibrium_jit(self._spec, jnp.asarray(self.times, dtype),
                                jnp.asarray(self.get_inits(), dtype),
                                jnp.asarray(thetas, dtype),
-                               *self._solver_args(solver_kw))
+                               *self._solver_args(
+                                   parameter_mapping if False else solver_kw,
+                                   len(self.times) - 1))
         df = pd.DataFrame(np.asarray(eqs),
                           columns=self.get_snames(after_summation=False))
         for p in self.get_pnames():
@@ -680,7 +729,8 @@ class ModelFramework:
                            jnp.asarray(self._times_fit, dtype),
                            jnp.asarray(self.get_inits(), dtype),
                            jnp.asarray(thetas, dtype),
-                           *self._solver_args({}))
+                           *self._solver_args(
+                               {}, len(self._times_fit) - 1))
         out = ps[self.get_pnames()].copy()
         out["chi"] = np.asarray(chis)
         return out
@@ -803,7 +853,12 @@ class ModelFramework:
         * ``checkpoint_every=N`` (fused backend): persist chain state and
           records every N iterations to ``<checkpoint_path>.progress`` so a
           killed run resumes bit-exact via ``resume_from=<that file>``
-          (the reference has no persistence at all — SURVEY.md section 5.4).
+          (the reference has no persistence at all — SURVEY.md section 5.4);
+        * ``substeps='auto'`` (solver kwarg, here or at construction):
+          calibrate a per-interval static step schedule from this run's
+          seeding draws via the adaptive solver (ops/schedule.py) — the
+          compile-time analog of LSODA's runtime step control. The schedule
+          is cached on the instance and reused by later surveys.
         """
         from .utils.profiling import StageTimer
         timer = StageTimer() if profile else None
@@ -812,7 +867,15 @@ class ModelFramework:
         if burnin is None:
             burnin = int(nits / 2)  # MC_args convention, Framework.py:990
         static_parameters = list(static_parameters)
-        method, rtol, atol, max_steps, substeps = self._solver_args(solver_kw)
+        n_fit_intervals = len(self._times_fit) - 1
+        method, rtol, atol, max_steps, substeps = self._solver_args(
+            solver_kw, n_fit_intervals, keep_auto=True)
+        auto_substeps = substeps == "auto"
+        if auto_substeps:
+            # the pre-screen survey runs on the last calibrated schedule (or
+            # the uniform default on the first call); the chain schedule is
+            # re-calibrated below from this run's own seeding draws
+            substeps = self._resolve_substeps("auto", n_fit_intervals)
 
         pallas_priors = None
         if use_priors:
@@ -897,6 +960,24 @@ class ModelFramework:
         else:
             n_chains = len(chain_inits)
             theta0 = self._theta_from_df(pd.DataFrame(chain_inits))
+
+        if auto_substeps and method in ("dopri5", "rk4", "kvaerno3"):
+            # substeps='auto': compile adaptive step control away — run the
+            # real adaptive solver over this run's seeding draws and bake
+            # its per-interval accepted-step counts into the fixed schedule
+            # (ops/schedule.py). Cached on the instance for later surveys.
+            from .ops.schedule import calibrate_substeps, schedule_cost
+            substeps = calibrate_substeps(
+                self._spec, self.get_inits(), self._times_fit,
+                np.asarray(theta0), rtol=rtol, atol=atol,
+                method="kvaerno5" if method == "kvaerno3" else "dopri5",
+                max_steps=max_steps)
+            self._auto_schedule = substeps
+            from .utils.profiling import get_logger
+            get_logger().info(
+                "substeps='auto': calibrated schedule %s (total %d RHS "
+                "steps/solve vs %d at uniform 4)", list(substeps),
+                schedule_cost(substeps), 4 * n_fit_intervals)
 
         # walk mask: static parameters stay fixed (Samplers.py:75-80)
         offsets = self._spec.theta_offsets
@@ -1107,7 +1188,8 @@ class ModelFramework:
         off = self._spec.theta_offsets[pi]
         theta = self._current_theta()
         dtype = jnp.result_type(float)
-        method, rtol, atol, max_steps, substeps = self._solver_args(solver_kw)
+        method, rtol, atol, max_steps, substeps = self._solver_args(
+            solver_kw, len(self.times) - 1)
         spec = self._spec
         times = jnp.asarray(self.times, dtype)
         if print_status:

@@ -34,6 +34,11 @@ class ODESolution(NamedTuple):
     ys: Any          # (T, state_dim) solution values at requested times
     ok: Any          # scalar bool: False if the solve failed anywhere
     num_steps: Any   # scalar int32: accepted+rejected step attempts
+    # (T,) int32 cumulative ACCEPTED steps at each output time (adaptive
+    # solvers only; None for fixed-step). Feeds the static step-schedule
+    # calibration (ops/schedule.py): diff(accepted_at) is the per-interval
+    # work the adaptive controller actually needed.
+    accepted_at: Any = None
 
 
 def _rms_norm(x):
@@ -110,6 +115,7 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
         h_prev: Any
         dense: Any
         nsteps: Any
+        nacc: Any
         ok: Any
 
     carry0 = Carry(
@@ -117,6 +123,7 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
         t_prev=ts[0], h_prev=jnp.asarray(1.0, dtype),
         dense=stepper.dense_zero(y0),
         nsteps=jnp.asarray(0, jnp.int32),
+        nacc=jnp.asarray(0, jnp.int32),
         ok=jnp.asarray(True),
     )
 
@@ -159,6 +166,7 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
             h_prev=jnp.where(accept, h_try, c.h_prev),
             dense=jnp.where(accept, dense, c.dense),
             nsteps=c.nsteps + 1,
+            nacc=c.nacc + accept.astype(jnp.int32),
             ok=still_ok,
         )
 
@@ -174,11 +182,14 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
         y_t = jnp.where(reached, y_t, jnp.full_like(y_t, jnp.nan))
         # A lane that ran out of steps before its target is dead from here on.
         c = c._replace(ok=c.ok & reached)
-        return c, y_t
+        return c, (y_t, c.nacc)
 
-    carry, ys_tail = jax.lax.scan(advance_to, carry0, ts[1:])
+    carry, (ys_tail, acc_tail) = jax.lax.scan(advance_to, carry0, ts[1:])
     ys = jnp.concatenate([y0[None], ys_tail], axis=0)
-    return ODESolution(ys=ys, ok=carry.ok, num_steps=carry.nsteps)
+    accepted_at = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), acc_tail], axis=0)
+    return ODESolution(ys=ys, ok=carry.ok, num_steps=carry.nsteps,
+                       accepted_at=accepted_at)
 
 
 def odeint_fixed(func, y0, ts, args=(), *, substeps=1, method="rk4"):
@@ -193,6 +204,12 @@ def odeint_fixed(func, y0, ts, args=(), *, substeps=1, method="rk4"):
     magnitude faster than the adaptive batch, which is serialized by its
     worst lane). Used by the high-throughput MCMC path; accuracy is
     validated against the adaptive solver in tests.
+
+    ``substeps`` is a uniform int, or a per-interval STATIC schedule
+    (len(ts)-1 ints, e.g. from :func:`odelib_tpu.ops.schedule.
+    calibrate_substeps`): the compiled-in analog of adaptive step-size
+    control — intervals that need more work get more substeps, without any
+    per-lane control flow.
     """
     dtype = jnp.result_type(jnp.asarray(y0).dtype, float)
     y0 = jnp.asarray(y0, dtype)
@@ -215,6 +232,37 @@ def odeint_fixed(func, y0, ts, args=(), *, substeps=1, method="rk4"):
             return kvaerno3_fixed_step(func, t, y, h, args)
     else:
         raise ValueError(f"unknown fixed method {method!r}")
+
+    if not isinstance(substeps, int):
+        import numpy as np
+
+        sched = np.asarray(substeps, np.int64)
+        n_int = ts.shape[0] - 1
+        if sched.shape != (n_int,):
+            raise ValueError(
+                f"substeps schedule must have len(ts)-1 = {n_int} entries, "
+                f"got shape {sched.shape}")
+        if (sched < 1).any():
+            raise ValueError("substeps schedule entries must be >= 1")
+        # Flatten the non-uniform schedule into one scan over all substeps;
+        # interval boundaries are STATIC indices, so the output gather
+        # compiles to a plain slice.
+        ii = np.repeat(np.arange(n_int), sched)            # interval index
+        kk = np.concatenate([np.arange(s) for s in sched])  # substep index
+        ends = np.cumsum(sched) - 1                         # flat end rows
+        h_all = (ts[ii + 1] - ts[ii]) / jnp.asarray(sched[ii], dtype)
+        t_starts = ts[ii] + jnp.asarray(kk, dtype) * h_all
+
+        def flat_step(y, th):
+            t, h = th
+            y1 = substep(t, y, h)
+            return y1, y1
+
+        _, y_flat = jax.lax.scan(flat_step, y0, (t_starts, h_all))
+        ys = jnp.concatenate([y0[None], y_flat[ends]], axis=0)
+        ok = jnp.all(jnp.isfinite(ys))
+        return ODESolution(ys=ys, ok=ok,
+                           num_steps=jnp.asarray(int(sched.sum()), jnp.int32))
 
     def interval(y, t_pair):
         t0, t1 = t_pair

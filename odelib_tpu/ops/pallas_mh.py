@@ -17,9 +17,11 @@ TPU-native specializations:
     chi contributions compile to inline fused multiply-adds — no gathers, no
     index math at runtime;
   * the time grid is baked in as constants; the integrator is a fully
-    unrolled fixed-step Dopri5 (substeps per observation interval), which is
-    both uniform across lanes (no worst-lane adaptivity) and exactly the
-    structure the Mosaic scheduler pipelines best.
+    unrolled fixed-step Dopri5 (substeps per observation interval — a
+    uniform count or a per-interval calibrated schedule from
+    ops/schedule.py), which is both uniform across lanes (no worst-lane
+    adaptivity) and exactly the structure the Mosaic scheduler pipelines
+    best.
 
 Use via ``ModelFramework.MCMC(backend='pallas')`` (the default on TPU) or
 directly through :func:`metropolis_hastings_fused`. Validated against the
@@ -241,14 +243,34 @@ def _static_prior(d):
 
 class _StaticPlan(NamedTuple):
     """Everything the kernel bakes in at trace time."""
-    step_ts: tuple          # (t, h) per integration sub-step
+    step_ts: tuple          # (t, h, gi) per integration sub-step; gi is the
+    #                         grid index whose observations are scored after
+    #                         this step, or -1 (mid-interval step)
     obs_after: tuple        # per grid index: ((members, log_ab, log_sig,
     #                         abundance), ...) contributions recorded there
     sstot: float
     n_grid: int
 
 
-def _build_plan(spec: ModelSpec, obs: ObsData, times, substeps: int):
+def _normalize_substeps(substeps, n_intervals: int):
+    """int -> uniform; sequence -> validated per-interval static schedule
+    (hashable tuple, usable as an lru_cache key component)."""
+    if isinstance(substeps, (int, np.integer)):
+        s = int(substeps)
+        if s < 1:
+            raise ValueError("substeps must be >= 1")
+        return s
+    sched = tuple(int(v) for v in np.asarray(substeps).ravel())
+    if len(sched) != n_intervals:
+        raise ValueError(
+            f"substeps schedule must have {n_intervals} entries "
+            f"(len(times)-1), got {len(sched)}")
+    if any(v < 1 for v in sched):
+        raise ValueError("substeps schedule entries must be >= 1")
+    return sched
+
+
+def _build_plan(spec: ModelSpec, obs: ObsData, times, substeps):
     times = np.asarray(times, np.float64)
     t_index = np.asarray(obs.t_index)
     state_index = np.asarray(obs.state_index)
@@ -269,21 +291,24 @@ def _build_plan(spec: ModelSpec, obs: ObsData, times, substeps: int):
             (members[int(state_index[o])], float(log_ab[o]),
              float(log_sig[o]), float(np.exp(log_ab[o]))))
 
+    substeps = _normalize_substeps(substeps, len(times) - 1)
     step_ts = []
     for i in range(len(times) - 1):
-        h = (times[i + 1] - times[i]) / substeps
-        for s in range(substeps):
-            step_ts.append((float(times[i] + s * h), float(h)))
+        n_sub = substeps if isinstance(substeps, int) else substeps[i]
+        h = (times[i + 1] - times[i]) / n_sub
+        for s in range(n_sub):
+            gi = (i + 1) if s == n_sub - 1 else -1
+            step_ts.append((float(times[i] + s * h), float(h), gi))
     return _StaticPlan(step_ts=tuple(step_ts),
                        obs_after=tuple(tuple(x) for x in obs_after),
                        sstot=float(np.asarray(obs.sstot)),
                        n_grid=len(times))
 
 
-def _make_scorer(spec: ModelSpec, plan: _StaticPlan, y0_base, stepper,
-                 substeps: int):
+def _make_scorer(spec: ModelSpec, plan: _StaticPlan, y0_base, stepper):
     """Returns score(theta_list) -> (chi, rsq): integrate + score, fully
-    unrolled with static obs contributions."""
+    unrolled with static obs contributions (the plan's step list already
+    encodes the — possibly non-uniform — substep schedule)."""
     y0_base = tuple(float(v) for v in np.asarray(y0_base))
     S = len(spec.snames)
     init_pidx = spec.init_pidx
@@ -308,21 +333,19 @@ def _make_scorer(spec: ModelSpec, plan: _StaticPlan, y0_base, stepper,
         chi = jnp.zeros(shape, jnp.float32)
         ssres = jnp.zeros(shape, jnp.float32)
         chi, ssres = contrib(y, 0, chi, ssres)
-        gi = 1
-        for si, (t, h) in enumerate(plan.step_ts):
+        for t, h, gi in plan.step_ts:
             y = stepper(rhs, t, y, h, theta_list)
-            if (si + 1) % substeps == 0:
+            if gi >= 0:
                 chi, ssres = contrib(y, gi, chi, ssres)
-                gi += 1
         rsq = 1.0 - ssres / plan.sstot
         return chi, rsq
 
     return score
 
 
-def _make_scorer_from_key(spec, plan, y0_key, step_fn, substeps):
+def _make_scorer_from_key(spec, plan, y0_key, step_fn):
     """Hashable-argument wrapper over _make_scorer for the lru_caches."""
-    return _make_scorer(spec, plan, np.asarray(y0_key), step_fn, substeps)
+    return _make_scorer(spec, plan, np.asarray(y0_key), step_fn)
 
 
 def metropolis_hastings_fused(
@@ -374,6 +397,8 @@ def metropolis_hastings_fused(
         walk_mask = [1.0] * P
     walk = tuple(float(w) for w in walk_mask)
 
+    substeps = _normalize_substeps(substeps,
+                                   len(np.asarray(times)) - 1)
     plan = _build_plan(spec, obs, times, substeps)
     y0_key = tuple(float(v) for v in np.asarray(y0_base))
 
@@ -664,7 +689,7 @@ def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
     sub = tile // _LANES
     shape = (sub, _LANES)
     step_fn = _FIXED_STEPPERS[stepper]
-    score = _make_scorer_from_key(spec, plan, y0_key, step_fn, substeps)
+    score = _make_scorer_from_key(spec, plan, y0_key, step_fn)
     # static prior evaluators: prior-aware acceptance fully in-kernel
     lps = [None] * P if priors is None else [_kernel_logpdf(d)
                                              for d in priors]
@@ -841,6 +866,8 @@ def survey_fused(spec: ModelSpec, obs: ObsData, times, y0_base, thetas, *,
     if N > N0:
         thetas = np.concatenate(
             [thetas, np.tile(thetas[-1:], (N - N0, 1))], axis=0)
+    substeps = _normalize_substeps(substeps,
+                                   len(np.asarray(times)) - 1)
     plan = _build_plan(spec, obs, times, substeps)
     y0_key = tuple(float(v) for v in np.asarray(y0_base))
     fn = _cached_survey_call(spec, plan, y0_key, P, tile, N, stepper,
@@ -854,7 +881,7 @@ def _cached_survey_call(spec, plan, y0_key, P, tile, N, stepper, substeps,
     sub = tile // _LANES
     shape = (sub, _LANES)
     step_fn = _FIXED_STEPPERS[stepper]
-    score = _make_scorer_from_key(spec, plan, y0_key, step_fn, substeps)
+    score = _make_scorer_from_key(spec, plan, y0_key, step_fn)
 
     def kernel(theta_in, chi_out):
         theta = [theta_in[p].reshape(shape) for p in range(P)]

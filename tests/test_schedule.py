@@ -1,0 +1,201 @@
+"""Static step-schedule calibration (ops/schedule.py) + non-uniform substeps
+support across odeint_fixed and the fused Pallas kernel."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from odelib_tpu import models
+from odelib_tpu.ops import calibrate_substeps, odeint_fixed, odeint_grid, \
+    schedule_cost
+from odelib_tpu.ops.pallas_mh import _normalize_substeps, survey_fused, \
+    metropolis_hastings_fused
+
+
+@pytest.fixture(scope="module")
+def zero_i():
+    m = models.get("zero_i")
+    spec = m.spec()
+    times = np.linspace(0.0, 3.0, 18)
+    rng = np.random.default_rng(0)
+    thetas = m.theta() * np.exp(rng.normal(0, 0.3, (64, 3)))
+    return m, spec, times, thetas
+
+
+def _rhs_fn(spec):
+    def f(t, y, args):
+        return spec.rhs(t, y, spec.unpack_theta(args))
+    return f
+
+
+def test_accepted_at_tracks_adaptive_work(zero_i):
+    m, spec, times, _ = zero_i
+    sol = odeint_grid(_rhs_fn(spec), jnp.asarray(m.y0()), jnp.asarray(times),
+                      jnp.asarray(m.theta()), rtol=1e-6, atol=1e-4)
+    acc = np.asarray(sol.accepted_at)
+    assert acc.shape == times.shape
+    assert acc[0] == 0
+    assert (np.diff(acc) >= 1).all()          # every interval costs work
+    assert acc[-1] <= int(sol.num_steps)      # accepted <= attempts
+
+
+def test_calibrate_shape_and_monotone_cost(zero_i):
+    m, spec, times, thetas = zero_i
+    sched = calibrate_substeps(spec, m.y0(), times, thetas,
+                               rtol=1e-6, atol=1e-4)
+    assert len(sched) == len(times) - 1
+    assert all(s >= 1 for s in sched)
+    # a tighter tolerance must not produce a cheaper schedule
+    tight = calibrate_substeps(spec, m.y0(), times, thetas,
+                               rtol=1e-9, atol=1e-7)
+    assert schedule_cost(tight) >= schedule_cost(sched)
+
+
+def test_calibrated_schedule_beats_uniform_of_same_cost(zero_i):
+    """The point of the schedule: at equal total work, putting steps where
+    the controller needed them is more accurate than spreading uniformly."""
+    m, spec, times, thetas = zero_i
+    f = _rhs_fn(spec)
+    th = jnp.asarray(m.theta())
+    y0 = jnp.asarray(m.y0())
+    ts = jnp.asarray(times)
+    sched = calibrate_substeps(spec, m.y0(), times, thetas,
+                               rtol=1e-6, atol=1e-4)
+    oracle = np.asarray(odeint_grid(f, y0, ts, th,
+                                    rtol=1e-10, atol=1e-8).ys)
+
+    def max_rel(sub):
+        ys = np.asarray(odeint_fixed(f, y0, ts, th, substeps=sub,
+                                     method="dopri5").ys)
+        return float(np.max(np.abs(ys - oracle) / np.abs(oracle)))
+
+    err_sched = max_rel(sched)
+    # uniform schedule with at most the same total cost
+    uni = max(1, schedule_cost(sched) // (len(times) - 1))
+    err_uni = max_rel(uni)
+    assert err_sched <= err_uni * 1.5  # allow noise; typically much better
+    assert err_sched < 1e-4
+
+
+def test_odeint_fixed_uniform_tuple_matches_int(zero_i):
+    m, spec, times, _ = zero_i
+    f = _rhs_fn(spec)
+    th = jnp.asarray(m.theta())
+    y0 = jnp.asarray(m.y0())
+    ts = jnp.asarray(times)
+    a = odeint_fixed(f, y0, ts, th, substeps=3, method="dopri5")
+    b = odeint_fixed(f, y0, ts, th, substeps=(3,) * (len(times) - 1),
+                     method="dopri5")
+    np.testing.assert_allclose(np.asarray(a.ys), np.asarray(b.ys),
+                               rtol=1e-12)
+    assert int(a.num_steps) == int(b.num_steps)
+
+
+def test_odeint_fixed_schedule_validation(zero_i):
+    m, spec, times, _ = zero_i
+    f = _rhs_fn(spec)
+    with pytest.raises(ValueError, match="len\\(ts\\)-1"):
+        odeint_fixed(f, jnp.asarray(m.y0()), jnp.asarray(times),
+                     jnp.asarray(m.theta()), substeps=(2, 2), method="rk4")
+
+
+def test_normalize_substeps_errors():
+    assert _normalize_substeps(4, 10) == 4
+    assert _normalize_substeps([1, 2, 3], 3) == (1, 2, 3)
+    with pytest.raises(ValueError, match="3 entries"):
+        _normalize_substeps([1, 2], 3)
+    with pytest.raises(ValueError, match=">= 1"):
+        _normalize_substeps([1, 0, 2], 3)
+    with pytest.raises(ValueError, match=">= 1"):
+        _normalize_substeps(0, 3)
+
+
+@pytest.fixture(scope="module")
+def fit_setup():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import demo_df
+    from odelib_tpu.data import build_obsdata, format_dataframe
+    m = models.get("zero_i")
+    spec = m.spec()
+    df = format_dataframe(demo_df(), ("S", "V"))
+    times = np.linspace(0.0, 3.0, 18)
+    obs, _ = build_obsdata(df, times, spec.post_snames)
+    return spec, obs, times, m
+
+
+def test_survey_fused_uniform_schedule_bitwise(fit_setup):
+    spec, obs, times, m = fit_setup
+    rng = np.random.default_rng(1)
+    thetas = (m.theta() * np.exp(rng.normal(0, 0.2, (8, 3)))).astype(
+        np.float32)
+    y0 = [5.2e6, 1.1e7]
+    chi_int = np.asarray(survey_fused(spec, obs, times, y0, thetas,
+                                      substeps=2, tile_chains=128,
+                                      interpret=True))
+    chi_tup = np.asarray(survey_fused(spec, obs, times, y0, thetas,
+                                      substeps=(2,) * (len(times) - 1),
+                                      tile_chains=128, interpret=True))
+    np.testing.assert_array_equal(chi_int, chi_tup)
+
+
+def test_fused_mh_runs_nonuniform_schedule(fit_setup):
+    spec, obs, times, m = fit_setup
+    sched = tuple(1 + (i % 3) for i in range(len(times) - 1))
+    theta0 = np.tile(np.asarray([m.theta()], np.float32), (4, 1))
+    out = metropolis_hastings_fused(
+        spec, obs, times, [5.2e6, 1.1e7], theta0, seed=7, nits=20, burnin=5,
+        substeps=sched, tile_chains=128, interpret=True)
+    assert out.theta.shape[0] == 4
+    assert np.isfinite(np.asarray(out.chi)).all()
+
+
+def test_mcmc_auto_substeps_end_to_end(fit_setup):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import demo_df
+    m = models.get("zero_i")
+    mf = m.framework(demo_df(), t_steps=288, substeps="auto")
+    post = mf.MCMC(chain_inits=4, iterations_per_chain=30,
+                   fitsurvey_samples=128, sd_fitdistance=6.0,
+                   print_report=False, backend="pallas",
+                   pallas_interpret=True, pallas_tile_chains=128)
+    assert len(post) > 0
+    sched = mf._auto_schedule
+    assert isinstance(sched, tuple)
+    assert len(sched) == len(mf._times_fit) - 1
+    # the calibrated schedule is reused (and validated) by later surveys
+    sv = mf.fit_survey(samples=16, method="fixed_dopri5")
+    assert "chi" in sv
+
+
+def test_auto_substeps_chi_accuracy_gate(fit_setup):
+    """chi under the calibrated schedule stays within the accuracy gate of
+    the adaptive oracle over near-fit draws (the region chains explore) —
+    the same methodology as tests/test_accuracy_gate.py for uniform-4."""
+    spec, obs, times, m = fit_setup
+    from odelib_tpu.model import chi_of_theta
+    import jax
+
+    rng = np.random.default_rng(3)
+    thetas = m.theta() * np.exp(rng.normal(0, 0.2, (64, 3)))
+    sched = calibrate_substeps(spec, m.y0(), times, thetas,
+                               rtol=1e-6, atol=1e-4)
+    y0 = jnp.asarray([5.2e6, 1.1e7])
+
+    chi_fix = jax.vmap(lambda th: chi_of_theta(
+        spec, obs, th, y0, jnp.asarray(times), method="fixed_dopri5",
+        substeps=sched))(jnp.asarray(thetas))
+    chi_ora = jax.vmap(lambda th: chi_of_theta(
+        spec, obs, th, y0, jnp.asarray(times), method="dopri5",
+        rtol=1e-9, atol=1e-7, max_steps=65536))(jnp.asarray(thetas))
+    chi_fix, chi_ora = np.asarray(chi_fix), np.asarray(chi_ora)
+    finite = np.isfinite(chi_ora)
+    # "near-fit" = the better half of the draw cloud (chains concentrate
+    # tighter than this); absolute chi depends on whether the real demo CSV
+    # or the synthetic fallback data is in use
+    near = finite & (chi_ora < np.quantile(chi_ora[finite], 0.5))
+    assert near.sum() >= 10
+    rel = np.abs(chi_fix[near] - chi_ora[near]) / np.maximum(chi_ora[near],
+                                                             1.0)
+    assert rel.max() < 1e-3, f"max rel chi err {rel.max():.2e}"
