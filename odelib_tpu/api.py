@@ -624,6 +624,50 @@ class ModelFramework:
         fs["AIC"] = self.get_AIC(fs["Chi"])
         return fs
 
+    def get_chi_sensitivity(self, parameters=None, log_scale=True,
+                            **solver_kw):
+        """Gradient of chi with respect to each parameter at the current
+        (or given) values — local sensitivity analysis via autodiff through
+        the fixed-step ODE solve.
+
+        New capability over the reference (its RHS sits behind scipy's
+        Fortran ``odeint`` callback, ``Framework.py:656``, so likelihood
+        gradients are unobtainable there). Returns ``{pname: dchi/dp}``;
+        with ``log_scale=True`` (default) derivatives are w.r.t.
+        ``log(p)`` — i.e. the chi change per e-fold of the parameter —
+        which puts rates and abundances on one comparable scale.
+        """
+        if parameters is None:
+            theta = self._current_theta()
+        else:
+            theta = self._spec.pack_theta(list(parameters))
+        _, _, _, _, substeps = self._solver_args(
+            solver_kw, len(self._times_fit) - 1)
+        if substeps == "auto":
+            substeps = 4
+        dtype = jnp.result_type(float)
+        spec = self._spec
+        obs = self._obsdata_fit
+        times = jnp.asarray(self._times_fit, dtype)
+        y0b = jnp.asarray(self.get_inits(), dtype)
+
+        def chi_fn(th):
+            from .model import chi_of_theta
+            return chi_of_theta(spec, obs, th, y0b, times,
+                                method="fixed_dopri5", substeps=substeps)
+
+        g = jax.grad(chi_fn)(jnp.asarray(theta, dtype))
+        if log_scale:
+            g = g * jnp.asarray(theta, dtype)
+        g = np.asarray(g)
+        out = {}
+        for p, off, shp in zip(self._pnames, self._spec.theta_offsets,
+                               self._spec.pshapes):
+            n = int(np.prod(shp)) if shp else 1
+            v = g[off:off + n]
+            out[p] = v.reshape(shp) if shp else float(v[0])
+        return out
+
     # ------------------------------------------------------------------
     # LHS sampling (Framework.py:589-615)
     # ------------------------------------------------------------------
@@ -823,7 +867,8 @@ class ModelFramework:
              static_parameters=(), print_report=True, fitsurvey_samples=1000,
              sd_fitdistance=3.0, use_priors=False, rwalk_std=0.05,
              checkpoint_path=None, checkpoint_every=None, resume_from=None,
-             backend="auto", burnin=None,
+             backend="auto", burnin=None, sampler="mh", n_leapfrog=8,
+             step_size=0.02, target_accept=0.8,
              profile=False, pallas_interpret=False, pallas_tile_chains=1024,
              **solver_kw):
         """Markov Chain Monte Carlo over vmapped+mesh-sharded chains.
@@ -858,7 +903,14 @@ class ModelFramework:
           calibrate a per-interval static step schedule from this run's
           seeding draws via the adaptive solver (ops/schedule.py) — the
           compile-time analog of LSODA's runtime step control. The schedule
-          is cached on the instance and reused by later surveys.
+          is cached on the instance and reused by later surveys;
+        * ``sampler='hmc'``: Hamiltonian Monte Carlo instead of the
+          random-walk sampler — gradients of chi flow through the
+          differentiable fixed-step ODE solve (impossible in the reference,
+          whose RHS sits behind scipy's Fortran callback). Tuned by
+          ``n_leapfrog`` / ``step_size`` (dual-averaged toward
+          ``target_accept`` during burn-in). Targets the same posterior as
+          MH (see samplers/hmc.py); identical output columns.
         """
         from .utils.profiling import StageTimer
         timer = StageTimer() if profile else None
@@ -876,6 +928,16 @@ class ModelFramework:
             # the uniform default on the first call); the chain schedule is
             # re-calibrated below from this run's own seeding draws
             substeps = self._resolve_substeps("auto", n_fit_intervals)
+
+        if sampler not in ("mh", "hmc"):
+            raise ValueError(f"sampler must be 'mh' or 'hmc', got "
+                             f"{sampler!r}")
+        if sampler == "hmc":
+            if backend == "pallas":
+                raise ValueError("sampler='hmc' runs on the XLA backend "
+                                 "(autodiff through the solve); drop "
+                                 "backend='pallas'")
+            backend = "hmc"
 
         pallas_priors = None
         if use_priors:
@@ -1060,15 +1122,29 @@ class ModelFramework:
 
             margs = shard_chain_batch(
                 (jnp.asarray(th0, dtype), keys), mesh)
-            out = metropolis_hastings(
-                self._spec, self._obsdata_fit,
-                jnp.asarray(self._times_fit, dtype),
-                jnp.asarray(self.get_inits(), dtype), margs[0], margs[1],
-                nits=nits, burnin=burnin,
-                walk_mask=jnp.asarray(mask, dtype),
-                rwalk_std=rwalk_std, prior_logpdf=prior_logpdf,
-                use_priors=use_priors, method=method, rtol=rtol, atol=atol,
-                max_steps=max_steps, substeps=substeps)
+            if backend == "hmc":
+                from .samplers import hamiltonian_mc
+                out = hamiltonian_mc(
+                    self._spec, self._obsdata_fit,
+                    jnp.asarray(self._times_fit, dtype),
+                    jnp.asarray(self.get_inits(), dtype), margs[0], margs[1],
+                    nits=nits, burnin=burnin,
+                    walk_mask=jnp.asarray(mask, dtype),
+                    n_leapfrog=n_leapfrog, step_size=step_size,
+                    target_accept=target_accept,
+                    prior_logpdf=prior_logpdf, use_priors=use_priors,
+                    method="rk4" if method == "rk4" else "fixed_dopri5",
+                    substeps=substeps)
+            else:
+                out = metropolis_hastings(
+                    self._spec, self._obsdata_fit,
+                    jnp.asarray(self._times_fit, dtype),
+                    jnp.asarray(self.get_inits(), dtype), margs[0], margs[1],
+                    nits=nits, burnin=burnin,
+                    walk_mask=jnp.asarray(mask, dtype),
+                    rwalk_std=rwalk_std, prior_logpdf=prior_logpdf,
+                    use_priors=use_priors, method=method, rtol=rtol,
+                    atol=atol, max_steps=max_steps, substeps=substeps)
 
         if timer is not None:
             jax.block_until_ready(out.theta)

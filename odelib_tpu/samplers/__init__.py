@@ -1,5 +1,6 @@
+from .hmc import hamiltonian_mc
 from .lhs import lhs_unit, sample_lhs
 from .mh import MHOutput, equilibriums, metropolis_hastings, survey
 
 __all__ = ["lhs_unit", "sample_lhs", "MHOutput", "metropolis_hastings",
-           "survey", "equilibriums"]
+           "survey", "equilibriums", "hamiltonian_mc"]

@@ -159,7 +159,8 @@ def metropolis_hastings(
         nits=int(nits), burnin=int(burnin), rwalk_std=float(rwalk_std),
         prior_logpdf=prior_logpdf, use_priors=bool(use_priors),
         num_params=num_params, method=method, rtol=float(rtol),
-        atol=float(atol), max_steps=int(max_steps), substeps=int(substeps))
+        atol=float(atol), max_steps=int(max_steps),
+        substeps=substeps if isinstance(substeps, tuple) else int(substeps))
     iterations = jnp.arange(1, nits)[burnin:]
     return MHOutput(theta=theta_s, chi=chi_s, rsquared=rsq_s, aic=aic_s,
                     acceptance_ratio=ar_s, iteration=iterations)

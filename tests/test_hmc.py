@@ -1,0 +1,185 @@
+"""Hamiltonian Monte Carlo sampler (samplers/hmc.py) + gradient utilities.
+
+HMC targets the same z-space posterior as the MH sampler (see the module
+docstring's measure-theory note), so the key test is statistical parity of
+posterior moments between the two samplers on the demo problem.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(__file__))
+from helpers import demo_df, zero_i  # noqa: E402
+
+from odelib_tpu import models  # noqa: E402
+from odelib_tpu.data import build_obsdata, format_dataframe  # noqa: E402
+from odelib_tpu.model import make_spec  # noqa: E402
+from odelib_tpu.samplers import hamiltonian_mc, metropolis_hastings  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def problem():
+    spec = make_spec(zero_i, ("mu", "phi", "beta"), ("S", "V"))
+    df = format_dataframe(demo_df(), ("S", "V"))
+    times = np.linspace(0.0, 3.0, 18)
+    obs, y0 = build_obsdata(df, times, spec.post_snames)
+    y0 = jnp.asarray([5.2e6, 1.1e7])
+    theta_star = np.array([0.9, 3.0e-8, 25.0])
+    return spec, obs, jnp.asarray(times), y0, theta_star
+
+
+def _chains(theta_star, n, seed, jitter=0.1):
+    rng = np.random.default_rng(seed)
+    th0 = theta_star * np.exp(rng.normal(0, jitter, (n, 3)))
+    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+    return jnp.asarray(th0), keys
+
+
+def test_hmc_runs_and_mixes(problem):
+    spec, obs, times, y0, theta_star = problem
+    th0, keys = _chains(theta_star, 8, 0)
+    out = hamiltonian_mc(spec, obs, times, y0, th0, keys,
+                         nits=120, burnin=60, n_leapfrog=5, step_size=0.02)
+    assert out.theta.shape == (8, 59, 3)
+    ar = np.asarray(out.acceptance_ratio[:, -1])
+    assert np.isfinite(np.asarray(out.chi)).all()
+    # dual averaging should land acceptance in a healthy band
+    assert 0.2 < ar.mean() < 1.0, f"mean acceptance {ar.mean():.2f}"
+    # chains actually move
+    th = np.asarray(out.theta)
+    assert (np.abs(np.diff(np.log(th[..., 0]), axis=1)) > 0).any()
+
+
+@pytest.fixture(scope="module")
+def gaussian_problem():
+    """A problem whose posterior is EXACTLY Gaussian in log-parameters:
+    constant states equal to their '<sname>0' init parameters, so
+    chi(z) = sum_i (log_obs_i - z_state)^2 / (2 sigma^2) — closed-form
+    moments to validate the samplers against."""
+    import pandas as pd
+
+    def const_rhs(t, y, ps):
+        return jnp.stack([0.0 * y[0], 0.0 * y[1]])
+
+    spec = make_spec(const_rhs, ("S0", "V0"), ("S", "V"))
+    rng = np.random.default_rng(7)
+    sig = 0.3
+    tobs = np.linspace(0.0, 3.0, 10)
+    rows = []
+    mu_true = {"S": np.log(1e6), "V": np.log(3e7)}
+    logobs = {"S": [], "V": []}
+    for org in ("S", "V"):
+        for t in tobs:
+            la = mu_true[org] + rng.normal(0, sig)
+            logobs[org].append(la)
+            rows.append({"organism": org, "time": t,
+                         "abundance": np.exp(la), "log_sigma": sig})
+    df = format_dataframe(pd.DataFrame(rows), ("S", "V"))
+    times = np.linspace(0.0, 3.0, 11)
+    obs, _ = build_obsdata(df, times, spec.post_snames)
+    # exact posterior over z = (log S0, log V0): independent Gaussians
+    post_mean = np.array([np.mean(logobs["S"]), np.mean(logobs["V"])])
+    post_std = np.array([sig / np.sqrt(len(tobs))] * 2)
+    y0 = jnp.asarray([1.0, 1.0])  # overridden by S0/V0 every step
+    return spec, obs, jnp.asarray(times), y0, post_mean, post_std
+
+
+def test_hmc_recovers_exact_gaussian_posterior(gaussian_problem):
+    spec, obs, times, y0, post_mean, post_std = gaussian_problem
+    C = 32
+    rng = np.random.default_rng(11)
+    th0 = np.exp(post_mean[None] + rng.normal(0, 0.2, (C, 2)))
+    keys = jax.random.split(jax.random.PRNGKey(11), C)
+    out = hamiltonian_mc(spec, obs, times, y0, jnp.asarray(th0), keys,
+                         nits=400, burnin=200, n_leapfrog=6, step_size=0.05)
+    z = np.log(np.asarray(out.theta)).reshape(-1, 2)
+    n_eff = C  # conservative: one effective draw per chain
+    se = post_std / np.sqrt(n_eff)
+    assert np.all(np.abs(z.mean(0) - post_mean) < 5 * se), (
+        f"mean {z.mean(0)} vs exact {post_mean} (5se={5 * se})")
+    np.testing.assert_allclose(z.std(0), post_std, rtol=0.35)
+
+
+def test_mh_recovers_exact_gaussian_posterior(gaussian_problem):
+    """Same oracle for the MH sampler — pins both samplers to the SAME
+    measure, making them mutually consistent by transitivity."""
+    spec, obs, times, y0, post_mean, post_std = gaussian_problem
+    C = 32
+    rng = np.random.default_rng(12)
+    th0 = np.exp(post_mean[None] + rng.normal(0, 0.2, (C, 2)))
+    keys = jax.random.split(jax.random.PRNGKey(12), C)
+    out = metropolis_hastings(spec, obs, times, y0, jnp.asarray(th0), keys,
+                              nits=1500, burnin=750, method="fixed_dopri5",
+                              substeps=1, rwalk_std=0.08)
+    z = np.log(np.asarray(out.theta)).reshape(-1, 2)
+    se = post_std / np.sqrt(C)
+    assert np.all(np.abs(z.mean(0) - post_mean) < 5 * se)
+    np.testing.assert_allclose(z.std(0), post_std, rtol=0.35)
+
+
+def test_hmc_static_parameters_stay_fixed(problem):
+    spec, obs, times, y0, theta_star = problem
+    th0, keys = _chains(theta_star, 4, 3)
+    mask = jnp.asarray([1.0, 0.0, 1.0])
+    out = hamiltonian_mc(spec, obs, times, y0, th0, keys,
+                         nits=60, burnin=30, n_leapfrog=4, walk_mask=mask)
+    th = np.asarray(out.theta)
+    expect = np.broadcast_to(np.asarray(th0)[:, None, 1], th[:, :, 1].shape)
+    np.testing.assert_allclose(th[:, :, 1], expect, rtol=1e-6)
+
+
+def test_hmc_rejects_adaptive_method(problem):
+    spec, obs, times, y0, theta_star = problem
+    th0, keys = _chains(theta_star, 2, 4)
+    with pytest.raises(ValueError, match="fixed-step"):
+        hamiltonian_mc(spec, obs, times, y0, th0, keys, nits=10, burnin=2,
+                       method="dopri5")
+
+
+def test_mcmc_sampler_hmc_end_to_end():
+    mf = models.get("zero_i").framework(demo_df(), t_steps=288)
+    post = mf.MCMC(chain_inits=4, iterations_per_chain=60,
+                   fitsurvey_samples=128, sd_fitdistance=6.0,
+                   print_report=False, sampler="hmc", n_leapfrog=4,
+                   backend="xla")
+    assert len(post) == 4 * 29
+    assert set(["mu", "phi", "beta", "chi", "rsquared", "aic", "iteration",
+                "acceptance_ratio", "chain#"]) <= set(post.columns)
+    assert np.isfinite(post["chi"]).all()
+    with pytest.raises(ValueError, match="hmc"):
+        mf.MCMC(chain_inits=2, iterations_per_chain=10, sampler="hmc",
+                backend="pallas", fitsurvey_samples=16)
+    with pytest.raises(ValueError, match="sampler"):
+        mf.MCMC(chain_inits=2, iterations_per_chain=10, sampler="nuts",
+                fitsurvey_samples=16)
+
+
+def test_chi_sensitivity_matches_finite_differences():
+    mf = models.get("zero_i").framework(demo_df(), t_steps=288)
+    g = mf.get_chi_sensitivity(log_scale=True)
+    assert set(g) == {"mu", "phi", "beta"}
+
+    # central finite differences in log space
+    from odelib_tpu.model import chi_of_theta
+    theta = np.asarray(mf._current_theta(), float)
+    spec, obs = mf._spec, mf._obsdata_fit
+    times = jnp.asarray(mf._times_fit, jnp.result_type(float))
+    y0 = jnp.asarray(mf.get_inits(), jnp.result_type(float))
+
+    def chi_at(th):
+        return float(chi_of_theta(spec, obs, jnp.asarray(th), y0, times,
+                                  method="fixed_dopri5", substeps=4))
+
+    h = 1e-5
+    for i, p in enumerate(("mu", "phi", "beta")):
+        up, dn = theta.copy(), theta.copy()
+        up[i] *= np.exp(h)
+        dn[i] *= np.exp(-h)
+        fd = (chi_at(up) - chi_at(dn)) / (2 * h)
+        assert np.isfinite(g[p])
+        np.testing.assert_allclose(g[p], fd, rtol=5e-3, atol=1e-4)
