@@ -11,7 +11,12 @@ else
              odelib_tpu.stats odelib_tpu.model odelib_tpu.data \
              odelib_tpu.native odelib_tpu.ops.integrate \
              odelib_tpu.ops.runge_kutta odelib_tpu.ops.pallas_mh \
+             odelib_tpu.ops.schedule \
              odelib_tpu.samplers.lhs odelib_tpu.samplers.mh \
+             odelib_tpu.samplers.hmc \
+             odelib_tpu.models odelib_tpu.models.base \
+             odelib_tpu.models.infection odelib_tpu.models.ecology \
+             odelib_tpu.models.epidemiology odelib_tpu.models.chemistry \
              odelib_tpu.parallel.mesh odelib_tpu.utils.checkpoint \
              odelib_tpu.utils.profiling; do
         python -m pydoc "$m" > "docs/api/${m}.txt" || true
