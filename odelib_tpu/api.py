@@ -668,6 +668,19 @@ class ModelFramework:
             out[p] = v.reshape(shp) if shp else float(v[0])
         return out
 
+    def diagnostics(self, posteriors) -> pd.DataFrame:
+        """Convergence diagnostics for an MCMC posterior: per-parameter
+        mean/std/median, effective sample size (FFT autocovariance, Geyer
+        truncation), and split-chain R-hat.
+
+        New capability over the reference (it ships no convergence tooling;
+        users eyeball trace plots, demo cells 36-38). ``posteriors`` is any
+        DataFrame with the framework's ``chain#`` column convention —
+        typically the return value of :meth:`MCMC`.
+        """
+        from .utils.diagnostics import summarize
+        return summarize(posteriors, list(self.get_pnames()))
+
     # ------------------------------------------------------------------
     # LHS sampling (Framework.py:589-615)
     # ------------------------------------------------------------------
