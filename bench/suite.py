@@ -356,6 +356,80 @@ def config6_stiff_mcmc(base):
             "vs_baseline": round(rate / ref_rate, 1) if ref_rate else None}
 
 
+def config7_hmc_ess(base):
+    """Gradient-based HMC vs random-walk MH at EQUAL wall-clock: effective
+    samples per second on the demo posterior. HMC is a capability class the
+    reference cannot reach (no gradients through Fortran odeint); the fair
+    economics question is whether its costlier iterations (n_leapfrog
+    gradient solves each) buy proportionally more mixing. The binding
+    constraint for downstream use is the SLOWEST-mixing parameter, so that
+    is the headline (min-over-parameters ESS/sec)."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench as B
+    from odelib_tpu.data import obsdata_to_device
+    from odelib_tpu.samplers import hamiltonian_mc, metropolis_hastings
+    from odelib_tpu.utils.diagnostics import effective_sample_size
+
+    spec, obs_host, times_fit, y0 = B.build_problem()
+    obs = obsdata_to_device(obs_host, jnp.float32)
+    times_d = jnp.asarray(times_fit, jnp.float32)
+    y0_d = jnp.asarray(y0, jnp.float32)
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    C = 1024 if on_tpu else 64
+    NITS_H, NITS_M = (256, 2048) if on_tpu else (40, 320)
+    rng = np.random.default_rng(0)
+    th0 = jnp.asarray(np.array([0.9, 3.0e-8, 25.0])
+                      * np.exp(rng.normal(0, 0.05, (C, 3))), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), C)
+
+    def run_hmc():
+        out = hamiltonian_mc(spec, obs, times_d, y0_d, th0, keys,
+                             nits=NITS_H, burnin=NITS_H // 2, n_leapfrog=8,
+                             step_size=0.02, substeps=4)
+        _sync(out.chi[-1:, -1:])
+        return out
+
+    def run_mh():
+        out = metropolis_hastings(spec, obs, times_d, y0_d, th0, keys,
+                                  nits=NITS_M, burnin=NITS_M // 2,
+                                  method="fixed_dopri5", substeps=4)
+        _sync(out.chi[-1:, -1:])
+        return out
+
+    out_h = run_hmc()
+    t_h = _timed(run_hmc, reps=3)
+    out_m = run_mh()
+    t_m = _timed(run_mh, reps=3)
+
+    def min_ess(out):
+        th = np.log(np.asarray(out.theta))  # (C, R, P)
+        return min(effective_sample_size(th[:, :, p])
+                   for p in range(th.shape[-1]))
+
+    ess_h, ess_m = min_ess(out_h), min_ess(out_m)
+    hmc_rate, mh_rate = ess_h / t_h, ess_m / t_m
+    return {"config": 7,
+            "metric": "HMC vs random-walk MH: min-over-parameters effective "
+                      "samples/sec on the demo posterior (XLA backend)",
+            "value": round(hmc_rate, 1), "unit": "ESS/sec (HMC)",
+            "mh_ess_per_s": round(mh_rate, 1),
+            "hmc_over_mh": round(hmc_rate / mh_rate, 2) if mh_rate else None,
+            "hmc": {"chains": C, "nits": NITS_H, "elapsed_s": round(t_h, 3),
+                    "min_ess": round(ess_h, 1),
+                    "mean_acceptance": round(float(np.mean(np.asarray(
+                        out_h.acceptance_ratio)[:, -1])), 3)},
+            "mh": {"chains": C, "nits": NITS_M, "elapsed_s": round(t_m, 3),
+                   "min_ess": round(ess_m, 1),
+                   "mean_acceptance": round(float(np.mean(np.asarray(
+                       out_m.acceptance_ratio)[:, -1])), 3)},
+            "note": "capability row - the reference has no gradient-based "
+                    "sampler at any speed; vs_baseline not defined",
+            "vs_baseline": None}
+
+
 def main():
     import bench as B
     spec, obs_host, times_fit, y0 = B.build_problem()
@@ -369,6 +443,7 @@ def main():
         config4b_full_grid_adaptive(base),
         config5_stiff_and_aic(base),
         config6_stiff_mcmc(base),
+        config7_hmc_ess(base),
     ]
     for r in results:
         print(json.dumps(r))
