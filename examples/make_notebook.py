@@ -266,6 +266,45 @@ for name, m in (('zero_i', zeroI), ('one_i', oneI), ('two_i', twoI)):
 comparison = pd.DataFrame(rows).sort_values('AIC').reset_index(drop=True)
 comparison"""),
     (M, """\
+# Convergence diagnostics
+
+Did the chains actually converge? The framework ships the two standard
+checks — effective sample size and split-chain R-hat (values near 1.0 mean
+the chains agree) — as a one-call table. (The reference has no convergence
+tooling; you eyeball the traces above.)"""),
+    (C, "zeroI.diagnostics(posterior)"),
+    (M, """\
+# The packaged model library
+
+All three infection models (and eight more families: Lotka-Volterra,
+logistic, chemostat, SIR, SEIR, and the stiff Robertson / Van der Pol /
+Oregonator systems) ship pre-packaged with literature defaults and priors —
+one call builds a ready `ModelFramework`:"""),
+    (C, """\
+from odelib_tpu import models
+print(models.available())
+zeroI_packaged = models.get('zero_i').framework(df, t_steps=288)
+_ = zeroI_packaged.MCMC(chain_inits=N_CHAINS, iterations_per_chain=N_ITERS,
+                        fitsurvey_samples=N_SURVEY, sd_fitdistance=6.0,
+                        print_report=False)
+zeroI_packaged.get_fitstats()"""),
+    (M, """\
+# Gradient-based inference (HMC + sensitivity)
+
+Because the whole solve is differentiable JAX code, chains can follow
+`-grad(chi)` through parameter space — Hamiltonian Monte Carlo — and you
+can read off local sensitivities (chi change per e-fold of each parameter)
+directly. Neither is possible in the reference, whose RHS sits behind
+scipy's Fortran callback:"""),
+    (C, """\
+posterior_hmc = zeroI.MCMC(chain_inits=N_CHAINS,
+                           iterations_per_chain=max(N_ITERS // 4, 50),
+                           fitsurvey_samples=N_SURVEY, sd_fitdistance=6.0,
+                           sampler='hmc', n_leapfrog=8,
+                           print_report=False)
+zeroI.diagnostics(posterior_hmc)"""),
+    (C, "zeroI.get_chi_sensitivity()   # d chi / d log-parameter at the best fit"),
+    (M, """\
 # Scaling out
 
 Everything above also runs (a) **fused on a real TPU chip** — `MCMC`

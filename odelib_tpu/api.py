@@ -109,11 +109,12 @@ def _survey_jit(spec, obs, times, y0, thetas, method, rtol, atol, max_steps,
                       atol=atol, max_steps=max_steps, substeps=substeps)
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9))
 def _equilibrium_jit(spec, times, y0, thetas, method, rtol, atol, max_steps,
-                     substeps):
+                     substeps, return_residual=False):
     return _mh.equilibriums(spec, times, y0, thetas, method=method, rtol=rtol,
-                            atol=atol, max_steps=max_steps, substeps=substeps)
+                            atol=atol, max_steps=max_steps, substeps=substeps,
+                            return_residual=return_residual)
 
 
 class parameter:
@@ -753,10 +754,13 @@ class ModelFramework:
         return out
 
     def explore_equilibriums(self, samples=1000, cpu_cores=1,
-                             **parameter_mapping):
+                             check_convergence=False, **parameter_mapping):
         """LHS draws -> final integration state per draw
-        (``Framework.py:819-854``; no convergence check, like the
-        reference)."""
+        (``Framework.py:819-854``). Default matches the reference: no
+        convergence check (its own comment, ``Framework.py:26-27``).
+        ``check_convergence=True`` adds an ``equilibrium_residual`` column —
+        the relative RHS norm at the final state, ~0 for a settled draw —
+        so unconverged draws can be filtered instead of silently trusted."""
         solver_kw = {k: parameter_mapping.pop(k)
                      for k in list(parameter_mapping)
                      if k in self._SOLVER_KEYS}
@@ -766,13 +770,17 @@ class ModelFramework:
         eqs = _equilibrium_jit(self._spec, jnp.asarray(self.times, dtype),
                                jnp.asarray(self.get_inits(), dtype),
                                jnp.asarray(thetas, dtype),
-                               *self._solver_args(
-                                   parameter_mapping if False else solver_kw,
-                                   len(self.times) - 1))
+                               *self._solver_args(solver_kw,
+                                                  len(self.times) - 1),
+                               bool(check_convergence))
+        if check_convergence:
+            eqs, residual = eqs
         df = pd.DataFrame(np.asarray(eqs),
                           columns=self.get_snames(after_summation=False))
         for p in self.get_pnames():
             df[p] = ps[p].to_numpy()
+        if check_convergence:
+            df["equilibrium_residual"] = np.asarray(residual)
         return df
 
     def search_initparamfits(self, samples=1000, cpu_cores=1, **kwargs):

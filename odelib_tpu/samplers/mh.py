@@ -184,15 +184,27 @@ def survey(spec: ModelSpec, obs: ObsData, times, y0_base, thetas, *,
 
 def equilibriums(spec: ModelSpec, times, y0_base, thetas, *,
                  method: str = "dopri5", rtol: float = 1e-6, atol: float = 1e-4,
-                 max_steps: int = 4096, substeps: int = 4):
+                 max_steps: int = 4096, substeps: int = 4,
+                 return_residual: bool = False):
     """Final integration state per draw, raw states (no summations) — the
-    vmapped ``_Equilibrium_worker`` (``Framework.py:24-38``). No convergence
-    check, matching the reference's documented limitation."""
+    vmapped ``_Equilibrium_worker`` (``Framework.py:24-38``).
+
+    The reference performs no convergence check (its own comment,
+    ``Framework.py:26-27``); by default this matches. With
+    ``return_residual=True`` it also returns the relative RHS norm at the
+    final state, ``|f(t_end, y_end)| / (1 + |y_end|)`` per draw — a cheap,
+    vmapped measure of how much the state was still moving, so callers can
+    flag draws that never settled."""
     def one(theta):
         y0 = spec.override_inits(y0_base, theta)
         ys = integrate_theta(spec, theta, y0, times, method=method,
                              rtol=rtol, atol=atol, max_steps=max_steps,
                              substeps=substeps)
-        return ys[-1]
+        y_end = ys[-1]
+        if not return_residual:
+            return y_end
+        f_end = spec.rhs(times[-1], y_end, spec.unpack_theta(theta))
+        res = jnp.sqrt(jnp.mean((f_end / (1.0 + jnp.abs(y_end))) ** 2))
+        return y_end, res
 
     return jax.vmap(one)(thetas)

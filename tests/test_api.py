@@ -255,6 +255,13 @@ def test_explore_equilibriums(zeroI):
     assert len(eq) == 16
 
 
+def test_explore_equilibriums_convergence_flag(zeroI):
+    eq = zeroI.explore_equilibriums(samples=16, check_convergence=True)
+    assert "equilibrium_residual" in eq.columns
+    r = eq["equilibrium_residual"].to_numpy()
+    assert (r[np.isfinite(r)] >= 0).all()
+
+
 def test_gradient(zeroI):
     zeroI.set_parameters(mu=0.6, phi=2.4e-8, beta=24.0)
     pr = np.linspace(0.2, 1.0, 5)
