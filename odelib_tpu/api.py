@@ -890,6 +890,7 @@ class ModelFramework:
              checkpoint_path=None, checkpoint_every=None, resume_from=None,
              backend="auto", burnin=None, sampler="mh", n_leapfrog=8,
              step_size=0.02, target_accept=0.8,
+             temperatures=(1.0, 2.0, 4.0, 8.0), swap_every=1,
              profile=False, pallas_interpret=False, pallas_tile_chains=1024,
              **solver_kw):
         """Markov Chain Monte Carlo over vmapped+mesh-sharded chains.
@@ -931,7 +932,12 @@ class ModelFramework:
           whose RHS sits behind scipy's Fortran callback). Tuned by
           ``n_leapfrog`` / ``step_size`` (dual-averaged toward
           ``target_accept`` during burn-in). Targets the same posterior as
-          MH (see samplers/hmc.py); identical output columns.
+          MH (see samplers/hmc.py); identical output columns;
+        * ``sampler='pt'``: replica-exchange (parallel tempering) MH for
+          multimodal posteriors — each chain carries a ``temperatures``
+          ladder of replicas with parity-alternating swap moves every
+          ``swap_every`` iterations; returned samples are the T=1 replica
+          (samplers/pt.py). Cold-swap acceptance is logged.
         """
         from .utils.profiling import StageTimer
         timer = StageTimer() if profile else None
@@ -950,15 +956,14 @@ class ModelFramework:
             # re-calibrated below from this run's own seeding draws
             substeps = self._resolve_substeps("auto", n_fit_intervals)
 
-        if sampler not in ("mh", "hmc"):
-            raise ValueError(f"sampler must be 'mh' or 'hmc', got "
+        if sampler not in ("mh", "hmc", "pt"):
+            raise ValueError(f"sampler must be 'mh', 'hmc' or 'pt', got "
                              f"{sampler!r}")
-        if sampler == "hmc":
+        if sampler in ("hmc", "pt"):
             if backend == "pallas":
-                raise ValueError("sampler='hmc' runs on the XLA backend "
-                                 "(autodiff through the solve); drop "
-                                 "backend='pallas'")
-            backend = "hmc"
+                raise ValueError(f"sampler={sampler!r} runs on the XLA "
+                                 "backend; drop backend='pallas'")
+            backend = sampler
 
         pallas_priors = None
         if use_priors:
@@ -1156,6 +1161,23 @@ class ModelFramework:
                     prior_logpdf=prior_logpdf, use_priors=use_priors,
                     method="rk4" if method == "rk4" else "fixed_dopri5",
                     substeps=substeps)
+            elif backend == "pt":
+                from .samplers import parallel_tempering
+                out, swap_rate = parallel_tempering(
+                    self._spec, self._obsdata_fit,
+                    jnp.asarray(self._times_fit, dtype),
+                    jnp.asarray(self.get_inits(), dtype), margs[0], margs[1],
+                    temperatures=tuple(temperatures), swap_every=swap_every,
+                    nits=nits, burnin=burnin,
+                    walk_mask=jnp.asarray(mask, dtype),
+                    rwalk_std=rwalk_std, prior_logpdf=prior_logpdf,
+                    use_priors=use_priors, method=method, rtol=rtol,
+                    atol=atol, max_steps=max_steps, substeps=substeps)
+                from .utils.profiling import get_logger
+                get_logger().info(
+                    "parallel tempering: mean cold-swap acceptance %.3f "
+                    "over %d temperatures",
+                    float(jnp.mean(swap_rate)), len(temperatures))
             else:
                 out = metropolis_hastings(
                     self._spec, self._obsdata_fit,

@@ -1,6 +1,8 @@
 from .hmc import hamiltonian_mc
 from .lhs import lhs_unit, sample_lhs
 from .mh import MHOutput, equilibriums, metropolis_hastings, survey
+from .pt import parallel_tempering
 
 __all__ = ["lhs_unit", "sample_lhs", "MHOutput", "metropolis_hastings",
-           "survey", "equilibriums", "hamiltonian_mc"]
+           "survey", "equilibriums", "hamiltonian_mc",
+           "parallel_tempering"]
