@@ -669,6 +669,79 @@ class ModelFramework:
             out[p] = v.reshape(shp) if shp else float(v[0])
         return out
 
+    def fit_map(self, starts=64, steps=500, learning_rate=0.05,
+                use_priors=False, static_parameters=(), set_best=True,
+                **solver_kw) -> pd.DataFrame:
+        """Multi-start gradient (Adam) point estimation: maximum likelihood,
+        or MAP with ``use_priors=True``.
+
+        Draws ``starts`` LHS samples from the priors, runs ``steps`` Adam
+        iterations from every start AT ONCE (vmapped; gradients flow
+        through the fixed-step solve), and returns a DataFrame of the
+        per-start optima (pnames..., chi, loss, converged) sorted by chi.
+        ``set_best=True`` pushes the winner into the framework like
+        ``set_best_params``. The reference's only point-estimate route is
+        min-chi over MCMC samples (``Framework.py:725-731``).
+        """
+        from .samplers import map_fit
+
+        ps = self._lhs_samples(starts)
+        theta0 = np.asarray(self._theta_from_df(ps))
+        # include the current values as one start (warm restarts)
+        theta0 = np.concatenate([theta0,
+                                 np.asarray(self._current_theta())[None]])
+        mask = np.ones(self._spec.theta_size)
+        offsets = self._spec.theta_offsets
+        for p in static_parameters:
+            i = self._pnames.index(p)
+            n = int(np.prod(self._spec.pshapes[i])) \
+                if self._spec.pshapes[i] else 1
+            mask[offsets[i]:offsets[i] + n] = 0.0
+        _, _, _, _, substeps = self._solver_args(
+            solver_kw, len(self._times_fit) - 1)
+        if substeps == "auto":
+            substeps = self._resolve_substeps("auto",
+                                              len(self._times_fit) - 1)
+        prior_logpdf = None
+        if use_priors:
+            jdists = tuple(self.parameters[p].jdist
+                           if self.parameters[p] is not None else None
+                           for p in self._pnames)
+            spec = self._spec
+
+            def prior_logpdf(theta):
+                ps_ = spec.unpack_theta(theta)
+                tot = 0.0
+                for d, v in zip(jdists, ps_):
+                    if d is not None:
+                        tot = tot + jnp.sum(d.logpdf(v))
+                return tot
+
+        dtype = jnp.result_type(float)
+        res = map_fit(self._spec, self._obsdata_fit,
+                      jnp.asarray(self._times_fit, dtype),
+                      jnp.asarray(self.get_inits(), dtype),
+                      jnp.asarray(theta0, dtype),
+                      steps=steps, learning_rate=learning_rate,
+                      walk_mask=jnp.asarray(mask, dtype),
+                      prior_logpdf=prior_logpdf, use_priors=use_priors,
+                      substeps=substeps)
+        theta = np.asarray(res.theta)
+        out = {}
+        for p, off, shp in zip(self._pnames, offsets, self._spec.pshapes):
+            n = int(np.prod(shp)) if shp else 1
+            col = theta[:, off:off + n]
+            out[p] = list(col.reshape((-1,) + shp)) if shp else col[:, 0]
+        df = pd.DataFrame(out)
+        df["chi"] = np.asarray(res.chi)
+        df["loss"] = np.asarray(res.loss)
+        df["converged"] = np.asarray(res.converged)
+        df = df.sort_values("chi").reset_index(drop=True)
+        if set_best and np.isfinite(df["chi"].iloc[0]):
+            best = df.iloc[0]
+            self.set_parameters(**{p: best[p] for p in self._pnames})
+        return df
+
     def diagnostics(self, posteriors) -> pd.DataFrame:
         """Convergence diagnostics for an MCMC posterior: per-parameter
         mean/std/median, effective sample size (FFT autocovariance, Geyer

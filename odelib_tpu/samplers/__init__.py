@@ -1,8 +1,9 @@
 from .hmc import hamiltonian_mc
 from .lhs import lhs_unit, sample_lhs
 from .mh import MHOutput, equilibriums, metropolis_hastings, survey
+from .optimize import MAPResult, map_fit
 from .pt import parallel_tempering
 
 __all__ = ["lhs_unit", "sample_lhs", "MHOutput", "metropolis_hastings",
            "survey", "equilibriums", "hamiltonian_mc",
-           "parallel_tempering"]
+           "parallel_tempering", "map_fit", "MAPResult"]
