@@ -742,6 +742,76 @@ class ModelFramework:
             self.set_parameters(**{p: best[p] for p in self._pnames})
         return df
 
+    def laplace_approximation(self, parameters=None, use_priors=False,
+                              **solver_kw):
+        """Gaussian (Laplace) posterior approximation around a point
+        estimate: Hessian of U(z) = chi [- log prior] in log-parameter
+        space via ``jax.hessian`` through the fixed-step solve.
+
+        Run :meth:`fit_map` first (or pass ``parameters``) so the point is
+        an optimum. Returns a dict with ``median`` (exp of the mode),
+        ``log_std`` (per-parameter posterior std in log space),
+        ``cov``/``corr`` (log-space covariance/correlation DataFrames) and
+        ``hessian_pd`` (False when the Hessian was not positive definite —
+        flat/unidentified directions; pseudo-inverse is used and the
+        corresponding stds are unreliable). Another autodiff capability
+        with no reference counterpart.
+        """
+        if parameters is None:
+            theta = np.asarray(self._current_theta(), float)
+        else:
+            theta = np.asarray(self._spec.pack_theta(list(parameters)),
+                               float)
+        if any(s for s in self._spec.pshapes):
+            raise ValueError("laplace_approximation supports scalar "
+                             "parameters only")
+        _, _, _, _, substeps = self._solver_args(
+            solver_kw, len(self._times_fit) - 1)
+        if substeps == "auto":
+            substeps = self._resolve_substeps("auto",
+                                              len(self._times_fit) - 1)
+        dtype = jnp.result_type(float)
+        spec = self._spec
+        obs = self._obsdata_fit
+        times = jnp.asarray(self._times_fit, dtype)
+        y0b = jnp.asarray(self.get_inits(), dtype)
+        jdists = tuple(self.parameters[p].jdist
+                       if self.parameters[p] is not None else None
+                       for p in self._pnames)
+
+        def u_of(z):
+            from .model import chi_of_theta
+            th = jnp.exp(z)
+            u = chi_of_theta(spec, obs, th, y0b, times,
+                             method="fixed_dopri5", substeps=substeps)
+            if use_priors:
+                for d, v in zip(jdists, spec.unpack_theta(th)):
+                    if d is not None:
+                        u = u - jnp.sum(d.logpdf(v))
+            return u
+
+        z0 = jnp.log(jnp.asarray(theta, dtype))
+        H = np.asarray(jax.hessian(u_of)(z0), float)
+        pd_ok = bool(np.all(np.isfinite(H)))
+        if pd_ok:
+            try:
+                np.linalg.cholesky(H)
+            except np.linalg.LinAlgError:
+                pd_ok = False
+        cov = np.linalg.pinv(H) if np.all(np.isfinite(H)) else \
+            np.full_like(H, np.nan)
+        std = np.sqrt(np.clip(np.diag(cov), 0.0, None))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = cov / np.outer(std, std)
+        names = list(self._pnames)
+        return {
+            "median": {p: float(v) for p, v in zip(names, theta)},
+            "log_std": {p: float(s) for p, s in zip(names, std)},
+            "cov": pd.DataFrame(cov, index=names, columns=names),
+            "corr": pd.DataFrame(corr, index=names, columns=names),
+            "hessian_pd": pd_ok,
+        }
+
     def diagnostics(self, posteriors) -> pd.DataFrame:
         """Convergence diagnostics for an MCMC posterior: per-parameter
         mean/std/median, effective sample size (FFT autocovariance, Geyer

@@ -96,3 +96,44 @@ def test_framework_fit_map_static_parameters():
     expected = np.concatenate([ps["beta"].to_numpy(), [24.0]])
     np.testing.assert_allclose(np.sort(df["beta"].to_numpy()),
                                np.sort(expected), rtol=1e-6)
+
+
+def test_laplace_exact_on_gaussian_posterior():
+    """Constant-state model: chi is exactly quadratic in z, so the Laplace
+    approximation IS the posterior — std must equal sigma/sqrt(n)."""
+    import pandas as pd
+    from odelib_tpu import ModelFramework
+
+    sig, n = 0.3, 10
+    rng = np.random.default_rng(9)
+    tobs = np.linspace(0.0, 3.0, n)
+    logobs = np.log(1e6) + rng.normal(0, sig, n)
+    df = pd.DataFrame([{"organism": "S", "time": t,
+                        "abundance": np.exp(la), "log_sigma": sig}
+                       for t, la in zip(tobs, logobs)])
+
+    def const_rhs(t, y, ps):
+        return jnp.stack([0.0 * y[0]])
+
+    mf = ModelFramework(ODE=const_rhs, ode_style="jax",
+                        parameter_names=["S0"], state_names=["S"],
+                        dataframe=df, t_steps=11,
+                        S0=float(np.exp(np.mean(logobs))))
+    lap = mf.laplace_approximation()
+    assert lap["hessian_pd"]
+    np.testing.assert_allclose(lap["log_std"]["S0"], sig / np.sqrt(n),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.log(lap["median"]["S0"]),
+                               np.mean(logobs), rtol=1e-6)
+
+
+def test_laplace_after_fit_map_demo():
+    from helpers import demo_df
+    mf = models.get("zero_i").framework(demo_df(), t_steps=288)
+    mf.fit_map(starts=16, steps=300, learning_rate=0.1)
+    lap = mf.laplace_approximation()
+    # phi and beta are the identified pair: tight stds, strong negative
+    # correlation (adsorption/burst-size tradeoff)
+    assert lap["log_std"]["phi"] < 0.5
+    assert lap["log_std"]["beta"] < 0.5
+    assert lap["corr"].loc["phi", "beta"] < -0.5
