@@ -1034,6 +1034,7 @@ class ModelFramework:
              backend="auto", burnin=None, sampler="mh", n_leapfrog=8,
              step_size=0.02, target_accept=0.8,
              temperatures=(1.0, 2.0, 4.0, 8.0), swap_every=1,
+             stretch_a=2.0,
              profile=False, pallas_interpret=False, pallas_tile_chains=1024,
              **solver_kw):
         """Markov Chain Monte Carlo over vmapped+mesh-sharded chains.
@@ -1081,6 +1082,12 @@ class ModelFramework:
           ladder of replicas with parity-alternating swap moves every
           ``swap_every`` iterations; returned samples are the T=1 replica
           (samplers/pt.py). Cold-swap acceptance is logged.
+        * ``sampler='ensemble'``: affine-invariant ensemble sampler
+          (Goodman-Weare stretch moves, the emcee algorithm) — the
+          ``chain_inits`` count becomes the walker count (rounded up to
+          even; use >= 2x the free parameter count). Affine invariance
+          makes correlated posteriors mix without tuning ``rwalk_std``;
+          ``stretch_a`` sets the stretch scale (samplers/ensemble.py).
         """
         from .utils.profiling import StageTimer
         timer = StageTimer() if profile else None
@@ -1099,10 +1106,10 @@ class ModelFramework:
             # re-calibrated below from this run's own seeding draws
             substeps = self._resolve_substeps("auto", n_fit_intervals)
 
-        if sampler not in ("mh", "hmc", "pt"):
-            raise ValueError(f"sampler must be 'mh', 'hmc' or 'pt', got "
-                             f"{sampler!r}")
-        if sampler in ("hmc", "pt"):
+        if sampler not in ("mh", "hmc", "pt", "ensemble"):
+            raise ValueError(f"sampler must be 'mh', 'hmc', 'pt' or "
+                             f"'ensemble', got {sampler!r}")
+        if sampler in ("hmc", "pt", "ensemble"):
             if backend == "pallas":
                 raise ValueError(f"sampler={sampler!r} runs on the XLA "
                                  "backend; drop backend='pallas'")
@@ -1304,6 +1311,22 @@ class ModelFramework:
                     prior_logpdf=prior_logpdf, use_priors=use_priors,
                     method="rk4" if method == "rk4" else "fixed_dopri5",
                     substeps=substeps)
+            elif backend == "ensemble":
+                from .samplers import ensemble_mh
+                if n_padded % 2:  # walker count must be even
+                    n_padded += 1
+                    th0 = np.concatenate([th0, th0[-1:]])
+                out = ensemble_mh(
+                    self._spec, self._obsdata_fit,
+                    jnp.asarray(self._times_fit, dtype),
+                    jnp.asarray(self.get_inits(), dtype),
+                    jnp.asarray(th0, dtype),
+                    jax.random.fold_in(base_key, 0xE75),
+                    nits=nits, burnin=burnin, a=stretch_a,
+                    walk_mask=jnp.asarray(mask, dtype),
+                    prior_logpdf=prior_logpdf, use_priors=use_priors,
+                    method=method, rtol=rtol, atol=atol,
+                    max_steps=max_steps, substeps=substeps)
             elif backend == "pt":
                 from .samplers import parallel_tempering
                 out, swap_rate = parallel_tempering(

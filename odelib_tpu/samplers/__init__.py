@@ -1,3 +1,4 @@
+from .ensemble import ensemble_mh
 from .hmc import hamiltonian_mc
 from .lhs import lhs_unit, sample_lhs
 from .mh import MHOutput, equilibriums, metropolis_hastings, survey
@@ -6,4 +7,4 @@ from .pt import parallel_tempering
 
 __all__ = ["lhs_unit", "sample_lhs", "MHOutput", "metropolis_hastings",
            "survey", "equilibriums", "hamiltonian_mc",
-           "parallel_tempering", "map_fit", "MAPResult"]
+           "parallel_tempering", "map_fit", "MAPResult", "ensemble_mh"]
