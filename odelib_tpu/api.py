@@ -812,6 +812,92 @@ class ModelFramework:
             "hessian_pd": pd_ok,
         }
 
+    def model_evidence(self, particles=1024, n_moves=5, ess_target=0.5,
+                       static_parameters=(), print_report=True,
+                       **solver_kw):
+        """Log model evidence (marginal likelihood) + posterior particles
+        via tempered Sequential Monte Carlo (samplers/smc.py).
+
+        Anneals ``particles`` LHS prior draws from the prior to the
+        posterior with an ESS-adaptive temperature ladder; every stage's
+        rejuvenation sweeps are vmapped batches of ODE solves with
+        covariance-adapted proposals. Returns a dict with:
+
+        * ``log_evidence``: log of ``∫ exp(-chi) * prior`` — the Bayes
+          normalizer of the same unnormalized posterior :meth:`MCMC`
+          samples. The Bayes factor between two models of the SAME data is
+          ``exp(logZ_a - logZ_b)`` (a full-posterior comparison; the
+          reference can only rank point fits by AIC, ``stats.py:44-47``);
+        * ``posterior``: equal-weight particle DataFrame (pnames..., chi,
+          rsquared, aic);
+        * ``betas`` / ``acceptance``: the adaptive schedule and per-stage
+          mutation acceptance rates.
+
+        Every non-static parameter must carry a prior distribution —
+        evidence is undefined without one.
+        """
+        from .samplers.smc import smc_sample
+
+        static_parameters = list(static_parameters)
+        jdists = tuple(self.parameters[p].jdist
+                       if (self.parameters[p] is not None
+                           and self.parameters[p].has_distribution()
+                           and p not in static_parameters) else None
+                       for p in self._pnames)
+        free_missing = [p for p, d in zip(self._pnames, jdists)
+                        if d is None and p not in static_parameters]
+        if free_missing:
+            raise ValueError(
+                f"model_evidence requires a prior on every free parameter; "
+                f"missing: {free_missing} (declare them static via "
+                f"static_parameters=... to hold them fixed)")
+        if any(s for s in self._spec.pshapes):
+            raise ValueError("model_evidence supports scalar parameters "
+                             "only")
+        spec = self._spec
+
+        def prior_logpdf(theta):
+            ps_ = spec.unpack_theta(theta)
+            tot = 0.0
+            for d, v in zip(jdists, ps_):
+                if d is not None:
+                    tot = tot + jnp.sum(d.logpdf(v))
+            return tot
+
+        mask = np.asarray([0.0 if d is None else 1.0 for d in jdists])
+        ps = self._lhs_samples(particles)
+        theta0 = np.asarray(self._theta_from_df(ps))
+        method, rtol, atol, max_steps, substeps = self._solver_args(
+            solver_kw, len(self._times_fit) - 1)
+        if substeps == "auto":
+            substeps = self._resolve_substeps("auto",
+                                              len(self._times_fit) - 1)
+        dtype = jnp.result_type(float)
+        out = smc_sample(
+            self._spec, self._obsdata_fit,
+            jnp.asarray(self._times_fit, dtype),
+            jnp.asarray(self.get_inits(), dtype),
+            jnp.asarray(theta0, dtype),
+            jax.random.PRNGKey(self.random_seed),
+            prior_logpdf=prior_logpdf, n_moves=int(n_moves),
+            ess_target=float(ess_target),
+            walk_mask=jnp.asarray(mask, dtype),
+            method=method, rtol=rtol, atol=atol, max_steps=max_steps,
+            substeps=substeps)
+        theta = np.asarray(out.theta)
+        df = pd.DataFrame({p: theta[:, i]
+                           for i, p in enumerate(self._pnames)})
+        df["chi"] = np.asarray(out.chi)
+        df["rsquared"] = np.asarray(out.rsquared)
+        df["aic"] = np.asarray(out.aic)
+        if print_report:
+            print(f"SMC evidence: logZ = {out.log_evidence:.3f} over "
+                  f"{len(out.betas) - 1} stages "
+                  f"(mean mutation acceptance "
+                  f"{float(np.mean(out.acceptance)):.3f})")
+        return {"log_evidence": out.log_evidence, "posterior": df,
+                "betas": out.betas, "acceptance": out.acceptance}
+
     def diagnostics(self, posteriors) -> pd.DataFrame:
         """Convergence diagnostics for an MCMC posterior: per-parameter
         mean/std/median, effective sample size (FFT autocovariance, Geyer

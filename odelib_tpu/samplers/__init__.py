@@ -4,7 +4,9 @@ from .lhs import lhs_unit, sample_lhs
 from .mh import MHOutput, equilibriums, metropolis_hastings, survey
 from .optimize import MAPResult, map_fit
 from .pt import parallel_tempering
+from .smc import SMCOutput, smc_sample
 
 __all__ = ["lhs_unit", "sample_lhs", "MHOutput", "metropolis_hastings",
            "survey", "equilibriums", "hamiltonian_mc",
-           "parallel_tempering", "map_fit", "MAPResult", "ensemble_mh"]
+           "parallel_tempering", "map_fit", "MAPResult", "ensemble_mh",
+           "smc_sample", "SMCOutput"]
