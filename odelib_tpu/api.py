@@ -109,6 +109,22 @@ def _survey_jit(spec, obs, times, y0, thetas, method, rtol, atol, max_steps,
                       atol=atol, max_steps=max_steps, substeps=substeps)
 
 
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
+def _logpred_jit(spec, obs, times, y0b, thetas, method, rtol, atol,
+                 max_steps, substeps):
+    """(S, P) posterior draws -> (S, N) log predictions at the obs points."""
+    from .model import observe
+
+    def one(theta):
+        y0 = spec.override_inits(y0b, theta)
+        ys = integrate_theta(spec, theta, y0, times, method=method,
+                             rtol=rtol, atol=atol, max_steps=max_steps,
+                             substeps=substeps)
+        return jnp.log(observe(spec, obs, ys))
+
+    return jax.vmap(one)(thetas)
+
+
 @partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9))
 def _equilibrium_jit(spec, times, y0, thetas, method, rtol, atol, max_steps,
                      substeps, return_residual=False):
@@ -897,6 +913,76 @@ class ModelFramework:
                   f"{float(np.mean(out.acceptance)):.3f})")
         return {"log_evidence": out.log_evidence, "posterior": df,
                 "betas": out.betas, "acceptance": out.acceptance}
+
+    def information_criteria(self, posterior, n_draws=400,
+                             print_report=True, **solver_kw):
+        """WAIC and PSIS-LOO predictive model comparison from an MCMC (or
+        SMC) posterior DataFrame (utils/model_comparison.py).
+
+        Subsamples ``n_draws`` posterior rows, re-integrates them as one
+        vmapped device batch to get per-observation log predictions, and
+        reduces the pointwise log-likelihood matrix to:
+
+        * ``waic`` dict: elpd_waic, p_waic, waic, se_elpd_waic;
+        * ``loo`` dict: elpd_loo, p_loo, looic, se_elpd_loo, per-point
+          Pareto ``khat`` (k > 0.7 marks observations whose influence
+          makes the LOO estimate unreliable), n_bad_khat.
+
+        These are full-posterior criteria; the reference's AIC ranks a
+        single best fit only (``stats.py:44-47``). Compare models fitted
+        to the same data by ``elpd_loo`` (higher is better), e.g. via
+        :func:`odelib_tpu.utils.model_comparison.compare`.
+        """
+        from .utils import model_comparison as _mc
+
+        pnames = list(self.get_pnames())
+        rows = posterior.dropna(subset=pnames)
+        if len(rows) == 0:
+            raise ValueError("posterior has no complete parameter rows")
+        if len(rows) > n_draws:
+            rows = rows.sample(int(n_draws), random_state=self.random_seed)
+        thetas = np.asarray(self._theta_from_df(rows[pnames]))
+        method, rtol, atol, max_steps, substeps = self._solver_args(
+            solver_kw, len(self._times_fit) - 1)
+        if substeps == "auto":
+            substeps = self._resolve_substeps("auto",
+                                              len(self._times_fit) - 1)
+        dtype = jnp.result_type(float)
+        logpred = np.asarray(_logpred_jit(
+            self._spec, self._obsdata_fit,
+            jnp.asarray(self._times_fit, dtype),
+            jnp.asarray(self.get_inits(), dtype),
+            jnp.asarray(thetas, dtype),
+            method, rtol, atol, max_steps, substeps))   # (S, N)
+
+        obs = self._obsdata_fit_host
+        O = np.asarray(obs.log_abundance, np.float64)
+        S_ = np.asarray(obs.log_sigma, np.float64)
+        valid = np.isfinite(O)
+        ll = (-(O[None, :] - logpred) ** 2 / (2.0 * S_[None, :] ** 2)
+              - np.log(S_[None, :]) - 0.5 * np.log(2.0 * np.pi))
+        ll = ll[:, valid]
+        finite_rows = np.all(np.isfinite(ll), axis=1)
+        if not finite_rows.all():
+            warnings.warn(f"dropping {int((~finite_rows).sum())} posterior "
+                          "draws with failed integrations from the "
+                          "log-likelihood matrix")
+            ll = ll[finite_rows]
+        if len(ll) < 20:
+            raise ValueError(f"only {len(ll)} finite posterior draws — too "
+                             "few for WAIC/LOO")
+        w = _mc.waic(ll)
+        lo = _mc.psis_loo(ll)
+        if print_report:
+            print(f"WAIC: elpd = {w['elpd_waic']:.2f} "
+                  f"(se {w['se_elpd_waic']:.2f}), p_waic = "
+                  f"{w['p_waic']:.2f}")
+            print(f"PSIS-LOO: elpd = {lo['elpd_loo']:.2f} "
+                  f"(se {lo['se_elpd_loo']:.2f}), p_loo = "
+                  f"{lo['p_loo']:.2f}, bad khat: {lo['n_bad_khat']}"
+                  f"/{ll.shape[1]}")
+        return {"waic": w, "loo": lo, "n_draws": int(len(ll)),
+                "n_obs": int(ll.shape[1])}
 
     def diagnostics(self, posteriors) -> pd.DataFrame:
         """Convergence diagnostics for an MCMC posterior: per-parameter

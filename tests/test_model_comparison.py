@@ -1,0 +1,137 @@
+"""WAIC / PSIS-LOO (utils/model_comparison.py): exact conjugate-Gaussian
+LOO oracle, GPD estimator sanity, ranking helper, end-to-end API."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from odelib_tpu.utils.model_comparison import (  # noqa: E402
+    _gpd_fit, compare, psis_loo, waic)
+
+
+# ---------------------------------------------------------------------------
+# Conjugate-Gaussian oracle with a closed-form leave-one-out predictive:
+# data d_i ~ N(z, sig^2), prior z ~ N(m0, s0^2). The exact LOO predictive
+# for point i is N(d_i; m_{-i}, sig^2 + s_{-i}^2) where (m_{-i}, s_{-i})
+# is the posterior from the other n-1 points. Draws from the FULL exact
+# posterior feed psis_loo/waic, which must recover the exact elpd_loo.
+# ---------------------------------------------------------------------------
+
+SIG, M0, S0P = 0.5, 0.0, 2.0
+
+
+@pytest.fixture(scope="module")
+def gaussian_loglik():
+    rng = np.random.default_rng(42)
+    n, S = 25, 4000
+    d = rng.normal(1.0, SIG, n)
+
+    def posterior(ds):
+        prec = len(ds) / SIG ** 2 + 1 / S0P ** 2
+        mean = (ds.sum() / SIG ** 2 + M0 / S0P ** 2) / prec
+        return mean, 1.0 / np.sqrt(prec)
+
+    # exact LOO elpd
+    elpd_exact = 0.0
+    for i in range(n):
+        m_i, s_i = posterior(np.delete(d, i))
+        var = SIG ** 2 + s_i ** 2
+        elpd_exact += (-0.5 * np.log(2 * np.pi * var)
+                       - 0.5 * (d[i] - m_i) ** 2 / var)
+
+    mp, sp = posterior(d)
+    z = rng.normal(mp, sp, S)
+    ll = (-(d[None, :] - z[:, None]) ** 2 / (2 * SIG ** 2)
+          - np.log(SIG) - 0.5 * np.log(2 * np.pi))
+    return ll, float(elpd_exact)
+
+
+def test_psis_loo_matches_exact_loo(gaussian_loglik):
+    ll, elpd_exact = gaussian_loglik
+    res = psis_loo(ll)
+    assert abs(res["elpd_loo"] - elpd_exact) < 0.3, (
+        f"PSIS-LOO {res['elpd_loo']:.3f} vs exact {elpd_exact:.3f}")
+    assert res["n_bad_khat"] == 0
+    assert np.all(res["khat"] < 0.7)
+    # one effective parameter in this model
+    assert 0.5 < res["p_loo"] < 2.0
+
+
+def test_waic_matches_exact_loo(gaussian_loglik):
+    ll, elpd_exact = gaussian_loglik
+    res = waic(ll)
+    assert abs(res["elpd_waic"] - elpd_exact) < 0.5
+    assert 0.5 < res["p_waic"] < 2.0
+    assert res["waic"] == pytest.approx(-2 * res["elpd_waic"])
+
+
+def test_gpd_fit_recovers_known_shape():
+    rng = np.random.default_rng(0)
+    for k_true in (0.1, 0.4, 0.8):
+        sigma_true = 2.0
+        u = rng.uniform(size=2000)
+        x = sigma_true / k_true * ((1 - u) ** (-k_true) - 1)  # GPD inverse-CDF
+        k, sigma = _gpd_fit(x)
+        assert abs(k - k_true) < 0.12, (k_true, k)
+        assert abs(sigma - sigma_true) / sigma_true < 0.25
+
+
+def test_khat_flags_heavy_tails():
+    """Importance weights with infinite variance (k > 0.7) must be
+    flagged: target much wider than proposal."""
+    rng = np.random.default_rng(1)
+    S = 2000
+    z = rng.normal(0, 1, S)          # draws from N(0,1)
+    # importance weights exp(-ll) proportional to N(z;0,9)/N(z;0,1):
+    # lw = (4/9) z^2 has infinite variance (power-law tail index ~1.1,
+    # khat ~0.9) — exactly the regime PSIS must flag
+    ll = -(4.0 / 9.0) * z[:, None] ** 2
+    res = psis_loo(np.repeat(ll, 3, axis=1))
+    assert np.all(res["khat"] > 0.5)
+
+
+def test_compare_orders_models():
+    crits = {"a": {"elpd_loo": -10.0}, "b": {"elpd_loo": -5.0},
+             "c": {"elpd_loo": -20.0}}
+    ranked = compare(crits)
+    assert [r[0] for r in ranked] == ["b", "a", "c"]
+    assert ranked[0][2] == 0.0
+    assert ranked[1][2] == -5.0
+
+
+def test_information_criteria_api_discriminates_models():
+    import jax.numpy as jnp
+    from helpers import synthetic_df
+    import odelib_tpu
+    from odelib_tpu import models
+    from odelib_tpu.distributions import LogNormal
+
+    df = synthetic_df()
+    mf = models.get("zero_i").framework(df, t_steps=288)
+    post = mf.MCMC(chain_inits=8, iterations_per_chain=120,
+                   fitsurvey_samples=256, sd_fitdistance=6.0,
+                   print_report=False)
+    res = mf.information_criteria(post, n_draws=150, print_report=False)
+    assert res["waic"]["p_waic"] > 0
+    assert np.isfinite(res["loo"]["elpd_loo"])
+    assert res["loo"]["khat"].shape == (res["n_obs"],)
+
+    def decay(t, y, ps):
+        (k,) = ps
+        return jnp.stack([-k * y[0], -k * y[1]])
+
+    mf2 = odelib_tpu.ModelFramework(
+        ODE=decay, parameter_names=["k"], state_names=["S", "V"],
+        dataframe=df, t_steps=288, ode_style="jax",
+        k=odelib_tpu.parameter(stats_gen=LogNormal(s=1.0, scale=0.5),
+                               hyperparameters={}))
+    # the wrong model can't pass the survey threshold at any reasonable
+    # sd_fitdistance (that's the point) — seed its chains directly
+    post2 = mf2.MCMC(chain_inits=[{"k": 0.3}] * 8,
+                     iterations_per_chain=120, print_report=False)
+    res2 = mf2.information_criteria(post2, n_draws=150, print_report=False)
+    assert res["loo"]["elpd_loo"] > res2["loo"]["elpd_loo"] + 10
+    assert res["waic"]["elpd_waic"] > res2["waic"]["elpd_waic"] + 10
