@@ -997,6 +997,116 @@ class ModelFramework:
         from .utils.diagnostics import summarize
         return summarize(posteriors, list(self.get_pnames()))
 
+    def sobol_sensitivity(self, samples=512, target="chi", n_boot=200,
+                          print_report=True, **solver_kw) -> pd.DataFrame:
+        """Variance-based global sensitivity over the priors: first-order
+        (S1) and total-order (ST) Sobol indices per parameter, with
+        bootstrap standard errors (utils/sensitivity.py).
+
+        ``target`` selects the scalar output: ``'chi'`` (goodness of fit
+        against the data), a post-summation state name (its final-time
+        value), or ``('log', state_name)`` for the log of that value.
+        Runs the Saltelli design — ``samples * (P + 2)`` ODE solves — as
+        ONE vmapped device batch. Parameters without a prior distribution
+        stay at their current value and get index 0 by construction.
+
+        The reference's closest tool is the serial one-at-a-time
+        ``gradient()`` sweep (``Framework.py:1063-1127``); ST - S1 > 0
+        here quantifies the interactions such sweeps cannot see.
+        """
+        from .utils import sensitivity as _sens
+
+        if any(s for s in self._spec.pshapes):
+            raise ValueError("sobol_sensitivity supports scalar "
+                             "parameters only")
+        free = [(i, p, self.parameters[p].jdist)
+                for i, p in enumerate(self._pnames)
+                if self.parameters[p] is not None
+                and self.parameters[p].has_distribution()]
+        if len(free) < 2:
+            raise ValueError("sobol_sensitivity needs >= 2 parameters "
+                             "with prior distributions")
+        if target == "chi":
+            tgt = ("chi",)
+        else:
+            if isinstance(target, tuple) and target[0] == "log":
+                kind, sname = "log_state", target[1]
+            else:
+                kind, sname = "state", target
+            if sname not in self._spec.post_snames:
+                raise ValueError(f"unknown state {sname!r}; have "
+                                 f"{self._spec.post_snames}")
+            tgt = (kind, self._spec.post_snames.index(sname))
+
+        key = jax.random.PRNGKey(self.random_seed ^ 0x50B01)
+        design, N, P = _sens.saltelli_design(
+            key, [d for _, _, d in free], int(samples))
+        # scatter design columns into full theta rows
+        base = np.asarray(self._current_theta(), float)
+        thetas = np.tile(base, (design.shape[0], 1))
+        for col, (i, _, _) in enumerate(free):
+            thetas[:, i] = np.asarray(design[:, col])
+
+        method, rtol, atol, max_steps, substeps = self._solver_args(
+            solver_kw, len(self._times_fit) - 1)
+        if substeps == "auto":
+            substeps = self._resolve_substeps("auto",
+                                              len(self._times_fit) - 1)
+        dtype = jnp.result_type(float)
+        f = np.asarray(_sens._eval_target(
+            self._spec, self._obsdata_fit,
+            jnp.asarray(self._times_fit, dtype),
+            jnp.asarray(self.get_inits(), dtype),
+            jnp.asarray(thetas, dtype), target=tgt,
+            num_params=len(self._pnames), method=method, rtol=rtol,
+            atol=atol, max_steps=max_steps, substeps=substeps))
+        fA, fB = f[:N], f[N:2 * N]
+        fAB = f[2 * N:].reshape(P, N)
+        res = _sens.sobol_indices(fA, fB, fAB, n_boot=int(n_boot),
+                                  seed=self.random_seed)
+        out = pd.DataFrame(
+            {"S1": res["S1"], "S1_se": res["S1_se"],
+             "ST": res["ST"], "ST_se": res["ST_se"]},
+            index=[p for _, p, _ in free])
+        if print_report:
+            t = target if isinstance(target, str) else "/".join(
+                map(str, target))
+            print(f"Sobol indices on {t} "
+                  f"({res['n_effective']}/{N} finite samples):")
+            print(out.round(3).to_string())
+        return out
+
+    def local_sensitivity(self, parameters=None, log_scale=True,
+                          **solver_kw):
+        """Time-resolved local sensitivities d state / d (log) parameter
+        along the current trajectory, by forward-mode AD through the
+        solve: ``{state_name: DataFrame(index=times, columns=pnames)}``.
+        (utils/sensitivity.py; scalar parameters only.)
+        """
+        from .utils import sensitivity as _sens
+
+        if any(s for s in self._spec.pshapes):
+            raise ValueError("local_sensitivity supports scalar "
+                             "parameters only")
+        if parameters is None:
+            theta = self._current_theta()
+        else:
+            theta = self._spec.pack_theta(list(parameters))
+        _, _, _, _, substeps = self._solver_args(
+            solver_kw, len(self._times_fit) - 1)
+        if substeps == "auto":
+            substeps = self._resolve_substeps("auto",
+                                              len(self._times_fit) - 1)
+        dtype = jnp.result_type(float)
+        J = np.asarray(_sens.local_sensitivity(
+            self._spec, jnp.asarray(theta, dtype),
+            jnp.asarray(self.get_inits(), dtype),
+            jnp.asarray(self._times_fit, dtype),
+            log_scale=bool(log_scale), substeps=substeps))
+        return {s: pd.DataFrame(J[:, i, :], index=self._times_fit,
+                                columns=list(self._pnames))
+                for i, s in enumerate(self._spec.post_snames)}
+
     # ------------------------------------------------------------------
     # LHS sampling (Framework.py:589-615)
     # ------------------------------------------------------------------
