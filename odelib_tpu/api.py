@@ -828,6 +828,149 @@ class ModelFramework:
             "hessian_pd": pd_ok,
         }
 
+    def profile_likelihood(self, parameter_name, p_range=None, points=21,
+                           starts=8, steps=400, learning_rate=0.05,
+                           confidence=0.95, use_priors=False,
+                           print_report=True, **solver_kw):
+        """Profile-likelihood identifiability analysis for one parameter
+        (Raue et al. 2009): fix ``parameter_name`` at each grid value, and
+        re-optimize every other parameter by the vmapped multi-start Adam
+        of :meth:`fit_map` — ALL grid points x starts in one device batch.
+
+        Returns a dict:
+
+        * ``profile``: DataFrame(value, chi) — the profile curve;
+        * ``ci``: (lo, hi) likelihood-ratio confidence interval at
+          ``confidence`` (NaN side = not crossed within ``p_range``, i.e.
+          the parameter is practically unidentifiable in that direction);
+        * ``threshold``: the chi cutoff min(chi) + icdf_chi2(conf, 1)/2
+          (chi is negative log-likelihood up to a constant);
+        * ``identifiable``: False when the whole profile is flatter than
+          the threshold — a structurally unidentifiable direction.
+
+        The reference has no identifiability tooling; its ``gradient()``
+        sweep (``Framework.py:1063-1127``) varies one parameter WITHOUT
+        re-optimizing the rest, which conflates sloppiness with
+        sensitivity.
+        """
+        from scipy.stats import chi2 as _chi2
+
+        from .samplers import map_fit
+
+        if parameter_name not in self._pnames:
+            raise ValueError(f"unknown parameter {parameter_name!r}")
+        i = self._pnames.index(parameter_name)
+        if any(s for s in self._spec.pshapes):
+            raise ValueError("profile_likelihood supports scalar "
+                             "parameters only")
+        if p_range is None:
+            par = self.parameters[parameter_name]
+            if par is None or not par.has_distribution():
+                raise ValueError(f"give p_range: {parameter_name} has no "
+                                 "prior to derive one from")
+            d = par.jdist
+            lo, hi = float(d.ppf(0.005)), float(d.ppf(0.995))
+            if not (np.isfinite(lo) and np.isfinite(hi) and lo > 0):
+                raise ValueError(f"could not derive a positive range from "
+                                 f"the prior of {parameter_name}; give "
+                                 "p_range")
+            grid = np.geomspace(lo, hi, int(points))
+        else:
+            grid = np.asarray(p_range, float)
+            if grid.ndim != 1 or len(grid) < 3:
+                raise ValueError("p_range must be a 1-D grid of >= 3 "
+                                 "values")
+        G, S = len(grid), int(starts)
+
+        # starts: LHS prior draws + the current theta, each fixed to the
+        # grid value in dimension i; mask freezes that dimension
+        ps = self._lhs_samples(max(S - 1, 1))
+        th_lhs = np.asarray(self._theta_from_df(ps), float)
+        th0 = np.concatenate([th_lhs[:S - 1],
+                              np.asarray(self._current_theta(),
+                                         float)[None]])
+        theta0 = np.tile(th0, (G, 1))                     # (G*S, P)
+        theta0[:, i] = np.repeat(grid, S)
+        mask = np.ones(self._spec.theta_size)
+        mask[self._spec.theta_offsets[i]] = 0.0
+
+        prior_logpdf = None
+        if use_priors:
+            jdists = tuple(self.parameters[p].jdist
+                           if self.parameters[p] is not None else None
+                           for p in self._pnames)
+            spec = self._spec
+
+            def prior_logpdf(theta):
+                ps_ = spec.unpack_theta(theta)
+                tot = 0.0
+                for d, v in zip(jdists, ps_):
+                    if d is not None:
+                        tot = tot + jnp.sum(d.logpdf(v))
+                return tot
+
+        _, _, _, _, substeps = self._solver_args(
+            solver_kw, len(self._times_fit) - 1)
+        if substeps == "auto":
+            substeps = self._resolve_substeps("auto",
+                                              len(self._times_fit) - 1)
+        dtype = jnp.result_type(float)
+        res = map_fit(self._spec, self._obsdata_fit,
+                      jnp.asarray(self._times_fit, dtype),
+                      jnp.asarray(self.get_inits(), dtype),
+                      jnp.asarray(theta0, dtype),
+                      steps=int(steps), learning_rate=float(learning_rate),
+                      walk_mask=jnp.asarray(mask, dtype),
+                      prior_logpdf=prior_logpdf, use_priors=use_priors,
+                      substeps=substeps)
+        loss = np.asarray(res.loss, float).reshape(G, S)
+        loss = np.where(np.isfinite(loss), loss, np.inf)
+        prof = loss.min(axis=1)                           # (G,)
+
+        chi_min = float(prof.min())
+        delta = float(_chi2.ppf(float(confidence), 1) / 2.0)
+        thresh = chi_min + delta
+
+        def crossing(idx_order):
+            """Interpolated grid value where the profile crosses thresh,
+            walking outward from the minimum; NaN if never crossed."""
+            below = prof <= thresh
+            j_min = int(np.argmin(prof))
+            prev = j_min
+            for j in idx_order:
+                if not below[j]:
+                    # linear interpolation in log-grid space
+                    x0, x1 = np.log(grid[prev]), np.log(grid[j])
+                    y0, y1 = prof[prev], prof[j]
+                    if not np.isfinite(y1):
+                        return float(grid[prev])
+                    t = (thresh - y0) / max(y1 - y0, 1e-300)
+                    return float(np.exp(x0 + t * (x1 - x0)))
+                prev = j
+            return np.nan
+
+        j_min = int(np.argmin(prof))
+        lo_ci = crossing(range(j_min, -1, -1))
+        hi_ci = crossing(range(j_min, G))
+        identifiable = bool(np.nanmax(prof[np.isfinite(prof)])
+                            > thresh) if np.isfinite(prof).any() else False
+        out = {
+            "profile": pd.DataFrame({"value": grid, "chi": prof}),
+            "ci": (lo_ci, hi_ci),
+            "threshold": thresh,
+            "identifiable": identifiable,
+        }
+        if print_report:
+            fmt = lambda v: "unbounded" if not np.isfinite(v) \
+                else f"{v:0.4g}"  # noqa: E731
+            print(f"profile likelihood [{parameter_name}]: min chi "
+                  f"{chi_min:0.4g}, {int(confidence * 100)}% CI "
+                  f"[{fmt(lo_ci)}, {fmt(hi_ci)}]"
+                  + ("" if identifiable else
+                     "  — FLAT PROFILE: practically unidentifiable over "
+                     "this range"))
+        return out
+
     def model_evidence(self, particles=1024, n_moves=5, ess_target=0.5,
                        static_parameters=(), print_report=True,
                        **solver_kw):
