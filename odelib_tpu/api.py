@@ -125,12 +125,13 @@ def _logpred_jit(spec, obs, times, y0b, thetas, method, rtol, atol,
     return jax.vmap(one)(thetas)
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9, 10))
 def _equilibrium_jit(spec, times, y0, thetas, method, rtol, atol, max_steps,
-                     substeps, return_residual=False):
+                     substeps, return_residual=False, newton_steps=0):
     return _mh.equilibriums(spec, times, y0, thetas, method=method, rtol=rtol,
                             atol=atol, max_steps=max_steps, substeps=substeps,
-                            return_residual=return_residual)
+                            return_residual=return_residual,
+                            newton_steps=newton_steps)
 
 
 class parameter:
@@ -1322,13 +1323,19 @@ class ModelFramework:
         return out
 
     def explore_equilibriums(self, samples=1000, cpu_cores=1,
-                             check_convergence=False, **parameter_mapping):
+                             check_convergence=False, refine_newton=0,
+                             **parameter_mapping):
         """LHS draws -> final integration state per draw
         (``Framework.py:819-854``). Default matches the reference: no
         convergence check (its own comment, ``Framework.py:26-27``).
         ``check_convergence=True`` adds an ``equilibrium_residual`` column —
         the relative RHS norm at the final state, ~0 for a settled draw —
-        so unconverged draws can be filtered instead of silently trusted."""
+        so unconverged draws can be filtered instead of silently trusted.
+        ``refine_newton=N`` polishes each endpoint with up to N damped
+        Newton steps on ``f(y) = 0`` (jacfwd Jacobians, vmapped) — turning
+        'wherever integration stopped' into an actual fixed point when one
+        is nearby; steps that fail to reduce the residual are rejected, so
+        oscillatory (limit-cycle) draws are left where they were."""
         solver_kw = {k: parameter_mapping.pop(k)
                      for k in list(parameter_mapping)
                      if k in self._SOLVER_KEYS}
@@ -1340,7 +1347,8 @@ class ModelFramework:
                                jnp.asarray(thetas, dtype),
                                *self._solver_args(solver_kw,
                                                   len(self.times) - 1),
-                               bool(check_convergence))
+                               bool(check_convergence),
+                               int(refine_newton))
         if check_convergence:
             eqs, residual = eqs
         df = pd.DataFrame(np.asarray(eqs),

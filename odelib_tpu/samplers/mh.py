@@ -185,7 +185,7 @@ def survey(spec: ModelSpec, obs: ObsData, times, y0_base, thetas, *,
 def equilibriums(spec: ModelSpec, times, y0_base, thetas, *,
                  method: str = "dopri5", rtol: float = 1e-6, atol: float = 1e-4,
                  max_steps: int = 4096, substeps: int = 4,
-                 return_residual: bool = False):
+                 return_residual: bool = False, newton_steps: int = 0):
     """Final integration state per draw, raw states (no summations) — the
     vmapped ``_Equilibrium_worker`` (``Framework.py:24-38``).
 
@@ -194,16 +194,48 @@ def equilibriums(spec: ModelSpec, times, y0_base, thetas, *,
     ``return_residual=True`` it also returns the relative RHS norm at the
     final state, ``|f(t_end, y_end)| / (1 + |y_end|)`` per draw — a cheap,
     vmapped measure of how much the state was still moving, so callers can
-    flag draws that never settled."""
+    flag draws that never settled.
+
+    ``newton_steps > 0`` polishes each endpoint to the nearby fixed point
+    by damped Newton on ``f(t_end, y) = 0`` (Jacobian via ``jacfwd``,
+    dense solve — states are tiny vectors). A step is kept only where it
+    reduces the residual norm, so a non-equilibrium endpoint (e.g. on a
+    limit cycle) stays put rather than being flung; use the residual
+    column to tell the cases apart."""
     def one(theta):
+        ps = spec.unpack_theta(theta)
         y0 = spec.override_inits(y0_base, theta)
         ys = integrate_theta(spec, theta, y0, times, method=method,
                              rtol=rtol, atol=atol, max_steps=max_steps,
                              substeps=substeps)
         y_end = ys[-1]
+
+        def f(y):
+            return spec.rhs(times[-1], y, ps)
+
+        def newton(y, _):
+            fy = f(y)
+            J = jax.jacfwd(f)(y)
+            # guarded dense solve + backtracking line search: evaluate a
+            # few damped candidates and keep whichever (including the
+            # current point) has the smallest finite residual
+            step = jnp.linalg.solve(
+                J + 1e-12 * jnp.eye(y.shape[0], dtype=y.dtype), fy)
+            alphas = jnp.asarray([1.0, 0.5, 0.25, 0.0625], y.dtype)
+            cands = y[None, :] - alphas[:, None] * step[None, :]
+            cands = jnp.concatenate([cands, y[None, :]], axis=0)
+            norms = jax.vmap(lambda c: jnp.linalg.norm(f(c)))(cands)
+            norms = jnp.where(
+                jnp.all(jnp.isfinite(cands), axis=1)
+                & jnp.isfinite(norms), norms, jnp.inf)
+            return cands[jnp.argmin(norms)], None
+
+        if newton_steps:
+            y_end, _ = jax.lax.scan(newton, y_end, None,
+                                    length=newton_steps)
         if not return_residual:
             return y_end
-        f_end = spec.rhs(times[-1], y_end, spec.unpack_theta(theta))
+        f_end = f(y_end)
         res = jnp.sqrt(jnp.mean((f_end / (1.0 + jnp.abs(y_end))) ** 2))
         return y_end, res
 

@@ -262,6 +262,47 @@ def test_explore_equilibriums_convergence_flag(zeroI):
     assert (r[np.isfinite(r)] >= 0).all()
 
 
+def test_explore_equilibriums_newton_refinement():
+    """Logistic-prey Lotka-Volterra has the analytic coexistence fixed
+    point x* = m/(b a), y* = r (1 - x*/K) / a; integration to moderate T
+    only spirals near it, Newton polishing must land on it."""
+    import jax.numpy as jnp
+
+    import odelib_tpu
+    from odelib_tpu.distributions import Uniform
+
+    def rhs(t, y, ps):
+        r, K, a, b, m = ps
+        x, z = y
+        return jnp.stack([r * x * (1 - x / K) - a * x * z,
+                          b * a * x * z - m * z])
+
+    tobs = np.linspace(0.0, 3.0, 5)
+    df = pd.DataFrame([{"organism": s, "time": t, "abundance": 1.0,
+                        "log_sigma": 0.2}
+                       for s in ("x", "z") for t in tobs])
+    mf = odelib_tpu.ModelFramework(
+        ODE=rhs, parameter_names=["r", "K", "a", "b", "m"],
+        state_names=["x", "z"], dataframe=df, t_end=40.0, t_steps=256,
+        ode_style="jax", r=1.0, K=10.0, b=0.5, m=1.0,
+        a=odelib_tpu.parameter(stats_gen=Uniform(loc=0.4, scale=0.4),
+                               hyperparameters={}))
+    mf.set_inits(x=1.0, z=1.0)
+    raw = mf.explore_equilibriums(samples=8, check_convergence=True)
+    ref = mf.explore_equilibriums(samples=8, check_convergence=True,
+                                  refine_newton=10)
+    # Newton drives the residual (relative RHS norm) to ~0
+    assert (ref["equilibrium_residual"].to_numpy()
+            < 1e-5).all()
+    assert (ref["equilibrium_residual"].to_numpy()
+            <= raw["equilibrium_residual"].to_numpy() + 1e-12).all()
+    a_vals = ref["a"].to_numpy()
+    x_star = 1.0 / (0.5 * a_vals)
+    y_star = 1.0 * (1.0 - x_star / 10.0) / a_vals
+    np.testing.assert_allclose(ref["x"].to_numpy(), x_star, rtol=1e-4)
+    np.testing.assert_allclose(ref["z"].to_numpy(), y_star, rtol=1e-4)
+
+
 def test_gradient(zeroI):
     zeroI.set_parameters(mu=0.6, phi=2.4e-8, beta=24.0)
     pr = np.linspace(0.2, 1.0, 5)
