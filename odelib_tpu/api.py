@@ -1467,7 +1467,7 @@ class ModelFramework:
              backend="auto", burnin=None, sampler="mh", n_leapfrog=8,
              step_size=0.02, target_accept=0.8,
              temperatures=(1.0, 2.0, 4.0, 8.0), swap_every=1,
-             stretch_a=2.0,
+             stretch_a=2.0, adapt_start=50,
              profile=False, pallas_interpret=False, pallas_tile_chains=1024,
              **solver_kw):
         """Markov Chain Monte Carlo over vmapped+mesh-sharded chains.
@@ -1521,6 +1521,12 @@ class ModelFramework:
           even; use >= 2x the free parameter count). Affine invariance
           makes correlated posteriors mix without tuning ``rwalk_std``;
           ``stretch_a`` sets the stretch scale (samplers/ensemble.py).
+        * ``sampler='amh'``: adaptive Metropolis (Haario) — each chain
+          learns its proposal covariance from its own burn-in history
+          (after ``adapt_start`` isotropic warm-up iterations) and freezes
+          it for the recorded phase, so correlated posteriors get
+          ridge-aligned proposals with an exact stationary distribution
+          (samplers/amh.py).
         """
         from .utils.profiling import StageTimer
         timer = StageTimer() if profile else None
@@ -1539,10 +1545,10 @@ class ModelFramework:
             # re-calibrated below from this run's own seeding draws
             substeps = self._resolve_substeps("auto", n_fit_intervals)
 
-        if sampler not in ("mh", "hmc", "pt", "ensemble"):
-            raise ValueError(f"sampler must be 'mh', 'hmc', 'pt' or "
-                             f"'ensemble', got {sampler!r}")
-        if sampler in ("hmc", "pt", "ensemble"):
+        if sampler not in ("mh", "hmc", "pt", "ensemble", "amh"):
+            raise ValueError(f"sampler must be 'mh', 'hmc', 'pt', "
+                             f"'ensemble' or 'amh', got {sampler!r}")
+        if sampler in ("hmc", "pt", "ensemble", "amh"):
             if backend == "pallas":
                 raise ValueError(f"sampler={sampler!r} runs on the XLA "
                                  "backend; drop backend='pallas'")
@@ -1744,6 +1750,18 @@ class ModelFramework:
                     prior_logpdf=prior_logpdf, use_priors=use_priors,
                     method="rk4" if method == "rk4" else "fixed_dopri5",
                     substeps=substeps)
+            elif backend == "amh":
+                from .samplers import adaptive_metropolis
+                out = adaptive_metropolis(
+                    self._spec, self._obsdata_fit,
+                    jnp.asarray(self._times_fit, dtype),
+                    jnp.asarray(self.get_inits(), dtype), margs[0], margs[1],
+                    nits=nits, burnin=burnin,
+                    walk_mask=jnp.asarray(mask, dtype),
+                    rwalk_std=rwalk_std, adapt_start=adapt_start,
+                    prior_logpdf=prior_logpdf, use_priors=use_priors,
+                    method=method, rtol=rtol, atol=atol,
+                    max_steps=max_steps, substeps=substeps)
             elif backend == "ensemble":
                 from .samplers import ensemble_mh
                 if n_padded % 2:  # walker count must be even

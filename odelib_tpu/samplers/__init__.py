@@ -1,3 +1,4 @@
+from .amh import adaptive_metropolis
 from .ensemble import ensemble_mh
 from .hmc import hamiltonian_mc
 from .lhs import lhs_unit, sample_lhs
@@ -9,4 +10,4 @@ from .smc import SMCOutput, smc_sample
 __all__ = ["lhs_unit", "sample_lhs", "MHOutput", "metropolis_hastings",
            "survey", "equilibriums", "hamiltonian_mc",
            "parallel_tempering", "map_fit", "MAPResult", "ensemble_mh",
-           "smc_sample", "SMCOutput"]
+           "smc_sample", "SMCOutput", "adaptive_metropolis"]
