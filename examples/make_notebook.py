@@ -305,6 +305,49 @@ posterior_hmc = zeroI.MCMC(chain_inits=N_CHAINS,
 zeroI.diagnostics(posterior_hmc)"""),
     (C, "zeroI.get_chi_sensitivity()   # d chi / d log-parameter at the best fit"),
     (M, """\
+# Bayesian model comparison: evidence and predictive criteria
+
+AIC ranks single best fits. With the posterior machinery on device we can
+do the full-posterior comparisons: the **model evidence** (marginal
+likelihood, via tempered Sequential Monte Carlo — Bayes factors), and the
+predictive **WAIC / PSIS-LOO** criteria from the MCMC draws themselves
+(with per-observation Pareto k-hat influence diagnostics). None of these
+exist in the reference."""),
+    (C, """\
+N_PARTICLES = 128 if FAST else 1024
+rows = []
+for name, m, post in (('zero_i', zeroI, posterior),
+                      ('one_i', oneI, posterior_onei),
+                      ('two_i', twoI, posterior_twoi)):
+    ev = m.model_evidence(particles=N_PARTICLES, print_report=False)
+    ic = m.information_criteria(post, n_draws=200, print_report=False)
+    rows.append({'model': name, 'logZ': ev['log_evidence'],
+                 'elpd_loo': ic['loo']['elpd_loo'],
+                 'p_loo': ic['loo']['p_loo'],
+                 'bad_khat': ic['loo']['n_bad_khat']})
+ev_table = pd.DataFrame(rows)
+ev_table['log10_BayesFactor_vs_best'] = (
+    (ev_table['logZ'] - ev_table['logZ'].max()) / np.log(10))
+ev_table.sort_values('logZ', ascending=False).reset_index(drop=True)"""),
+    (M, """\
+# Sensitivity and identifiability
+
+Which parameters actually drive the fit, and which are constrained by the
+data? Global **Sobol indices** (variance decomposition over the priors —
+the Saltelli design runs as one vmapped batch of solves) and a
+**profile likelihood** for `phi` (re-optimizing all other parameters at
+each fixed value — the standard identifiability analysis, all grid points
+optimized simultaneously):"""),
+    (C, """\
+zeroI.sobol_sensitivity(samples=256 if FAST else 1024)"""),
+    (C, """\
+prof = zeroI.profile_likelihood('phi', starts=4, steps=200,
+                                points=11 if FAST else 21)
+ax = prof['profile'].plot(x='value', y='chi', logx=True, legend=False,
+                          title='profile likelihood: phi')
+ax.axhline(prof['threshold'], color='r', ls='--', lw=1)
+plt.show()"""),
+    (M, """\
 # Scaling out
 
 Everything above also runs (a) **fused on a real TPU chip** — `MCMC`

@@ -1128,6 +1128,77 @@ class ModelFramework:
         return {"waic": w, "loo": lo, "n_draws": int(len(ll)),
                 "n_obs": int(ll.shape[1])}
 
+    def posterior_predictive(self, posterior, n_draws=200, ci=0.9,
+                             print_report=True, **solver_kw):
+        """Posterior predictive check: simulate replicated observations
+        from ``n_draws`` posterior rows (vmapped solves + lognormal
+        observation noise at each point's ``log_sigma``) and compare the
+        data against the predictive distribution.
+
+        Returns a dict:
+
+        * ``summary``: per-observation DataFrame (organism, time,
+          observed log-abundance, predictive median/lo/hi at the ``ci``
+          level, and ``covered``);
+        * ``coverage``: fraction of observations inside their predictive
+          interval — should be near ``ci`` for a well-specified model
+          (systematically below = model misfit or underestimated sigma);
+        * ``samples``: the (draws, obs) matrix of simulated log
+          abundances, for custom checks.
+
+        The reference's closest tool is the visual ``plot_uncertainty``
+        envelope (``Framework.py:734-740``), which overlays trajectories
+        but never quantifies coverage.
+        """
+        pnames = list(self.get_pnames())
+        rows = posterior.dropna(subset=pnames)
+        if len(rows) == 0:
+            raise ValueError("posterior has no complete parameter rows")
+        if len(rows) > n_draws:
+            rows = rows.sample(int(n_draws), random_state=self.random_seed)
+        thetas = np.asarray(self._theta_from_df(rows[pnames]))
+        method, rtol, atol, max_steps, substeps = self._solver_args(
+            solver_kw, len(self._times_fit) - 1)
+        if substeps == "auto":
+            substeps = self._resolve_substeps("auto",
+                                              len(self._times_fit) - 1)
+        dtype = jnp.result_type(float)
+        logpred = np.asarray(_logpred_jit(
+            self._spec, self._obsdata_fit,
+            jnp.asarray(self._times_fit, dtype),
+            jnp.asarray(self.get_inits(), dtype),
+            jnp.asarray(thetas, dtype),
+            method, rtol, atol, max_steps, substeps))     # (S, N)
+        obs = self._obsdata_fit_host
+        O = np.asarray(obs.log_abundance, float)
+        Sg = np.asarray(obs.log_sigma, float)
+        rng = np.random.default_rng(self.random_seed)
+        sims = logpred + rng.normal(0.0, Sg[None, :], logpred.shape)
+        alpha = (1.0 - float(ci)) / 2.0
+        lo = np.nanquantile(sims, alpha, axis=0)
+        hi = np.nanquantile(sims, 1.0 - alpha, axis=0)
+        med = np.nanmedian(sims, axis=0)
+        covered = (O >= lo) & (O <= hi)
+        valid = np.isfinite(O)
+        snames = list(self._spec.post_snames)
+        sidx = np.asarray(obs.state_index, int)
+        times = np.asarray(self._times_fit, float)
+        tidx = np.asarray(obs.t_index, int)
+        summary = pd.DataFrame({
+            "organism": [snames[i] for i in sidx],
+            "time": times[tidx],
+            "log_abundance": O,
+            "pred_median": med, "pred_lo": lo, "pred_hi": hi,
+            "covered": covered,
+        }).loc[valid]
+        coverage = float(covered[valid].mean())
+        if print_report:
+            print(f"posterior predictive: {coverage:.1%} of observations "
+                  f"inside the {int(ci * 100)}% interval "
+                  f"({int(covered[valid].sum())}/{int(valid.sum())})")
+        return {"summary": summary.reset_index(drop=True),
+                "coverage": coverage, "samples": sims}
+
     def diagnostics(self, posteriors) -> pd.DataFrame:
         """Convergence diagnostics for an MCMC posterior: per-parameter
         mean/std/median, effective sample size (FFT autocovariance, Geyer
