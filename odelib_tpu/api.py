@@ -1592,6 +1592,11 @@ class ModelFramework:
           even; use >= 2x the free parameter count). Affine invariance
           makes correlated posteriors mix without tuning ``rwalk_std``;
           ``stretch_a`` sets the stretch scale (samplers/ensemble.py).
+          On TPU with >= ``pallas_tile_chains`` walkers (and the usual
+          fused-path eligibility) it runs as its own fully-fused Pallas
+          kernel — each chain tile is an independent ensemble with
+          shared-offset partner rolls (``ops.pallas_mh.ensemble_fused``),
+          at the MH kernel's per-walker throughput.
         * ``sampler='amh'``: adaptive Metropolis (Haario) — each chain
           learns its proposal covariance from its own burn-in history
           (after ``adapt_start`` isotropic warm-up iterations) and freezes
@@ -1619,11 +1624,15 @@ class ModelFramework:
         if sampler not in ("mh", "hmc", "pt", "ensemble", "amh"):
             raise ValueError(f"sampler must be 'mh', 'hmc', 'pt', "
                              f"'ensemble' or 'amh', got {sampler!r}")
-        if sampler in ("hmc", "pt", "ensemble", "amh"):
+        _n_req = chain_inits if isinstance(chain_inits, int) \
+            else len(chain_inits)
+        if sampler in ("hmc", "pt", "amh"):
             if backend == "pallas":
                 raise ValueError(f"sampler={sampler!r} runs on the XLA "
                                  "backend; drop backend='pallas'")
             backend = sampler
+        # sampler='ensemble' has its own fused kernel: keep 'pallas'/'auto'
+        # flowing into the backend-selection block below
 
         pallas_priors = None
         if use_priors:
@@ -1643,7 +1652,13 @@ class ModelFramework:
                 jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
                 and method in ("dopri5", "rk4", "kvaerno3")
                 and (not use_priors or pallas_priors is not None)
-                and not any(s for s in self._spec.pshapes)) else "xla"
+                and not any(s for s in self._spec.pshapes)
+                # fused ensembles are tile_chains walkers each — only
+                # worth it when the requested walker count fills tiles
+                and (sampler != "ensemble"
+                     or _n_req >= int(pallas_tile_chains))) else "xla"
+        if sampler == "ensemble" and backend not in ("pallas",):
+            backend = "ensemble"
         if backend == "pallas" and use_priors and pallas_priors is None:
             raise ValueError(
                 "backend='pallas' with use_priors=True requires every prior "
@@ -1770,7 +1785,26 @@ class ModelFramework:
             warnings.warn("checkpoint_every is only supported on the fused "
                           "(pallas) backend; running without periodic "
                           "checkpoints")
-        if backend == "pallas":
+        if backend == "pallas" and sampler == "ensemble":
+            from .ops.pallas_mh import ensemble_fused
+            if checkpoint_every is not None:
+                warnings.warn("checkpoint_every is not supported on the "
+                              "fused ensemble path; running without "
+                              "periodic checkpoints")
+            out = ensemble_fused(
+                self._spec, self._obsdata_fit_host, self._times_fit,
+                self.get_inits(), np.asarray(theta0, np.float32),
+                seed=int(self.random_seed), nits=nits, burnin=burnin,
+                a=float(stretch_a), walk_mask=mask,
+                stepper=method if method in ("rk4", "kvaerno3")
+                    else "dopri5",
+                substeps=substeps,
+                priors=pallas_priors if use_priors else None,
+                tile_chains=int(pallas_tile_chains),
+                interpret=bool(pallas_interpret),
+                mesh=chain_mesh() if (jax.device_count() > 1
+                                      and not pallas_interpret) else None)
+        elif backend == "pallas":
             from .ops.pallas_mh import metropolis_hastings_fused
             progress_path = None
             if checkpoint_every is not None:

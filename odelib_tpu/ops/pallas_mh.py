@@ -853,6 +853,335 @@ def _cached_mh_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
     )
 
 
+def ensemble_fused(
+        spec: ModelSpec, obs: ObsData, times, y0_base, theta0, seed: int, *,
+        nits: int = 1000, burnin: Optional[int] = None, a: float = 2.0,
+        walk_mask: Optional[Sequence[float]] = None,
+        substeps: int = 4, stepper: str = "dopri5",
+        tile_chains: int = 1024, interpret: bool = False,
+        mesh=None, priors=None):
+    """Affine-invariant ensemble sampler (Goodman-Weare stretch moves)
+    fully inside one Pallas kernel — the fused counterpart of
+    ``samplers/ensemble.py`` at the MH kernel's throughput.
+
+    Layout: each chain tile IS one independent ensemble of ``tile_chains``
+    walkers ((sub, 128) lanes); a larger walker batch becomes several
+    independent ensembles side by side on the tile grid axis. Per
+    iteration both sublane halves update in turn: half A proposes
+    ``Y = X + (1 - z)(partner - X)`` with partners taken from half B
+    *rolled by a shared random (sublane, lane) offset* — a per-walker
+    random partner would need a cross-lane dynamic gather, which the VPU
+    cannot do, while the stretch move is pi-invariant for ANY partner
+    assignment drawn independently of the walker's own state (the partner
+    only fixes the affine ray; the z^(d-1) Jacobian does the rest), so a
+    shared offset keeps exactness and costs one vector roll.
+
+    Cost per iteration per walker equals the fused MH kernel (two
+    half-tile solves = one full-tile solve). Same record layout/returns
+    as :func:`metropolis_hastings_fused`. Scalar parameters only.
+    """
+    if burnin is None:
+        burnin = int(nits / 2)
+    P = len(spec.pnames)
+    if any(s for s in spec.pshapes):
+        raise ValueError("pallas ensemble path supports scalar parameters "
+                         "only")
+    if a <= 1.0:
+        raise ValueError(f"stretch scale a must exceed 1, got {a}")
+    theta0 = np.asarray(theta0, np.float32)
+    W0 = theta0.shape[0]
+    tile = int(tile_chains)
+    min_tile = _LANES if interpret else _DEF_SUB * _LANES
+    assert tile % min_tile == 0, \
+        f"tile_chains must be a multiple of {min_tile}"
+    if (tile // _LANES) % 2:
+        raise ValueError("tile_chains must give an even sublane count "
+                         "(the ensemble splits into sublane halves)")
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    if n_dev == 1:
+        mesh = None
+    num = int(np.count_nonzero(theta0[0]))
+    if walk_mask is None:
+        walk_mask = [1.0] * P
+    walk = tuple(float(w) for w in walk_mask)
+    n_walked = sum(1 for w in walk if w != 0.0)
+    W = int(-(-W0 // (tile * n_dev)) * (tile * n_dev))
+    if W > W0:
+        # pad with jittered clones (walked dims only) — identical padded
+        # walkers would pin the ensemble to a degenerate affine subspace
+        rng = np.random.default_rng(seed)
+        reps = theta0[rng.integers(0, W0, W - W0)]
+        mask_row = np.asarray([1.0 if w != 0.0 else 0.0 for w in walk],
+                              np.float32)
+        reps = reps * np.exp(0.05 * mask_row[None, :]
+                             * rng.normal(size=reps.shape)
+                             ).astype(np.float32)
+        theta0 = np.concatenate([theta0, reps], axis=0)
+
+    substeps = _normalize_substeps(substeps, len(np.asarray(times)) - 1)
+    plan = _build_plan(spec, obs, times, substeps)
+    y0_key = tuple(float(v) for v in np.asarray(y0_base))
+
+    R = nits - 1
+    if R <= burnin:
+        raise ValueError(f"nits={nits} leaves no recorded iterations after "
+                         f"burnin={burnin}")
+    L_SEG = max(1, min(64, R, (2 * 1024 * 1024) // ((P + 4) * tile * 4)))
+    n_segs = -(-R // L_SEG)
+
+    if priors is not None:
+        priors = tuple(priors)
+        if len(priors) != P:
+            raise ValueError(f"priors must have one entry per parameter "
+                             f"({P}), got {len(priors)}")
+        if not kernel_priors_supported(priors):
+            raise ValueError(
+                "unsupported prior family for the fused kernel; use the "
+                "XLA backend")
+        if not any(d is not None for d in priors):
+            priors = None
+        else:
+            priors = tuple(None if d is None else _static_prior(d)
+                           for d in priors)
+    theta_tiles = jnp.asarray(theta0.T.reshape(P, W // _LANES, _LANES))
+
+    run = _cached_ens_run(spec, plan, y0_key, P, tile, W, L_SEG, n_segs,
+                          nits, walk, n_walked, float(a), num, stepper,
+                          substeps, bool(interpret), W0, burnin, mesh,
+                          priors)
+    theta_s, chi_s, rsq_s, aic_s, ar_s = run(
+        jnp.asarray([seed], jnp.int32), theta_tiles)
+    iterations = jnp.arange(1, nits)[burnin:]
+    from ..samplers.mh import MHOutput
+    return MHOutput(theta=theta_s, chi=chi_s, rsquared=rsq_s, aic=aic_s,
+                    acceptance_ratio=ar_s, iteration=iterations)
+
+
+@lru_cache(maxsize=64)
+def _cached_ens_run(spec, plan, y0_key, P, tile, W, L_SEG, n_segs, nits,
+                    walk, n_walked, a, num, stepper, substeps, interpret,
+                    W0, burnin, mesh, priors=None):
+    """Jitted program: ensemble pallas kernel + record postprocess
+    (same single-dispatch structure as :func:`_cached_mh_run`)."""
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    W_local = W // n_dev
+    inner = _cached_ens_grid(spec, plan, y0_key, P, tile, W_local, L_SEG,
+                             n_segs, nits, walk, n_walked, a, num, stepper,
+                             substeps, interpret, priors)
+    padded_R = n_segs * L_SEG
+    lo, hi = burnin, nits - 1
+
+    def local_run(seed_arr, off_arr, theta_tiles):
+        outs = inner(seed_arr, off_arr, theta_tiles)
+        th_r, chi_r, rsq_r, aic_r, ar_r = [
+            o.reshape(padded_R, -1, W_local) for o in outs]
+        theta_s = jnp.transpose(th_r, (2, 0, 1))[:, lo:hi]
+        sq = lambda x: jnp.transpose(x[:, 0, :], (1, 0))[:, lo:hi]
+        return theta_s, sq(chi_r), sq(rsq_r), sq(aic_r), sq(ar_r)
+
+    if mesh is None:
+        def run(seed_arr, theta_tiles):
+            outs = local_run(seed_arr, jnp.zeros((1,), jnp.int32),
+                             theta_tiles)
+            return tuple(o[:W0] for o in outs)
+    else:
+        from jax.sharding import PartitionSpec as PS
+        axis = mesh.axis_names[0]
+        tiles_local = W_local // tile
+
+        def shard_body(seed_arr, theta_tiles):
+            off = (jax.lax.axis_index(axis) * tiles_local)[None].astype(
+                jnp.int32)
+            return local_run(seed_arr, off, theta_tiles)
+
+        smap = jax.shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(PS(), PS(None, axis, None)),
+            out_specs=tuple([PS(axis)] * 5), check_vma=False)
+
+        def run(seed_arr, theta_tiles):
+            return tuple(o[:W0] for o in smap(seed_arr, theta_tiles))
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=64)
+def _cached_ens_grid(spec, plan, y0_key, P, tile, W, L_SEG, n_segs, nits,
+                     walk, n_walked, a, num, stepper, substeps, interpret,
+                     priors=None):
+    """Build the whole-run ensemble pallas_call (once per static config).
+
+    Grid/record/scratch structure matches :func:`_cached_mh_grid`; the
+    chain-state scratch holds all walkers, and each iteration performs two
+    sublane-half stretch updates with shared-offset partner rolls."""
+    sub = tile // _LANES
+    half = sub // 2
+    shape = (sub, _LANES)
+    hshape = (half, _LANES)
+    step_fn = _FIXED_STEPPERS[stepper]
+    score = _make_scorer_from_key(spec, plan, y0_key, step_fn)
+    lps = [None] * P if priors is None else [_kernel_logpdf(d)
+                                             for d in priors]
+    use_priors = any(f is not None for f in lps)
+
+    def roll2(x, r_sub, r_lane):
+        """Dynamic 2-D rotate of a (half, 128) tile. Lanes: Mosaic's
+        native dynamic roll (jnp.roll would lower to dynamic_slice, which
+        Mosaic lacks). Sublanes: dynamic rotate of an unaligned half tile
+        is unsupported, so select among the `half` STATIC sublane rolls —
+        a handful of cheap vector shuffles + selects."""
+        if interpret:
+            return jnp.roll(jnp.roll(x, r_sub, axis=0), r_lane, axis=1)
+        out = x
+        for k in range(1, half):
+            out = jnp.where(r_sub == k, jnp.roll(x, k, axis=0), out)
+        return pltpu.roll(out, r_lane, 1)
+
+    def logprior(theta_list):
+        tot = jnp.zeros_like(theta_list[0])
+        for f, th in zip(lps, theta_list):
+            if f is not None:
+                tot = tot + f(th)
+        return tot
+
+    def kernel(seed_ref, off_ref, theta_in, theta_out, chi_out, rsq_out,
+               aic_out, ar_out, lt_s, chi_s, rsq_s, acc_s, lp_s):
+        rng = _Rng(shape, seed_ref[0], pl.program_id(0) + off_ref[0], tile)
+        # independent scalar stream for the shared partner offsets
+        seed_u = seed_ref[0].astype(jnp.uint32)
+        pid_u = (pl.program_id(0) + off_ref[0]).astype(jnp.uint32)
+        scal_base = _mix(seed_u * jnp.uint32(0x7FEB352D)
+                         + pid_u * jnp.uint32(tile) + jnp.uint32(0xE75))
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            theta = [theta_in[p] for p in range(P)]
+            chi0, rsq0 = score(theta, shape)
+            for p in range(P):
+                lt_s[p] = jnp.log(theta[p])
+            chi_s[...] = chi0
+            rsq_s[...] = rsq0
+            acc_s[...] = jnp.zeros(shape, jnp.float32)
+            lp_s[...] = (logprior(theta) if use_priors
+                         else jnp.zeros(shape, jnp.float32))
+
+        it0 = 1 + j * L_SEG
+
+        def half_update(it, lo, carry):
+            """Stretch-update sublane rows [lo, lo+half) against the
+            complementary rows, all (half, 128) jnp values."""
+            logtheta, chi, rsq, acc, lp, active = carry
+            comp_lo = half - lo          # 0 <-> half
+            cur = [lt[lo:lo + half] for lt in logtheta]
+            comp = [lt[comp_lo:comp_lo + half] for lt in logtheta]
+            # shared partner offset (scalar core): any fixed assignment is
+            # valid — roll B by (r_sub, r_lane)
+            sbits = _mix(scal_base ^ _mix(
+                it.astype(jnp.uint32) * jnp.uint32(2) + jnp.uint32(lo != 0)))
+            r_sub = (sbits % jnp.uint32(max(half, 1))).astype(jnp.int32)
+            r_lane = ((sbits >> jnp.uint32(8))
+                      % jnp.uint32(_LANES)).astype(jnp.int32)
+            partner = [roll2(c, r_sub, r_lane) for c in comp]
+            # z ~ g(z) on [1/a, a] via inverse CDF, one draw per walker;
+            # rng yields full (sub,128) tiles — use the top half rows
+            u = rng.uniform(it)[lo:lo + half]
+            z = ((1.0 + (a - 1.0) * u) ** 2) / a
+            prop = [c + (1.0 - z) * (pt - c) * walk[p] if walk[p] != 0.0
+                    else c
+                    for p, (c, pt) in enumerate(zip(cur, partner))]
+            theta_p = [jnp.exp(v) for v in prop]
+            chi_new, rsq_new = score(theta_p, hshape)
+            log_ratio = ((n_walked - 1) * jnp.log(z)
+                         + chi[lo:lo + half] - chi_new)
+            if use_priors:
+                lp_new = logprior(theta_p)
+                log_ratio = log_ratio + (lp_new - lp[lo:lo + half])
+            uacc = rng.uniform(it)[lo:lo + half]
+            accept = (jnp.exp(log_ratio) > uacc) & active
+
+            def merge(full, new, old):
+                upd = jnp.where(accept, new, old)
+                return jnp.concatenate(
+                    [upd, full[half:]] if lo == 0 else [full[:half], upd],
+                    axis=0)
+
+            logtheta = [merge(lt, pn, c)
+                        for lt, pn, c in zip(logtheta, prop, cur)]
+            chi = merge(chi, chi_new, chi[lo:lo + half])
+            rsq = merge(rsq, rsq_new, rsq[lo:lo + half])
+            if use_priors:
+                lp = merge(lp, lp_new, lp[lo:lo + half])
+            acc = merge(acc, acc[lo:lo + half] + accept.astype(jnp.float32),
+                        acc[lo:lo + half])
+            return logtheta, chi, rsq, acc, lp, active
+
+        def body(i, carry):
+            logtheta, chi, rsq, acc_count, lp = carry
+            it = it0 + i
+            active = jnp.full(hshape, True) & (it < nits)
+            c = (logtheta, chi, rsq, acc_count, lp, active)
+            c = half_update(it, 0, c)
+            c = half_update(it, half, c)
+            logtheta, chi, rsq, acc_count, lp, _ = c
+            for p in range(P):
+                theta_out[i, p] = jnp.exp(logtheta[p])
+            chi_out[i, 0] = chi
+            rsq_out[i, 0] = rsq
+            aic_out[i, 0] = 2.0 * chi + 2.0 * num
+            ar_out[i, 0] = acc_count / it.astype(jnp.float32)
+            return logtheta, chi, rsq, acc_count, lp
+
+        carry0 = ([lt_s[p] for p in range(P)], chi_s[...], rsq_s[...],
+                  acc_s[...], lp_s[...])
+        logtheta, chi, rsq, acc_count, lp = jax.lax.fori_loop(
+            0, L_SEG, body, carry0)
+        for p in range(P):
+            lt_s[p] = logtheta[p]
+        chi_s[...] = chi
+        rsq_s[...] = rsq
+        acc_s[...] = acc_count
+        lp_s[...] = lp
+
+    n_rows = W // _LANES
+
+    def spec_in(k):
+        return pl.BlockSpec((k, sub, _LANES), lambda i, j: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_rec(k):
+        return pl.BlockSpec((L_SEG, k, sub, _LANES),
+                            lambda i, j: (j, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    padded_R = n_segs * L_SEG
+    out_shapes = \
+        [jax.ShapeDtypeStruct((padded_R, P, n_rows, _LANES), jnp.float32)] + \
+        [jax.ShapeDtypeStruct((padded_R, 1, n_rows, _LANES), jnp.float32)] * 4
+
+    return pl.pallas_call(
+        kernel,
+        grid=(W // tile, n_segs),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # tile offset
+            spec_in(P),                                  # theta0
+        ],
+        out_specs=[spec_rec(P)] + [spec_rec(1)] * 4,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((P, sub, _LANES), jnp.float32),
+            pltpu.VMEM(shape, jnp.float32),
+            pltpu.VMEM(shape, jnp.float32),
+            pltpu.VMEM(shape, jnp.float32),
+            pltpu.VMEM(shape, jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.ARBITRARY, pltpu.ARBITRARY)),
+        interpret=interpret,
+    )
+
+
 def survey_fused(spec: ModelSpec, obs: ObsData, times, y0_base, thetas, *,
                  substeps: int = 4, stepper: str = "dopri5",
                  tile_chains: int = 1024, interpret: bool = False):

@@ -50,10 +50,11 @@ def _gpd_fit(x: np.ndarray):
     """Generalized-Pareto (k, sigma) fit to exceedances ``x`` > 0 by the
     Zhang & Stephens (2009) empirical-Bayes profile method, with the
     PSIS-paper weak-prior regularization of k-hat."""
-    x = np.sort(np.asarray(x, np.float64))
+    x = np.asarray(x, np.float64)
+    x = np.sort(x[np.isfinite(x) & (x > 0)])
     n = len(x)
-    if n < 5 or x[-1] <= 0:
-        return 0.5, max(float(x[-1]), 1e-12)
+    if n < 5:
+        return 0.5, max(float(x[-1]) if n else 1e-12, 1e-12)
     m = 30 + int(np.sqrt(n))
     j = np.arange(1, m + 1)
     xq = x[int(n / 4.0 + 0.5) - 1]
@@ -88,15 +89,23 @@ def _psis_smooth_lw(lw: np.ndarray):
     cutoff_idx = order[-M - 1] if S > M else order[0]
     u = lw[cutoff_idx]
     tail_idx = order[-M:]
-    exceed = np.exp(lw[tail_idx] - u) - 1.0  # scaled to exceedances of e^u
-    k, sigma = _gpd_fit(exceed * np.exp(u))
+    # fit in cutoff-relative scale: exceedances of w/e^u over 1 — the GPD
+    # shape is scale-invariant, and this avoids exp(u) overflow/underflow
+    # when the weights are extremely concentrated
+    exceed = np.expm1(lw[tail_idx] - u)
+    pos = exceed[exceed > 0]
+    if len(pos) < 5:         # degenerate tail (ties at the cutoff)
+        return lw - _logsumexp(lw), 0.0
+    k, sigma = _gpd_fit(exceed)
+    if not np.isfinite(k):
+        return lw - _logsumexp(lw), 0.0
     # replace tail by expected order statistics of the fitted GPD
     q = (np.arange(1, M + 1) - 0.5) / M
     if abs(k) < 1e-8:
         smoothed = -sigma * np.log1p(-q)
     else:
         smoothed = sigma / k * ((1.0 - q) ** (-k) - 1.0)
-    new_tail = np.log(np.exp(u) + smoothed)
+    new_tail = u + np.log1p(smoothed)
     # PSIS truncation: no smoothed weight above the raw maximum
     new_tail = np.minimum(new_tail, lw_max_raw)
     out = lw.copy()
