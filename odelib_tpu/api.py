@@ -661,8 +661,6 @@ class ModelFramework:
             theta = self._spec.pack_theta(list(parameters))
         _, _, _, _, substeps = self._solver_args(
             solver_kw, len(self._times_fit) - 1)
-        if substeps == "auto":
-            substeps = 4
         dtype = jnp.result_type(float)
         spec = self._spec
         obs = self._obsdata_fit
@@ -714,11 +712,8 @@ class ModelFramework:
             n = int(np.prod(self._spec.pshapes[i])) \
                 if self._spec.pshapes[i] else 1
             mask[offsets[i]:offsets[i] + n] = 0.0
-        _, _, _, _, substeps = self._solver_args(
+        method, _, _, _, substeps = self._solver_args(
             solver_kw, len(self._times_fit) - 1)
-        if substeps == "auto":
-            substeps = self._resolve_substeps("auto",
-                                              len(self._times_fit) - 1)
         prior_logpdf = None
         if use_priors:
             jdists = tuple(self.parameters[p].jdist
@@ -742,6 +737,7 @@ class ModelFramework:
                       steps=steps, learning_rate=learning_rate,
                       walk_mask=jnp.asarray(mask, dtype),
                       prior_logpdf=prior_logpdf, use_priors=use_priors,
+                      method="rk4" if method == "rk4" else "fixed_dopri5",
                       substeps=substeps)
         theta = np.asarray(res.theta)
         out = {}
@@ -784,9 +780,6 @@ class ModelFramework:
                              "parameters only")
         _, _, _, _, substeps = self._solver_args(
             solver_kw, len(self._times_fit) - 1)
-        if substeps == "auto":
-            substeps = self._resolve_substeps("auto",
-                                              len(self._times_fit) - 1)
         dtype = jnp.result_type(float)
         spec = self._spec
         obs = self._obsdata_fit
@@ -910,11 +903,8 @@ class ModelFramework:
                         tot = tot + jnp.sum(d.logpdf(v))
                 return tot
 
-        _, _, _, _, substeps = self._solver_args(
+        method, _, _, _, substeps = self._solver_args(
             solver_kw, len(self._times_fit) - 1)
-        if substeps == "auto":
-            substeps = self._resolve_substeps("auto",
-                                              len(self._times_fit) - 1)
         dtype = jnp.result_type(float)
         res = map_fit(self._spec, self._obsdata_fit,
                       jnp.asarray(self._times_fit, dtype),
@@ -923,6 +913,7 @@ class ModelFramework:
                       steps=int(steps), learning_rate=float(learning_rate),
                       walk_mask=jnp.asarray(mask, dtype),
                       prior_logpdf=prior_logpdf, use_priors=use_priors,
+                      method="rk4" if method == "rk4" else "fixed_dopri5",
                       substeps=substeps)
         loss = np.asarray(res.loss, float).reshape(G, S)
         loss = np.where(np.isfinite(loss), loss, np.inf)
@@ -1029,9 +1020,6 @@ class ModelFramework:
         theta0 = np.asarray(self._theta_from_df(ps))
         method, rtol, atol, max_steps, substeps = self._solver_args(
             solver_kw, len(self._times_fit) - 1)
-        if substeps == "auto":
-            substeps = self._resolve_substeps("auto",
-                                              len(self._times_fit) - 1)
         dtype = jnp.result_type(float)
         out = smc_sample(
             self._spec, self._obsdata_fit,
@@ -1058,6 +1046,27 @@ class ModelFramework:
         return {"log_evidence": out.log_evidence, "posterior": df,
                 "betas": out.betas, "acceptance": out.acceptance}
 
+    def _posterior_logpred(self, posterior, n_draws, solver_kw):
+        """Subsample posterior rows and re-integrate them as one vmapped
+        batch: (S, N) log predictions at the observation points (shared by
+        information_criteria and posterior_predictive)."""
+        pnames = list(self.get_pnames())
+        rows = posterior.dropna(subset=pnames)
+        if len(rows) == 0:
+            raise ValueError("posterior has no complete parameter rows")
+        if len(rows) > n_draws:
+            rows = rows.sample(int(n_draws), random_state=self.random_seed)
+        thetas = np.asarray(self._theta_from_df(rows[pnames]))
+        method, rtol, atol, max_steps, substeps = self._solver_args(
+            solver_kw, len(self._times_fit) - 1)
+        dtype = jnp.result_type(float)
+        return np.asarray(_logpred_jit(
+            self._spec, self._obsdata_fit,
+            jnp.asarray(self._times_fit, dtype),
+            jnp.asarray(self.get_inits(), dtype),
+            jnp.asarray(thetas, dtype),
+            method, rtol, atol, max_steps, substeps))
+
     def information_criteria(self, posterior, n_draws=400,
                              print_report=True, **solver_kw):
         """WAIC and PSIS-LOO predictive model comparison from an MCMC (or
@@ -1079,25 +1088,7 @@ class ModelFramework:
         """
         from .utils import model_comparison as _mc
 
-        pnames = list(self.get_pnames())
-        rows = posterior.dropna(subset=pnames)
-        if len(rows) == 0:
-            raise ValueError("posterior has no complete parameter rows")
-        if len(rows) > n_draws:
-            rows = rows.sample(int(n_draws), random_state=self.random_seed)
-        thetas = np.asarray(self._theta_from_df(rows[pnames]))
-        method, rtol, atol, max_steps, substeps = self._solver_args(
-            solver_kw, len(self._times_fit) - 1)
-        if substeps == "auto":
-            substeps = self._resolve_substeps("auto",
-                                              len(self._times_fit) - 1)
-        dtype = jnp.result_type(float)
-        logpred = np.asarray(_logpred_jit(
-            self._spec, self._obsdata_fit,
-            jnp.asarray(self._times_fit, dtype),
-            jnp.asarray(self.get_inits(), dtype),
-            jnp.asarray(thetas, dtype),
-            method, rtol, atol, max_steps, substeps))   # (S, N)
+        logpred = self._posterior_logpred(posterior, n_draws, solver_kw)
 
         obs = self._obsdata_fit_host
         O = np.asarray(obs.log_abundance, np.float64)
@@ -1150,25 +1141,7 @@ class ModelFramework:
         envelope (``Framework.py:734-740``), which overlays trajectories
         but never quantifies coverage.
         """
-        pnames = list(self.get_pnames())
-        rows = posterior.dropna(subset=pnames)
-        if len(rows) == 0:
-            raise ValueError("posterior has no complete parameter rows")
-        if len(rows) > n_draws:
-            rows = rows.sample(int(n_draws), random_state=self.random_seed)
-        thetas = np.asarray(self._theta_from_df(rows[pnames]))
-        method, rtol, atol, max_steps, substeps = self._solver_args(
-            solver_kw, len(self._times_fit) - 1)
-        if substeps == "auto":
-            substeps = self._resolve_substeps("auto",
-                                              len(self._times_fit) - 1)
-        dtype = jnp.result_type(float)
-        logpred = np.asarray(_logpred_jit(
-            self._spec, self._obsdata_fit,
-            jnp.asarray(self._times_fit, dtype),
-            jnp.asarray(self.get_inits(), dtype),
-            jnp.asarray(thetas, dtype),
-            method, rtol, atol, max_steps, substeps))     # (S, N)
+        logpred = self._posterior_logpred(posterior, n_draws, solver_kw)
         obs = self._obsdata_fit_host
         O = np.asarray(obs.log_abundance, float)
         Sg = np.asarray(obs.log_sigma, float)
@@ -1264,9 +1237,6 @@ class ModelFramework:
 
         method, rtol, atol, max_steps, substeps = self._solver_args(
             solver_kw, len(self._times_fit) - 1)
-        if substeps == "auto":
-            substeps = self._resolve_substeps("auto",
-                                              len(self._times_fit) - 1)
         dtype = jnp.result_type(float)
         f = np.asarray(_sens._eval_target(
             self._spec, self._obsdata_fit,
@@ -1307,17 +1277,17 @@ class ModelFramework:
             theta = self._current_theta()
         else:
             theta = self._spec.pack_theta(list(parameters))
-        _, _, _, _, substeps = self._solver_args(
+        method, rtol, atol, max_steps, substeps = self._solver_args(
             solver_kw, len(self._times_fit) - 1)
-        if substeps == "auto":
-            substeps = self._resolve_substeps("auto",
-                                              len(self._times_fit) - 1)
         dtype = jnp.result_type(float)
         J = np.asarray(_sens.local_sensitivity(
             self._spec, jnp.asarray(theta, dtype),
             jnp.asarray(self.get_inits(), dtype),
             jnp.asarray(self._times_fit, dtype),
-            log_scale=bool(log_scale), substeps=substeps))
+            log_scale=bool(log_scale),
+            method="rk4" if method == "rk4" else "fixed_dopri5",
+            rtol=rtol, atol=atol, max_steps=max_steps,
+            substeps=substeps))
         return {s: pd.DataFrame(J[:, i, :], index=self._times_fit,
                                 columns=list(self._pnames))
                 for i, s in enumerate(self._spec.post_snames)}
@@ -1539,7 +1509,7 @@ class ModelFramework:
              step_size=0.02, target_accept=0.8,
              temperatures=(1.0, 2.0, 4.0, 8.0), swap_every=1,
              stretch_a=2.0, adapt_start=50,
-             profile=False, pallas_interpret=False, pallas_tile_chains=1024,
+             profile=False, pallas_interpret=False, pallas_tile_chains=None,
              **solver_kw):
         """Markov Chain Monte Carlo over vmapped+mesh-sharded chains.
 
@@ -1564,7 +1534,9 @@ class ModelFramework:
           (:mod:`odelib_tpu.utils.profiling`);
         * ``pallas_interpret`` / ``pallas_tile_chains``: advanced knobs for
           the fused backend — interpreter emulation (CPU testing of the
-          kernel path) and the per-dispatch chain tile size;
+          kernel path) and the per-dispatch chain tile size (default None
+          = auto: the measured-optimal tile for the batch size after
+          padding waste, ``ops.pallas_mh.pick_tile_chains``);
         * ``checkpoint_every=N`` (fused backend): persist chain state and
           records every N iterations to ``<checkpoint_path>.progress`` so a
           killed run resumes bit-exact via ``resume_from=<that file>``
@@ -1656,7 +1628,7 @@ class ModelFramework:
                 # fused ensembles are tile_chains walkers each — only
                 # worth it when the requested walker count fills tiles
                 and (sampler != "ensemble"
-                     or _n_req >= int(pallas_tile_chains))) else "xla"
+                     or _n_req >= int(pallas_tile_chains or 1024))) else "xla"
         if sampler == "ensemble" and backend not in ("pallas",):
             backend = "ensemble"
         if backend == "pallas" and use_priors and pallas_priors is None:
@@ -1689,7 +1661,8 @@ class ModelFramework:
                     self.get_inits(), thetas, substeps=substeps,
                     stepper=method if method in ("rk4", "kvaerno3")
                     else "dopri5",
-                    tile_chains=int(pallas_tile_chains),
+                    tile_chains=(None if pallas_tile_chains is None
+                             else int(pallas_tile_chains)),
                     interpret=bool(pallas_interpret)))
                 fitsurvey = ps[self.get_pnames()].copy()
                 fitsurvey["chi"] = np.where(np.isfinite(chis), chis, np.nan)
@@ -1791,6 +1764,10 @@ class ModelFramework:
                 warnings.warn("checkpoint_every is not supported on the "
                               "fused ensemble path; running without "
                               "periodic checkpoints")
+            if resume_from is not None:
+                raise ValueError("resume_from is not supported on the "
+                                 "fused ensemble path — the run would "
+                                 "silently restart from scratch")
             out = ensemble_fused(
                 self._spec, self._obsdata_fit_host, self._times_fit,
                 self.get_inits(), np.asarray(theta0, np.float32),
@@ -1800,7 +1777,8 @@ class ModelFramework:
                     else "dopri5",
                 substeps=substeps,
                 priors=pallas_priors if use_priors else None,
-                tile_chains=int(pallas_tile_chains),
+                tile_chains=(None if pallas_tile_chains is None
+                             else int(pallas_tile_chains)),
                 interpret=bool(pallas_interpret),
                 mesh=chain_mesh() if (jax.device_count() > 1
                                       and not pallas_interpret) else None)
@@ -1822,7 +1800,8 @@ class ModelFramework:
                     else "dopri5",
                 substeps=substeps,
                 priors=pallas_priors if use_priors else None,
-                tile_chains=int(pallas_tile_chains),
+                tile_chains=(None if pallas_tile_chains is None
+                             else int(pallas_tile_chains)),
                 interpret=bool(pallas_interpret),
                 checkpoint_every=checkpoint_every,
                 checkpoint_path=progress_path,

@@ -57,9 +57,16 @@ def _amh_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
 
     def proposal_chol(carry):
         """Cholesky of the scaled adapted covariance, falling back to the
-        isotropic rwalk_std walk until enough history has accumulated."""
+        isotropic rwalk_std walk until enough history has accumulated.
+
+        The regularization floor is (0.1 * rwalk_std)^2 I, not a token
+        epsilon: a chain that rejects every warm-up proposal has M2 == 0,
+        and with a tiny epsilon the adapted walk would collapse to
+        ~sqrt(eps) steps it can never grow back from (micro-moves feed
+        only micro-variance into M2). A floor proportional to the
+        isotropic scale keeps collapse recoverable (Haario's eps*I)."""
         cov = carry.M2 / jnp.maximum(carry.n - 1.0, 1.0)
-        cov = s_d * cov + 1e-10 * eye
+        cov = s_d * cov + (0.1 * rwalk_std) ** 2 * eye
         use_adapt = carry.n > adapt_start
         safe = jnp.where(use_adapt, cov, eye)
         L = jnp.linalg.cholesky(safe)

@@ -149,9 +149,24 @@ def psis_loo(loglik: np.ndarray) -> Dict[str, object]:
 
 
 def compare(criteria: Dict[str, Dict[str, float]],
-            key: str = "elpd_loo"):
+            key: str = "elpd_loo", higher_better: bool = None):
     """Rank models by a predictive criterion: ``{name: result_dict}`` ->
-    list of (name, elpd, delta_to_best), best first."""
-    items = sorted(criteria.items(), key=lambda kv: -kv[1][key])
+    list of (name, value, delta_to_best), best first.
+
+    Direction is inferred from the key: ``elpd_*``/``lppd`` are
+    higher-is-better, ``waic``/``looic``/``aic`` (deviance scale) are
+    lower-is-better. Pass ``higher_better`` explicitly for other keys.
+    """
+    if higher_better is None:
+        if key.startswith(("elpd", "lppd", "log")):
+            higher_better = True
+        elif key in ("waic", "looic", "aic", "p_waic", "p_loo") \
+                or key.endswith("ic"):
+            higher_better = False
+        else:
+            raise ValueError(f"cannot infer ranking direction for "
+                             f"{key!r}; pass higher_better=")
+    sign = -1.0 if higher_better else 1.0
+    items = sorted(criteria.items(), key=lambda kv: sign * kv[1][key])
     best = items[0][1][key]
     return [(name, d[key], d[key] - best) for name, d in items]

@@ -100,6 +100,14 @@ def test_compare_orders_models():
     assert [r[0] for r in ranked] == ["b", "a", "c"]
     assert ranked[0][2] == 0.0
     assert ranked[1][2] == -5.0
+    # deviance-scale keys rank lower-is-better automatically
+    crits_w = {"a": {"waic": 20.0}, "b": {"waic": 10.0},
+               "c": {"waic": 40.0}}
+    ranked_w = compare(crits_w, key="waic")
+    assert [r[0] for r in ranked_w] == ["b", "a", "c"]
+    assert ranked_w[1][2] == 10.0
+    with pytest.raises(ValueError, match="direction"):
+        compare({"a": {"x": 1.0}}, key="x")
 
 
 def test_information_criteria_api_discriminates_models():
