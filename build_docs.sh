@@ -13,12 +13,16 @@ else
              odelib_tpu.ops.runge_kutta odelib_tpu.ops.pallas_mh \
              odelib_tpu.ops.schedule \
              odelib_tpu.samplers.lhs odelib_tpu.samplers.mh \
-             odelib_tpu.samplers.hmc \
+             odelib_tpu.samplers.hmc odelib_tpu.samplers.pt \
+             odelib_tpu.samplers.ensemble odelib_tpu.samplers.amh \
+             odelib_tpu.samplers.smc odelib_tpu.samplers.optimize \
              odelib_tpu.models odelib_tpu.models.base \
              odelib_tpu.models.infection odelib_tpu.models.ecology \
              odelib_tpu.models.epidemiology odelib_tpu.models.chemistry \
              odelib_tpu.parallel.mesh odelib_tpu.utils.checkpoint \
-             odelib_tpu.utils.profiling; do
+             odelib_tpu.utils.profiling odelib_tpu.utils.diagnostics \
+             odelib_tpu.utils.model_comparison \
+             odelib_tpu.utils.sensitivity; do
         python -m pydoc "$m" > "docs/api/${m}.txt" || true
     done
 fi
