@@ -2063,6 +2063,59 @@ class ModelFramework:
         high = np.exp(logabundance + logstd) - np.exp(logabundance)
         return np.array([low, high])
 
+    def plot_corner(self, posterior, parameters=None, logspace=True,
+                    bins=40, max_points=5000, color="C0"):
+        """Corner (pairs) plot of an MCMC/SMC posterior: marginal
+        histograms on the diagonal, pairwise scatter below — the standard
+        posterior picture of the ensemble-sampler ecosystem, which the
+        reference leaves the user to assemble by hand from trace columns
+        (demo cells 36-38). Returns (figure, axes array).
+
+        ``logspace`` plots log10 of each parameter (the sampling space);
+        ``max_points`` subsamples the scatter for responsiveness.
+        """
+        import matplotlib.pyplot as plt
+
+        if parameters is None:
+            parameters = [p for p in self.get_pnames()
+                          if posterior[p].nunique() > 1]
+        P = len(parameters)
+        if P == 0:
+            raise ValueError("no varying parameters to plot")
+        data = posterior[parameters].dropna()
+        if len(data) > max_points:
+            data = data.sample(max_points, random_state=self.random_seed)
+        vals = data.to_numpy(float)
+        if logspace:
+            with np.errstate(divide="ignore"):
+                vals = np.log10(np.maximum(vals, 1e-300))
+        labels = [f"log10({p})" if logspace else p for p in parameters]
+
+        f, axes = plt.subplots(P, P, figsize=(2.2 * P, 2.2 * P),
+                               squeeze=False)
+        for i in range(P):
+            for j in range(P):
+                ax = axes[i][j]
+                if j > i:
+                    ax.set_visible(False)
+                    continue
+                if i == j:
+                    ax.hist(vals[:, i], bins=bins, color=color)
+                    ax.set_yticks([])
+                else:
+                    ax.scatter(vals[:, j], vals[:, i], s=2, alpha=0.3,
+                               color=color, rasterized=True)
+                if i == P - 1:
+                    ax.set_xlabel(labels[j])
+                else:
+                    ax.set_xticklabels([])
+                if j == 0 and i > 0:
+                    ax.set_ylabel(labels[i])
+                elif j > 0:
+                    ax.set_yticklabels([])
+        f.tight_layout()
+        return f, axes
+
     def plot(self, states=None, overlay=None):
         import matplotlib.pyplot as plt
         overlay = overlay or {}

@@ -136,6 +136,20 @@ def test_mcmc_routes_ensemble_to_fused_kernel():
     assert post["acceptance_ratio"].iloc[-1] > 0
 
 
+def test_pick_tile_chains():
+    from odelib_tpu.ops.pallas_mh import pick_tile_chains
+
+    # small batches stay on the small tile (padding would dominate)
+    assert pick_tile_chains(512) == 1024
+    assert pick_tile_chains(1024) == 1024
+    # large batches take the fastest tile
+    assert pick_tile_chains(4096) == 4096
+    assert pick_tile_chains(10240) == 4096
+    assert pick_tile_chains(1_000_000) == 4096
+    # per-device batch is what matters under a mesh
+    assert pick_tile_chains(8192, n_dev=8) == 1024
+
+
 def test_fused_ensemble_validation(gaussian_setup):
     spec, obs_host, times, y0, post_mean, _ = gaussian_setup
     th0 = np.full((8, 1), float(np.exp(post_mean)), np.float32)

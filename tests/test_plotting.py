@@ -46,3 +46,26 @@ def test_calc_stds(model):
     bands = model._calc_stds("S")
     assert bands.shape[0] == 2
     assert (bands >= 0).all()
+
+
+def test_plot_corner(model):
+    rng = np.random.default_rng(0)
+    n = 300
+    post = pd.DataFrame({
+        "mu": np.exp(rng.normal(-0.5, 0.3, n)),
+        "phi": np.exp(rng.normal(-17.5, 0.2, n)),
+        "beta": np.exp(rng.normal(3.2, 0.25, n))})
+    f, axes = model.plot_corner(post)
+    assert axes.shape == (3, 3)
+    # upper triangle hidden, diagonal histograms populated
+    assert not axes[0][1].get_visible()
+    assert len(axes[0][0].patches) > 0        # histogram bars
+    assert len(axes[1][0].collections) == 1   # scatter
+    # static parameter dropped automatically
+    post["beta"] = 25.0
+    f2, axes2 = model.plot_corner(post)
+    assert axes2.shape == (2, 2)
+    allstatic = pd.DataFrame({"mu": [1.0] * 5, "phi": [2.0] * 5,
+                              "beta": [3.0] * 5})
+    with pytest.raises(ValueError, match="varying"):
+        model.plot_corner(allstatic)
