@@ -22,11 +22,14 @@ def __getattr__(name):
     if name in ("ModelFramework", "parameter"):
         from . import api
         return getattr(api, name)
+    if name == "JointFit":
+        from .joint import JointFit
+        return JointFit
     if name == "models":
         import importlib
         return importlib.import_module(".models", __name__)
     raise AttributeError(f"module 'odelib_tpu' has no attribute {name!r}")
 
 
-__all__ = ["ModelFramework", "parameter", "distributions", "stats", "ops",
-           "models", "__version__"]
+__all__ = ["ModelFramework", "parameter", "JointFit", "distributions",
+           "stats", "ops", "models", "__version__"]

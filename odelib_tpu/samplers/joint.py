@@ -1,0 +1,164 @@
+"""Joint multi-experiment fitting with shared parameters.
+
+Biologists rarely have one dataset: the same mechanism is measured across
+replicate experiments/conditions, and the scientifically right fit ties
+the mechanistic constants across experiments while letting per-condition
+parameters (initial states, condition-specific rates) float. The
+reference's ``ModelFramework`` binds exactly one DataFrame
+(``/root/reference/ODElib/Framework.py:168-263``); the closest it offers
+is folding replicate *columns* into log-moments (``Framework.py:287-
+298``) — there is no shared-parameter structure at all.
+
+TPU-native shape: the joint log-likelihood is a SUM of per-experiment
+chi terms, each an independent fused integrate+score on its own
+(spec, obs, times, y0) — all K experiments evaluated inside one jitted
+chain step (XLA fuses them side by side; no host loop), ``lax.scan``
+over iterations, ``vmap`` over chains, exactly the conventions of
+samplers/mh.py. The joint parameter vector is
+``[shared..., exp1-free..., exp2-free..., ...]`` with static gather
+indices per experiment, so the packing compiles to plain ``jnp.take``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..model import chi_of_theta
+
+
+class JointOutput(NamedTuple):
+    theta: Any             # (C, R, D) joint parameter records
+    chi: Any               # (C, R) total chi
+    chi_parts: Any         # (C, R, K) per-experiment chi
+    acceptance_ratio: Any  # (C, R)
+    iteration: Any         # (R,)
+
+
+class _Carry(NamedTuple):
+    log_theta: Any
+    chi: Any        # scalar total
+    parts: Any      # (K,)
+    acc: Any
+    key: Any
+
+
+@partial(jax.jit, static_argnames=(
+    "specs", "idx_maps", "nits", "burnin", "rwalk_std", "prior_logpdf",
+    "use_priors", "method", "substeps"))
+def _joint_impl(specs, idx_maps, obs_list, times_list, y0_list, theta0,
+                keys, walk_mask, *, nits, burnin, rwalk_std, prior_logpdf,
+                use_priors, method, substeps):
+    K = len(specs)
+
+    def total_chi(theta_joint):
+        parts = []
+        for k in range(K):
+            th_k = jnp.take(theta_joint, jnp.asarray(idx_maps[k]))
+            parts.append(chi_of_theta(
+                specs[k], obs_list[k], th_k, y0_list[k], times_list[k],
+                method=method, substeps=substeps))
+        parts = jnp.stack(parts)
+        return jnp.sum(parts), parts
+
+    def step(carry: _Carry, it):
+        key, k_eps, k_u = jax.random.split(carry.key, 3)
+        eps = rwalk_std * jax.random.normal(
+            k_eps, carry.log_theta.shape, carry.log_theta.dtype)
+        prop = carry.log_theta + eps * walk_mask
+        chi_n, parts_n = total_chi(jnp.exp(prop))
+        log_ratio = carry.chi - chi_n
+        if use_priors:
+            log_ratio = log_ratio + (prior_logpdf(jnp.exp(prop))
+                                     - prior_logpdf(jnp.exp(carry.log_theta)))
+        u = jax.random.uniform(k_u, dtype=carry.chi.dtype)
+        accept = jnp.exp(log_ratio) > u     # NaN -> rejected
+        new = _Carry(
+            log_theta=jnp.where(accept, prop, carry.log_theta),
+            chi=jnp.where(accept, chi_n, carry.chi),
+            parts=jnp.where(accept, parts_n, carry.parts),
+            acc=carry.acc + accept.astype(carry.chi.dtype),
+            key=key)
+        rec = (jnp.exp(new.log_theta), new.chi, new.parts, new.acc / it)
+        return new, rec
+
+    def one_chain(th0, key):
+        chi0, parts0 = total_chi(th0)
+        carry = _Carry(log_theta=jnp.log(th0), chi=chi0, parts=parts0,
+                       acc=jnp.asarray(0.0, th0.dtype), key=key)
+        its = jnp.arange(1, nits, dtype=th0.dtype)
+        carry, _ = jax.lax.scan(
+            lambda c, it: (step(c, it)[0], None), carry, its[:burnin])
+        _, recs = jax.lax.scan(step, carry, its[burnin:])
+        return recs
+
+    return jax.vmap(one_chain)(theta0, keys)
+
+
+@partial(jax.jit, static_argnames=("specs", "idx_maps", "method",
+                                   "substeps"))
+def joint_survey(specs, idx_maps, obs_list, times_list, y0_list,
+                 thetas, *, method: str = "fixed_dopri5", substeps=4):
+    """Batched joint chi for (N, D) joint draws -> (N,) total chi."""
+    K = len(specs)
+
+    def one(theta_joint):
+        tot = 0.0
+        for k in range(K):
+            th_k = jnp.take(theta_joint, jnp.asarray(idx_maps[k]))
+            tot = tot + chi_of_theta(
+                specs[k], obs_list[k], th_k, y0_list[k], times_list[k],
+                method=method, substeps=substeps)
+        return tot
+
+    return jax.vmap(one)(thetas)
+
+
+def joint_metropolis_hastings(
+        specs: Tuple, idx_maps: Tuple[Tuple[int, ...], ...],
+        obs_list, times_list, y0_list, theta0, keys, *,
+        nits: int = 1000, burnin: Optional[int] = None,
+        walk_mask=None, rwalk_std: float = 0.05,
+        prior_logpdf=None, use_priors: bool = False,
+        method: str = "fixed_dopri5", substeps=4) -> JointOutput:
+    """Run C joint chains over K experiments as one device program.
+
+    ``idx_maps[k]``: for experiment k, the joint-theta index of each of
+    its parameters (static tuple). ``obs_list``/``times_list``/``y0_list``
+    are per-experiment device arrays; ``theta0`` is (C, D) in the JOINT
+    layout. Other conventions match
+    :func:`~odelib_tpu.samplers.mh.metropolis_hastings`.
+    """
+    if burnin is None:
+        burnin = int(nits / 2)
+    if nits - 1 <= burnin:
+        raise ValueError(f"nits={nits} leaves no recorded iterations after "
+                         f"burnin={burnin}")
+    theta0 = jnp.atleast_2d(theta0)
+    D = theta0.shape[-1]
+    if walk_mask is None:
+        walk_mask = jnp.ones((D,), theta0.dtype)
+    walk_mask = jnp.asarray(walk_mask, theta0.dtype)
+    if use_priors and prior_logpdf is None:
+        raise ValueError("use_priors=True requires prior_logpdf")
+    specs = tuple(specs)
+    idx_maps = tuple(tuple(int(i) for i in m) for m in idx_maps)
+    for s, m in zip(specs, idx_maps):
+        if len(m) != s.theta_size:
+            raise ValueError(f"idx map length {len(m)} != spec theta size "
+                             f"{s.theta_size}")
+        if any(i < 0 or i >= D for i in m):
+            raise ValueError(f"idx map {m} out of range for joint size {D}")
+
+    theta_s, chi_s, parts_s, ar_s = _joint_impl(
+        specs, idx_maps, tuple(obs_list), tuple(times_list),
+        tuple(y0_list), theta0, keys, walk_mask,
+        nits=int(nits), burnin=int(burnin), rwalk_std=float(rwalk_std),
+        prior_logpdf=prior_logpdf, use_priors=bool(use_priors),
+        method=method,
+        substeps=substeps if isinstance(substeps, tuple) else int(substeps))
+    iterations = jnp.arange(1, nits)[burnin:]
+    return JointOutput(theta=theta_s, chi=chi_s, chi_parts=parts_s,
+                       acceptance_ratio=ar_s, iteration=iterations)
