@@ -1214,12 +1214,14 @@ def _cached_ens_grid(spec, plan, y0_key, P, tile, W, L_SEG, n_segs, nits,
 
 def survey_fused(spec: ModelSpec, obs: ObsData, times, y0_base, thetas, *,
                  substeps: int = 4, stepper: str = "dopri5",
-                 tile_chains: int = 1024, interpret: bool = False):
+                 tile_chains: Optional[int] = None, interpret: bool = False):
     """Batched chi evaluation in one kernel (fused fit_survey) — also the
     parity oracle for the MH kernel's in-loop scorer."""
     P = len(spec.pnames)
     thetas = np.asarray(thetas, np.float32)
     N0 = thetas.shape[0]
+    if tile_chains is None:
+        tile_chains = pick_tile_chains(N0)
     tile = int(tile_chains)
     N = int(-(-N0 // tile) * tile)
     if N > N0:
