@@ -190,7 +190,7 @@ def _multichip_inner(n_devices: int) -> None:
 
     def rate(mesh):
         kw = dict(nits=NITS, substeps=substeps, stepper="dopri5",
-                  interpret=interpret, tile_chains=128 if virtual else 1024,
+                  interpret=interpret, tile_chains=128 if virtual else None,
                   mesh=mesh)
         out = metropolis_hastings_fused(spec, obs_host, times_fit, y0,
                                         theta0, seed=0, **kw)

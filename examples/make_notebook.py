@@ -312,7 +312,14 @@ do the full-posterior comparisons: the **model evidence** (marginal
 likelihood, via tempered Sequential Monte Carlo — Bayes factors), and the
 predictive **WAIC / PSIS-LOO** criteria from the MCMC draws themselves
 (with per-observation Pareto k-hat influence diagnostics). None of these
-exist in the reference."""),
+exist in the reference.
+
+Read the table below with its own diagnostics: a high `bad_khat` count
+means the importance weights behind `elpd_loo` are heavy-tailed (these
+random-walk chains are short and correlated relative to what LOO wants)
+and the elpd numbers should not be trusted for ranking — the SMC
+evidence `logZ` is the robust column here, and its Bayes-factor ranking
+agrees with the AIC comparison above."""),
     (C, """\
 N_PARTICLES = 128 if FAST else 1024
 rows = []
