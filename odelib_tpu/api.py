@@ -1760,14 +1760,13 @@ class ModelFramework:
                           "checkpoints")
         if backend == "pallas" and sampler == "ensemble":
             from .ops.pallas_mh import ensemble_fused
+            progress_path = None
             if checkpoint_every is not None:
-                warnings.warn("checkpoint_every is not supported on the "
-                              "fused ensemble path; running without "
-                              "periodic checkpoints")
-            if resume_from is not None:
-                raise ValueError("resume_from is not supported on the "
-                                 "fused ensemble path — the run would "
-                                 "silently restart from scratch")
+                if checkpoint_path is None:
+                    raise ValueError(
+                        "checkpoint_every requires checkpoint_path (chain "
+                        "state is persisted to <checkpoint_path>.progress)")
+                progress_path = checkpoint_path + ".progress"
             out = ensemble_fused(
                 self._spec, self._obsdata_fit_host, self._times_fit,
                 self.get_inits(), np.asarray(theta0, np.float32),
@@ -1780,6 +1779,9 @@ class ModelFramework:
                 tile_chains=(None if pallas_tile_chains is None
                              else int(pallas_tile_chains)),
                 interpret=bool(pallas_interpret),
+                checkpoint_every=checkpoint_every,
+                checkpoint_path=progress_path,
+                resume_from=resume_from,
                 mesh=chain_mesh() if (jax.device_count() > 1
                                       and not pallas_interpret) else None)
         elif backend == "pallas":

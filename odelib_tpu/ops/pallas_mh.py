@@ -880,7 +880,11 @@ def ensemble_fused(
         walk_mask: Optional[Sequence[float]] = None,
         substeps: int = 4, stepper: str = "dopri5",
         tile_chains: Optional[int] = None, interpret: bool = False,
-        mesh=None, priors=None, init_jitter: float = 0.01):
+        mesh=None, priors=None, init_jitter: float = 0.01,
+        checkpoint_every: Optional[int] = None,
+        checkpoint_path: Optional[str] = None,
+        resume_from: Optional[str] = None,
+        _stop_after_chunks: Optional[int] = None):
     """Affine-invariant ensemble sampler (Goodman-Weare stretch moves)
     fully inside one Pallas kernel — the fused counterpart of
     ``samplers/ensemble.py`` at the MH kernel's throughput.
@@ -975,6 +979,14 @@ def ensemble_fused(
                            for d in priors)
     theta_tiles = jnp.asarray(theta0.T.reshape(P, W // _LANES, _LANES))
 
+    if checkpoint_every is not None or resume_from is not None:
+        return _ens_fused_chunked(
+            spec, plan, y0_key, P, tile, W, nits, burnin, walk, n_walked,
+            float(a), num, stepper, substeps, bool(interpret), W0, mesh,
+            priors, theta_tiles, int(seed),
+            checkpoint_every if checkpoint_every is not None else nits,
+            checkpoint_path, resume_from, _stop_after_chunks)
+
     run = _cached_ens_run(spec, plan, y0_key, P, tile, W, L_SEG, n_segs,
                           nits, walk, n_walked, float(a), num, stepper,
                           substeps, bool(interpret), W0, burnin, mesh,
@@ -1035,15 +1047,154 @@ def _cached_ens_run(spec, plan, y0_key, P, tile, W, L_SEG, n_segs, nits,
     return jax.jit(run)
 
 
+@lru_cache(maxsize=128)
+def _cached_ens_run_chunk(spec, plan, y0_key, P, tile, W, L_SEG, n_segs,
+                          nits, walk, n_walked, a, num, stepper, substeps,
+                          interpret, W0, mesh, priors, R_chunk, resume):
+    """Jitted program for ONE ensemble checkpoint chunk (mirror of
+    :func:`_cached_mh_run_chunk`)."""
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    W_local = W // n_dev
+    inner = _cached_ens_grid(spec, plan, y0_key, P, tile, W_local, L_SEG,
+                             n_segs, nits, walk, n_walked, a, num, stepper,
+                             substeps, interpret, priors,
+                             R_chunk=R_chunk, resume=resume)
+    padded_R = n_segs * L_SEG
+
+    def local_run(seed_arr, off_arr, itb_arr, theta_tiles, state_in):
+        ins = (seed_arr, off_arr, itb_arr)
+        if resume:
+            ins = ins + (state_in,)
+        *recs, state = inner(*ins, theta_tiles)
+        th_r, chi_r, rsq_r, aic_r, ar_r = [
+            o.reshape(padded_R, -1, W_local) for o in recs]
+        theta_s = jnp.transpose(th_r, (2, 0, 1))[:, :R_chunk]
+        sq = lambda x: jnp.transpose(x[:, 0, :], (1, 0))[:, :R_chunk]
+        return theta_s, sq(chi_r), sq(rsq_r), sq(aic_r), sq(ar_r), state
+
+    if mesh is None:
+        def run(seed_arr, itb_arr, theta_tiles, state_in=None):
+            outs = local_run(seed_arr, jnp.zeros((1,), jnp.int32), itb_arr,
+                             theta_tiles, state_in)
+            return tuple(o[:W0] for o in outs[:5]) + (outs[5],)
+    else:
+        from jax.sharding import PartitionSpec as PS
+        axis = mesh.axis_names[0]
+        tiles_local = W_local // tile
+        state_spec = PS(None, axis, None)
+
+        def shard_body(seed_arr, itb_arr, theta_tiles, state_in):
+            off = (jax.lax.axis_index(axis) * tiles_local)[None].astype(
+                jnp.int32)
+            return local_run(seed_arr, off, itb_arr, theta_tiles, state_in)
+
+        in_specs = (PS(), PS(), PS(None, axis, None),
+                    state_spec if resume else PS())
+        smap = jax.shard_map(
+            shard_body, mesh=mesh, in_specs=in_specs,
+            out_specs=tuple([PS(axis)] * 5) + (state_spec,),
+            check_vma=False)
+
+        def run(seed_arr, itb_arr, theta_tiles, state_in=None):
+            if state_in is None:
+                state_in = jnp.zeros((0,), jnp.float32)
+            outs = smap(seed_arr, itb_arr, theta_tiles, state_in)
+            return tuple(o[:W0] for o in outs[:5]) + (outs[5],)
+
+    return jax.jit(run)
+
+
+def _ens_fused_chunked(spec, plan, y0_key, P, tile, W, nits, burnin, walk,
+                       n_walked, a, num, stepper, substeps, interpret, W0,
+                       mesh, priors, theta_tiles, seed, checkpoint_every,
+                       checkpoint_path, resume_from,
+                       _stop_after_chunks=None):
+    """Checkpointed fused ensemble run (mirror of
+    :func:`_mh_fused_chunked`): counter-based RNG on the global iteration
+    + f32-exact state round-trip make a chunked/killed/resumed run
+    bitwise identical to the single dispatch."""
+    R = nits - 1
+    E = int(checkpoint_every)
+    if E < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    n_chunks = -(-R // E)
+    sig = repr(("ens", spec.pnames, P, tile, W, nits, walk, n_walked, a,
+                num, stepper, substeps, W0, int(seed), priors,
+                None if mesh is None else int(mesh.devices.size)))
+    seed_arr = jnp.asarray([seed], jnp.int32)
+
+    k0, state, recs = 0, None, []
+    if resume_from:
+        with np.load(resume_from, allow_pickle=False) as z:
+            saved_sig = bytes(z["sig"]).decode()
+            if saved_sig != sig:
+                raise ValueError(
+                    "checkpoint was written by a different ensemble "
+                    f"configuration:\n  saved: {saved_sig}\n  this:  {sig}")
+            k0 = int(z["next_chunk"])
+            state = z["state"]
+            if k0 > 0:
+                recs = [tuple(z[f"rec{i}"] for i in range(5))]
+
+    for k in range(k0, n_chunks):
+        R_chunk = min(E, R - k * E)
+        L_SEG = max(1, min(64, R_chunk,
+                           (2 * 1024 * 1024) // ((P + 4) * tile * 4)))
+        n_segs = -(-R_chunk // L_SEG)
+        run = _cached_ens_run_chunk(spec, plan, y0_key, P, tile, W, L_SEG,
+                                    n_segs, nits, walk, n_walked, a, num,
+                                    stepper, substeps, interpret, W0, mesh,
+                                    priors, R_chunk, resume=(k > 0))
+        itb = jnp.asarray([k * E], jnp.int32)
+        if k == 0:
+            outs = run(seed_arr, itb, theta_tiles)
+        else:
+            outs = run(seed_arr, itb, theta_tiles, jnp.asarray(state))
+        rec = tuple(np.asarray(o) for o in outs[:5])
+        state = np.asarray(outs[5])
+        recs.append(rec)
+        if checkpoint_path:
+            merged = tuple(np.concatenate([r[i] for r in recs], axis=1)
+                           for i in range(5))
+            recs = [merged]
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez_compressed(
+                    f, sig=np.frombuffer(sig.encode(), np.uint8),
+                    next_chunk=np.asarray(k + 1), state=state,
+                    **{f"rec{i}": merged[i] for i in range(5)})
+            os.replace(tmp, checkpoint_path)
+        if (_stop_after_chunks is not None
+                and k + 1 - k0 >= _stop_after_chunks and k + 1 < n_chunks):
+            return None
+
+    th, chi, rsq, aic, ar = (np.concatenate([r[i] for r in recs], axis=1)
+                             for i in range(5))
+    from ..samplers.mh import MHOutput
+    iterations = jnp.arange(1, nits)[burnin:]
+    return MHOutput(theta=jnp.asarray(th[:, burnin:]),
+                    chi=jnp.asarray(chi[:, burnin:]),
+                    rsquared=jnp.asarray(rsq[:, burnin:]),
+                    aic=jnp.asarray(aic[:, burnin:]),
+                    acceptance_ratio=jnp.asarray(ar[:, burnin:]),
+                    iteration=iterations)
+
+
 @lru_cache(maxsize=64)
 def _cached_ens_grid(spec, plan, y0_key, P, tile, W, L_SEG, n_segs, nits,
                      walk, n_walked, a, num, stepper, substeps, interpret,
-                     priors=None):
+                     priors=None, R_chunk=None, resume=False):
     """Build the whole-run ensemble pallas_call (once per static config).
 
     Grid/record/scratch structure matches :func:`_cached_mh_grid`; the
     chain-state scratch holds all walkers, and each iteration performs two
-    sublane-half stretch updates with shared-offset partner rolls."""
+    sublane-half stretch updates with shared-offset partner rolls.
+
+    ``R_chunk``/``resume``: checkpointed-chunk mode with the same bitwise
+    guarantees as the MH kernel — both RNG streams (the per-lane draws
+    and the scalar partner-offset stream) are counter-based on the GLOBAL
+    iteration, and the chain state round-trips f32-exact."""
+    stateful = R_chunk is not None
     sub = tile // _LANES
     half = sub // 2
     shape = (sub, _LANES)
@@ -1074,8 +1225,21 @@ def _cached_ens_grid(spec, plan, y0_key, P, tile, W, L_SEG, n_segs, nits,
                 tot = tot + f(th)
         return tot
 
-    def kernel(seed_ref, off_ref, theta_in, theta_out, chi_out, rsq_out,
-               aic_out, ar_out, lt_s, chi_s, rsq_s, acc_s, lp_s):
+    def kernel(*refs):
+        if stateful and resume:
+            (seed_ref, off_ref, itb_ref, state_in, theta_in, theta_out,
+             chi_out, rsq_out, aic_out, ar_out, state_out,
+             lt_s, chi_s, rsq_s, acc_s, lp_s) = refs
+        elif stateful:
+            (seed_ref, off_ref, itb_ref, theta_in, theta_out,
+             chi_out, rsq_out, aic_out, ar_out, state_out,
+             lt_s, chi_s, rsq_s, acc_s, lp_s) = refs
+            state_in = None
+        else:
+            (seed_ref, off_ref, theta_in, theta_out,
+             chi_out, rsq_out, aic_out, ar_out,
+             lt_s, chi_s, rsq_s, acc_s, lp_s) = refs
+            itb_ref = state_in = state_out = None
         rng = _Rng(shape, seed_ref[0], pl.program_id(0) + off_ref[0], tile)
         # independent scalar stream for the shared partner offsets
         seed_u = seed_ref[0].astype(jnp.uint32)
@@ -1086,6 +1250,14 @@ def _cached_ens_grid(spec, plan, y0_key, P, tile, W, L_SEG, n_segs, nits,
 
         @pl.when(j == 0)
         def _init():
+            if stateful and resume:
+                for p in range(P):
+                    lt_s[p] = state_in[p]
+                chi_s[...] = state_in[P]
+                rsq_s[...] = state_in[P + 1]
+                acc_s[...] = state_in[P + 2]
+                lp_s[...] = state_in[P + 3]
+                return
             theta = [theta_in[p] for p in range(P)]
             chi0, rsq0 = score(theta, shape)
             for p in range(P):
@@ -1097,6 +1269,8 @@ def _cached_ens_grid(spec, plan, y0_key, P, tile, W, L_SEG, n_segs, nits,
                          else jnp.zeros(shape, jnp.float32))
 
         it0 = 1 + j * L_SEG
+        if stateful:
+            it0 = it0 + itb_ref[0]
 
         def half_update(it, lo, carry):
             """Stretch-update sublane rows [lo, lo+half) against the
@@ -1150,6 +1324,9 @@ def _cached_ens_grid(spec, plan, y0_key, P, tile, W, L_SEG, n_segs, nits,
             logtheta, chi, rsq, acc_count, lp = carry
             it = it0 + i
             active = jnp.full(hshape, True) & (it < nits)
+            if stateful:
+                # rows past this CHUNK belong to the next chunk
+                active = active & (j * L_SEG + i < R_chunk)
             c = (logtheta, chi, rsq, acc_count, lp, active)
             c = half_update(it, 0, c)
             c = half_update(it, half, c)
@@ -1172,6 +1349,13 @@ def _cached_ens_grid(spec, plan, y0_key, P, tile, W, L_SEG, n_segs, nits,
         rsq_s[...] = rsq
         acc_s[...] = acc_count
         lp_s[...] = lp
+        if stateful:
+            for p in range(P):
+                state_out[p] = logtheta[p]
+            state_out[P] = chi
+            state_out[P + 1] = rsq
+            state_out[P + 2] = acc_count
+            state_out[P + 3] = lp
 
     n_rows = W // _LANES
 
@@ -1188,16 +1372,26 @@ def _cached_ens_grid(spec, plan, y0_key, P, tile, W, L_SEG, n_segs, nits,
     out_shapes = \
         [jax.ShapeDtypeStruct((padded_R, P, n_rows, _LANES), jnp.float32)] + \
         [jax.ShapeDtypeStruct((padded_R, 1, n_rows, _LANES), jnp.float32)] * 4
+    out_specs = [spec_rec(P)] + [spec_rec(1)] * 4
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),          # seed
+        pl.BlockSpec(memory_space=pltpu.SMEM),          # tile offset
+    ]
+    if stateful:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # it_base
+        if resume:
+            in_specs.append(spec_in(P + 4))             # incoming state
+        out_shapes = out_shapes + [
+            jax.ShapeDtypeStruct((P + 4, n_rows, _LANES), jnp.float32)]
+        out_specs = out_specs + [spec_in(P + 4)]
+    in_specs.append(spec_in(P))                          # theta0
 
     return pl.pallas_call(
         kernel,
         grid=(W // tile, n_segs),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # tile offset
-            spec_in(P),                                  # theta0
-        ],
-        out_specs=[spec_rec(P)] + [spec_rec(1)] * 4,
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((P, sub, _LANES), jnp.float32),

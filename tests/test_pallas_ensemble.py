@@ -136,6 +136,36 @@ def test_mcmc_routes_ensemble_to_fused_kernel():
     assert post["acceptance_ratio"].iloc[-1] > 0
 
 
+def test_ensemble_kill_and_resume_reproduces_uninterrupted_run(
+        gaussian_setup, tmp_path):
+    """Chunked/killed/resumed fused-ensemble run must be bitwise identical
+    to the single dispatch (counter-based RNG on the global iteration,
+    f32-exact state round-trip) — same guarantee as the MH kernel."""
+    spec, obs_host, times, y0, post_mean, _ = gaussian_setup
+    rng = np.random.default_rng(1)
+    th0 = np.exp(post_mean + rng.normal(0, 0.2, (TILE, 1))
+                 ).astype(np.float32)
+    kw = dict(seed=9, nits=25, burnin=6, substeps=1, tile_chains=TILE,
+              interpret=True)
+    ref = ensemble_fused(spec, obs_host, times, y0, th0, **kw)
+    ckpt = str(tmp_path / "ens.npz")
+    out = ensemble_fused(spec, obs_host, times, y0, th0,
+                         checkpoint_every=10, checkpoint_path=ckpt,
+                         _stop_after_chunks=1, **kw)
+    assert out is None
+    assert np.load(ckpt)["next_chunk"] == 1
+    res = ensemble_fused(spec, obs_host, times, y0, th0,
+                         checkpoint_every=10, checkpoint_path=ckpt,
+                         resume_from=ckpt, **kw)
+    for a, b in zip(ref, res):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(ValueError, match="different ensemble"):
+        ensemble_fused(spec, obs_host, times, y0, th0,
+                       checkpoint_every=10, resume_from=ckpt,
+                       **{**kw, "seed": 10})
+
+
 def test_pick_tile_chains():
     from odelib_tpu.ops.pallas_mh import pick_tile_chains
 
