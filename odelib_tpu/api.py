@@ -684,6 +684,35 @@ class ModelFramework:
             out[p] = v.reshape(shp) if shp else float(v[0])
         return out
 
+    def _prior_logpdf_for(self, jdists):
+        """One prior-logpdf closure per distinct prior tuple, cached on
+        the instance: every consumer jit treats prior_logpdf as a static
+        arg hashed by IDENTITY, so a fresh closure per call would retrace
+        and recompile the whole program each time."""
+        cache = getattr(self, "_prior_logpdf_cache2", {})
+        try:
+            if jdists in cache:
+                return cache[jdists]
+            hashable = True
+        except TypeError:
+            # user-built Distribution with device-array hyperparameters;
+            # still works, just uncached (recompiles per call)
+            hashable = False
+        spec = self._spec
+
+        def prior_logpdf(theta):
+            ps_ = spec.unpack_theta(theta)
+            tot = 0.0
+            for d, v in zip(jdists, ps_):
+                if d is not None:
+                    tot = tot + jnp.sum(d.logpdf(v))
+            return tot
+
+        if hashable:
+            cache[jdists] = prior_logpdf
+            self._prior_logpdf_cache2 = cache
+        return prior_logpdf
+
     def fit_map(self, starts=64, steps=500, learning_rate=0.05,
                 use_priors=False, static_parameters=(), set_best=True,
                 **solver_kw) -> pd.DataFrame:
@@ -716,18 +745,10 @@ class ModelFramework:
             solver_kw, len(self._times_fit) - 1)
         prior_logpdf = None
         if use_priors:
-            jdists = tuple(self.parameters[p].jdist
-                           if self.parameters[p] is not None else None
-                           for p in self._pnames)
-            spec = self._spec
-
-            def prior_logpdf(theta):
-                ps_ = spec.unpack_theta(theta)
-                tot = 0.0
-                for d, v in zip(jdists, ps_):
-                    if d is not None:
-                        tot = tot + jnp.sum(d.logpdf(v))
-                return tot
+            prior_logpdf = self._prior_logpdf_for(tuple(
+                self.parameters[p].jdist
+                if self.parameters[p] is not None else None
+                for p in self._pnames))
 
         dtype = jnp.result_type(float)
         res = map_fit(self._spec, self._obsdata_fit,
@@ -890,18 +911,10 @@ class ModelFramework:
 
         prior_logpdf = None
         if use_priors:
-            jdists = tuple(self.parameters[p].jdist
-                           if self.parameters[p] is not None else None
-                           for p in self._pnames)
-            spec = self._spec
-
-            def prior_logpdf(theta):
-                ps_ = spec.unpack_theta(theta)
-                tot = 0.0
-                for d, v in zip(jdists, ps_):
-                    if d is not None:
-                        tot = tot + jnp.sum(d.logpdf(v))
-                return tot
+            prior_logpdf = self._prior_logpdf_for(tuple(
+                self.parameters[p].jdist
+                if self.parameters[p] is not None else None
+                for p in self._pnames))
 
         method, _, _, _, substeps = self._solver_args(
             solver_kw, len(self._times_fit) - 1)
@@ -925,17 +938,21 @@ class ModelFramework:
 
         def crossing(idx_order):
             """Interpolated grid value where the profile crosses thresh,
-            walking outward from the minimum; NaN if never crossed."""
+            walking outward from the minimum; NaN if never crossed.
+            A non-finite profile point (every re-optimization start
+            diverged there) is NOT a crossing — chi at that value is
+            unknown, not known to exceed the threshold — so the side
+            stays unbounded/NaN."""
             below = prof <= thresh
             j_min = int(np.argmin(prof))
             prev = j_min
             for j in idx_order:
                 if not below[j]:
+                    if not np.isfinite(prof[j]):
+                        return np.nan
                     # linear interpolation in log-grid space
                     x0, x1 = np.log(grid[prev]), np.log(grid[j])
                     y0, y1 = prof[prev], prof[j]
-                    if not np.isfinite(y1):
-                        return float(grid[prev])
                     t = (thresh - y0) / max(y1 - y0, 1e-300)
                     return float(np.exp(x0 + t * (x1 - x0)))
                 prev = j
@@ -1005,19 +1022,18 @@ class ModelFramework:
         if any(s for s in self._spec.pshapes):
             raise ValueError("model_evidence supports scalar parameters "
                              "only")
-        spec = self._spec
-
-        def prior_logpdf(theta):
-            ps_ = spec.unpack_theta(theta)
-            tot = 0.0
-            for d, v in zip(jdists, ps_):
-                if d is not None:
-                    tot = tot + jnp.sum(d.logpdf(v))
-            return tot
+        prior_logpdf = self._prior_logpdf_for(jdists)
 
         mask = np.asarray([0.0 if d is None else 1.0 for d in jdists])
         ps = self._lhs_samples(particles)
-        theta0 = np.asarray(self._theta_from_df(ps))
+        theta0 = np.array(self._theta_from_df(ps), float)  # writable copy
+        # static parameters (and any dim without a prior) are CONDITIONED
+        # on, not marginalized: pin them to the current values so the
+        # returned evidence matches the docstring's "hold them fixed"
+        cur = np.asarray(self._current_theta(), float)
+        for i, d in enumerate(jdists):
+            if d is None:
+                theta0[:, i] = cur[i]
         method, rtol, atol, max_steps, substeps = self._solver_args(
             solver_kw, len(self._times_fit) - 1)
         dtype = jnp.result_type(float)
@@ -1729,24 +1745,7 @@ class ModelFramework:
             jdists = tuple(self.parameters[p].jdist
                            if self.parameters[p] is not None else None
                            for p in self._pnames)
-            # the sampler jit treats prior_logpdf as a static arg (hashed by
-            # identity) — reuse one closure per distinct prior tuple so
-            # repeat MCMC(use_priors=True) calls don't recompile the chains
-            cached = getattr(self, "_prior_logpdf_cache", None)
-            if cached is not None and cached[0] == jdists:
-                prior_logpdf = cached[1]
-            else:
-                spec = self._spec
-
-                def prior_logpdf(theta):
-                    ps = spec.unpack_theta(theta)
-                    tot = 0.0
-                    for d, v in zip(jdists, ps):
-                        if d is not None:
-                            tot = tot + jnp.sum(d.logpdf(v))
-                    return tot
-
-                self._prior_logpdf_cache = (jdists, prior_logpdf)
+            prior_logpdf = self._prior_logpdf_for(jdists)
 
         dtype = jnp.result_type(float)
 
@@ -1850,9 +1849,12 @@ class ModelFramework:
                     max_steps=max_steps, substeps=substeps)
             elif backend == "ensemble":
                 from .samplers import ensemble_mh
-                if n_padded % 2:  # walker count must be even
-                    n_padded += 1
-                    th0 = np.concatenate([th0, th0[-1:]])
+                # the ensemble needs an even count of >= 4 walkers
+                target = max(4, n_padded + (n_padded % 2))
+                if target > n_padded:
+                    th0 = np.concatenate(
+                        [th0, np.tile(th0[-1:], (target - n_padded, 1))])
+                    n_padded = target
                 out = ensemble_mh(
                     self._spec, self._obsdata_fit,
                     jnp.asarray(self._times_fit, dtype),

@@ -101,19 +101,24 @@ class JointFit:
 
     def _device_args(self, solver_kw):
         dtype = jnp.result_type(float)
-        specs, idxs, obs, times, y0s = [], [], [], [], []
+        specs, idxs, obs, times, y0s, subs = [], [], [], [], [], []
+        method = None
         for nm, fw in self.frameworks.items():
             specs.append(fw._spec)
             idxs.append(self._idx_maps[nm])
             obs.append(fw._obsdata_fit)
             times.append(jnp.asarray(fw._times_fit, dtype))
             y0s.append(jnp.asarray(fw.get_inits(), dtype))
-        first = next(iter(self.frameworks.values()))
-        method, _, _, _, substeps = first._solver_args(
-            solver_kw, len(first._times_fit) - 1)
+            # substeps resolve PER FRAMEWORK: grids (and any calibrated
+            # 'auto' schedules) differ between experiments
+            m, _, _, _, sub = fw._solver_args(
+                solver_kw, len(fw._times_fit) - 1)
+            subs.append(sub)
+            if method is None:
+                method = m
         method = "rk4" if method == "rk4" else "fixed_dopri5"
         return (tuple(specs), tuple(idxs), tuple(obs), tuple(times),
-                tuple(y0s), method, substeps)
+                tuple(y0s), method, tuple(subs))
 
     def fit_survey(self, samples=1000, **solver_kw) -> pd.DataFrame:
         """LHS over the joint priors -> DataFrame[columns..., chi]."""
@@ -128,12 +133,12 @@ class JointFit:
             draws = np.asarray(sample_lhs(
                 key, [dists[j] for j in draw_dims], samples))
             thetas[:, draw_dims] = draws
-        specs, idxs, obs, times, y0s, method, substeps = \
+        specs, idxs, obs, times, y0s, method, subs = \
             self._device_args(solver_kw)
         chis = np.asarray(joint_survey(
             specs, idxs, obs, times, y0s,
             jnp.asarray(thetas, jnp.result_type(float)),
-            method=method, substeps=substeps))
+            method=method, substeps_list=subs))
         df = pd.DataFrame(thetas, columns=self.columns)
         df["chi"] = np.where(np.isfinite(chis), chis, np.nan)
         return df
@@ -182,7 +187,7 @@ class JointFit:
                         tot = tot + d.logpdf(theta[j])
                 return tot
 
-        specs, idxs, obs, times, y0s, method, substeps = \
+        specs, idxs, obs, times, y0s, method, subs = \
             self._device_args(solver_kw)
         dtype = jnp.result_type(float)
         base_key = jax.random.PRNGKey(self.random_seed)
@@ -194,7 +199,8 @@ class JointFit:
             nits=nits, burnin=int(burnin),
             walk_mask=jnp.asarray(mask, dtype),
             rwalk_std=float(rwalk_std), prior_logpdf=prior_logpdf,
-            use_priors=bool(use_priors), method=method, substeps=substeps)
+            use_priors=bool(use_priors), method=method,
+            substeps_list=subs)
 
         theta = np.asarray(out.theta)        # (C, R, D)
         C, R, D = theta.shape

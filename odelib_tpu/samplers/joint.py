@@ -47,10 +47,10 @@ class _Carry(NamedTuple):
 
 @partial(jax.jit, static_argnames=(
     "specs", "idx_maps", "nits", "burnin", "rwalk_std", "prior_logpdf",
-    "use_priors", "method", "substeps"))
+    "use_priors", "method", "substeps_list"))
 def _joint_impl(specs, idx_maps, obs_list, times_list, y0_list, theta0,
                 keys, walk_mask, *, nits, burnin, rwalk_std, prior_logpdf,
-                use_priors, method, substeps):
+                use_priors, method, substeps_list):
     K = len(specs)
 
     def total_chi(theta_joint):
@@ -59,7 +59,7 @@ def _joint_impl(specs, idx_maps, obs_list, times_list, y0_list, theta0,
             th_k = jnp.take(theta_joint, jnp.asarray(idx_maps[k]))
             parts.append(chi_of_theta(
                 specs[k], obs_list[k], th_k, y0_list[k], times_list[k],
-                method=method, substeps=substeps))
+                method=method, substeps=substeps_list[k]))
         parts = jnp.stack(parts)
         return jnp.sum(parts), parts
 
@@ -97,11 +97,37 @@ def _joint_impl(specs, idx_maps, obs_list, times_list, y0_list, theta0,
     return jax.vmap(one_chain)(theta0, keys)
 
 
+def _normalize_idx_maps(specs, idx_maps, D):
+    """Hashable, range-checked per-experiment gather maps."""
+    idx_maps = tuple(tuple(int(i) for i in m) for m in idx_maps)
+    for s, m in zip(specs, idx_maps):
+        if len(m) != s.theta_size:
+            raise ValueError(f"idx map length {len(m)} != spec theta size "
+                             f"{s.theta_size}")
+        if any(i < 0 or i >= D for i in m):
+            raise ValueError(f"idx map {m} out of range for joint size {D}")
+    return idx_maps
+
+
+def _normalize_substeps_list(substeps, substeps_list, K):
+    """Static per-experiment substeps: ``substeps_list`` (length K, one
+    int or per-interval schedule per experiment) wins; else the shared
+    ``substeps`` is broadcast."""
+    if substeps_list is not None:
+        if len(substeps_list) != K:
+            raise ValueError(f"substeps_list must have {K} entries, got "
+                             f"{len(substeps_list)}")
+        return tuple(s if isinstance(s, int) else tuple(int(v) for v in s)
+                     for s in substeps_list)
+    one = substeps if isinstance(substeps, (int, tuple)) \
+        else tuple(int(v) for v in substeps)
+    return tuple([one] * K)
+
+
 @partial(jax.jit, static_argnames=("specs", "idx_maps", "method",
-                                   "substeps"))
-def joint_survey(specs, idx_maps, obs_list, times_list, y0_list,
-                 thetas, *, method: str = "fixed_dopri5", substeps=4):
-    """Batched joint chi for (N, D) joint draws -> (N,) total chi."""
+                                   "substeps_list"))
+def _joint_survey_impl(specs, idx_maps, obs_list, times_list, y0_list,
+                       thetas, *, method, substeps_list):
     K = len(specs)
 
     def one(theta_joint):
@@ -110,10 +136,26 @@ def joint_survey(specs, idx_maps, obs_list, times_list, y0_list,
             th_k = jnp.take(theta_joint, jnp.asarray(idx_maps[k]))
             tot = tot + chi_of_theta(
                 specs[k], obs_list[k], th_k, y0_list[k], times_list[k],
-                method=method, substeps=substeps)
+                method=method, substeps=substeps_list[k])
         return tot
 
     return jax.vmap(one)(thetas)
+
+
+def joint_survey(specs, idx_maps, obs_list, times_list, y0_list,
+                 thetas, *, method: str = "fixed_dopri5", substeps=4,
+                 substeps_list=None):
+    """Batched joint chi for (N, D) joint draws -> (N,) total chi.
+    ``substeps`` is shared across experiments; ``substeps_list`` gives
+    one entry per experiment (int or per-interval schedule) and wins."""
+    specs = tuple(specs)
+    thetas = jnp.atleast_2d(thetas)
+    idx_maps = _normalize_idx_maps(specs, idx_maps, thetas.shape[-1])
+    return _joint_survey_impl(
+        specs, idx_maps, tuple(obs_list), tuple(times_list),
+        tuple(y0_list), thetas, method=method,
+        substeps_list=_normalize_substeps_list(substeps, substeps_list,
+                                               len(specs)))
 
 
 def joint_metropolis_hastings(
@@ -122,7 +164,8 @@ def joint_metropolis_hastings(
         nits: int = 1000, burnin: Optional[int] = None,
         walk_mask=None, rwalk_std: float = 0.05,
         prior_logpdf=None, use_priors: bool = False,
-        method: str = "fixed_dopri5", substeps=4) -> JointOutput:
+        method: str = "fixed_dopri5", substeps=4,
+        substeps_list=None) -> JointOutput:
     """Run C joint chains over K experiments as one device program.
 
     ``idx_maps[k]``: for experiment k, the joint-theta index of each of
@@ -144,13 +187,7 @@ def joint_metropolis_hastings(
     if use_priors and prior_logpdf is None:
         raise ValueError("use_priors=True requires prior_logpdf")
     specs = tuple(specs)
-    idx_maps = tuple(tuple(int(i) for i in m) for m in idx_maps)
-    for s, m in zip(specs, idx_maps):
-        if len(m) != s.theta_size:
-            raise ValueError(f"idx map length {len(m)} != spec theta size "
-                             f"{s.theta_size}")
-        if any(i < 0 or i >= D for i in m):
-            raise ValueError(f"idx map {m} out of range for joint size {D}")
+    idx_maps = _normalize_idx_maps(specs, idx_maps, D)
 
     theta_s, chi_s, parts_s, ar_s = _joint_impl(
         specs, idx_maps, tuple(obs_list), tuple(times_list),
@@ -158,7 +195,8 @@ def joint_metropolis_hastings(
         nits=int(nits), burnin=int(burnin), rwalk_std=float(rwalk_std),
         prior_logpdf=prior_logpdf, use_priors=bool(use_priors),
         method=method,
-        substeps=substeps if isinstance(substeps, tuple) else int(substeps))
+        substeps_list=_normalize_substeps_list(substeps, substeps_list,
+                                               len(specs)))
     iterations = jnp.arange(1, nits)[burnin:]
     return JointOutput(theta=theta_s, chi=chi_s, chi_parts=parts_s,
                        acceptance_ratio=ar_s, iteration=iterations)

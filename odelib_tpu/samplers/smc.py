@@ -194,6 +194,16 @@ def smc_sample(
     betas, accs = [0.0], []
     for _ in range(int(max_stages)):
         chi_h = np.asarray(chi, np.float64)
+        n_fin = int(np.isfinite(chi_h).sum())
+        if n_fin < 8:
+            # fail like MCMC's pre-survey does, not deep in LAPACK with
+            # an all-NaN particle covariance / NaN evidence
+            raise ValueError(
+                f"SMC population collapsed: only {n_fin}/{N} particles "
+                f"have finite chi at beta={beta:.4f}. Try: \n"
+                " 1. Narrower/better-centred priors \n"
+                " 2. More particles \n"
+                " 3. A stiffer solver method for this model")
         new_beta = _next_beta(chi_h, beta, float(ess_target))
         d = new_beta - beta
         # evidence increment: log mean of incremental weights (equal

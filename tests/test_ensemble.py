@@ -158,6 +158,20 @@ def test_ensemble_validation(gaussian_problem):
                     method="fixed_dopri5", substeps=1)
 
 
+def test_mcmc_sampler_ensemble_tiny_chain_count():
+    """chain_inits below the 4-walker minimum must be padded up, not
+    crash with a walker-count error."""
+    from helpers import demo_df
+    from odelib_tpu import models
+
+    mf = models.get("zero_i").framework(demo_df(), t_steps=288)
+    post = mf.MCMC(chain_inits=1, iterations_per_chain=30,
+                   fitsurvey_samples=64, sd_fitdistance=6.0,
+                   print_report=False, sampler="ensemble")
+    assert len(post) == 1 * 14          # only the requested chain returned
+    assert np.isfinite(post["chi"]).all()
+
+
 def test_mcmc_sampler_ensemble_end_to_end():
     from helpers import demo_df
     from odelib_tpu import models

@@ -159,6 +159,20 @@ def test_model_evidence_api_and_bayes_factor():
         f"model {res2['log_evidence']:.1f}")
 
 
+def test_model_evidence_conditions_on_static_parameters():
+    """static_parameters must be pinned at their CURRENT value, not drawn
+    from their prior — the evidence is conditioned, not marginalized."""
+    from helpers import synthetic_df
+    from odelib_tpu import models
+
+    mf = models.get("zero_i").framework(synthetic_df(), t_steps=288)
+    mf.set_parameters(mu=0.55)
+    res = mf.model_evidence(particles=128, n_moves=2,
+                            static_parameters=["mu"], print_report=False)
+    mu_col = res["posterior"]["mu"].to_numpy()
+    np.testing.assert_allclose(mu_col, 0.55, rtol=1e-6)
+
+
 def test_model_evidence_requires_priors():
     from helpers import synthetic_df
     from odelib_tpu import models
