@@ -355,6 +355,50 @@ ax = prof['profile'].plot(x='value', y='chi', logx=True, legend=False,
 ax.axhline(prof['threshold'], color='r', ls='--', lw=1)
 plt.show()"""),
     (M, """\
+# Joint fitting across experiments
+
+Real studies repeat the experiment. `JointFit` ties mechanistic
+constants across several datasets (each its own `ModelFramework`) and
+samples the joint posterior with every experiment's solve fused into one
+device program — here a second synthetic infection run with a 3x higher
+viral inoculum, sharing `phi` and `beta` while each arm keeps its own
+`mu`. Pooling both experiments tightens the shared parameters:"""),
+    (C, """\
+# synthesize the replicate from the zero_i best fit with V0 x3
+zeroI.set_best_params(posterior)
+rep = zeroI.copy()
+best = {p: float(np.asarray(rep.parameters[p].val))
+        for p in ('mu', 'phi', 'beta')}
+from scipy.integrate import odeint as _odeint
+rng2 = np.random.default_rng(7)
+t2 = np.arange(0.0, 3.2, 0.2)
+y2 = _odeint(lambda y, t: [best['mu']*y[0] - best['phi']*y[0]*y[1],
+                           best['beta']*best['phi']*y[0]*y[1]
+                           - best['phi']*y[0]*y[1]],
+             [5.2e6, 3.3e7], t2)
+rows2 = [{'organism': o, 'time': t,
+          'abundance': max(v, 1.0) * np.exp(rng2.normal(0, 0.15)),
+          'log_sigma': 0.15}
+         for o, col in (('S', 0), ('V', 1)) for t, v in zip(t2, y2[:, col])]
+df2 = pd.DataFrame(rows2)
+zeroI2 = ModelFramework(ODE=zero_i, parameter_names=['mu', 'phi', 'beta'],
+                        state_names=['S', 'V'], dataframe=df2,
+                        mu=parameter(scipy.stats.lognorm, {'s': 3, 'scale': 1e-8}, random_seed=13),
+                        phi=parameter(scipy.stats.lognorm, {'s': 3, 'scale': 1e-8}, random_seed=14),
+                        beta=parameter(scipy.stats.lognorm, {'s': 1, 'scale': 20}, random_seed=15),
+                        t_steps=288, random_seed=9)
+
+jf = odelib_tpu.JointFit({'run1': zeroI, 'run2': zeroI2},
+                         shared=['phi', 'beta'])
+post_joint = jf.MCMC(chain_inits=N_CHAINS, iterations_per_chain=N_ITERS,
+                     fitsurvey_samples=N_SURVEY, print_report=False)
+import pandas as _pd
+_pd.DataFrame({
+    'phi std (single)': [np.log(posterior['phi']).std()],
+    'phi std (joint)': [np.log(post_joint['phi']).std()],
+    'beta std (single)': [np.log(posterior['beta']).std()],
+    'beta std (joint)': [np.log(post_joint['beta']).std()]}).round(3)"""),
+    (M, """\
 # Scaling out
 
 Everything above also runs (a) **fused on a real TPU chip** — `MCMC`
