@@ -430,6 +430,97 @@ def config7_hmc_ess(base):
             "vs_baseline": None}
 
 
+def config7b_hmc_hard(base):
+    """HMC vs MH where gradients should pay: the demo's own hardest shape
+    (`one_i` + summation H=S+I1 + all three `<sname>0` init-parameters =
+    7 correlated dimensions, demo cell 29) with prior-aware acceptance
+    (the init-parameter dims are likelihood-flat, so the posterior is
+    only proper with priors — both samplers get them). Settings are each
+    sampler's best: MH at the reference's rwalk_std=0.05; HMC at the
+    fixed-length optimum target_accept=0.65, n_leapfrog=4, cross-chain
+    mass adaptation, burnin=nits//4 (VERDICT r3 task 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from hmc_hard import build_hard_problem, seed_chains
+
+    from odelib_tpu.samplers import hamiltonian_mc, metropolis_hastings
+    from odelib_tpu.utils.diagnostics import effective_sample_size
+
+    fw = build_hard_problem()
+    on_tpu = jax.default_backend() not in ("cpu",)
+    C = 512 if on_tpu else 32
+    NITS_H, NITS_M = (8192, 131072) if on_tpu else (96, 512)
+    th0 = jnp.asarray(seed_chains(fw, C))
+    keys = jax.random.split(jax.random.PRNGKey(0), C)
+    spec, obs = fw._spec, fw._obsdata_fit
+    times_d = jnp.asarray(fw._times_fit, jnp.float32)
+    y0_d = jnp.asarray(fw.get_inits(), jnp.float32)
+    pn = fw.get_pnames()
+    plp = fw._prior_logpdf_for(tuple(fw.parameters[p].jdist for p in pn))
+
+    def run_hmc():
+        out = hamiltonian_mc(spec, obs, times_d, y0_d, th0, keys,
+                             nits=NITS_H, burnin=NITS_H // 4,
+                             n_leapfrog=4, step_size=0.02,
+                             target_accept=0.65, substeps=4,
+                             prior_logpdf=plp, use_priors=True)
+        _sync(out.chi[-1:, -1:])
+        return out
+
+    def run_mh():
+        out = metropolis_hastings(spec, obs, times_d, y0_d, th0, keys,
+                                  nits=NITS_M, burnin=NITS_M // 2,
+                                  method="fixed_dopri5", substeps=4,
+                                  prior_logpdf=plp, use_priors=True)
+        _sync(out.chi[-1:, -1:])
+        return out
+
+    out_h = run_hmc()
+    t_h = _timed(run_hmc, reps=3)
+    out_m = run_mh()
+    t_m = _timed(run_mh, reps=3)
+
+    def stats(out):
+        th = np.log(np.asarray(out.theta))
+        ess = min(effective_sample_size(th[:, :, p])
+                  for p in range(th.shape[-1]))
+        h = th.shape[1] // 2
+        # split R-hat per parameter, worst case
+        rhats = []
+        for p in range(th.shape[-1]):
+            x = np.concatenate([th[:, :h, p], th[:, h:2 * h, p]], 0)
+            Wp = x.var(axis=1, ddof=1).mean()
+            Bp = x.mean(axis=1).var(ddof=1) * h
+            rhats.append(float(np.sqrt(((h - 1) / h * Wp + Bp / h) / Wp)))
+        return ess, max(rhats)
+
+    ess_h, rh_h = stats(out_h)
+    ess_m, rh_m = stats(out_m)
+    hmc_rate, mh_rate = ess_h / t_h, ess_m / t_m
+    return {"config": "7b",
+            "metric": "HMC vs random-walk MH on the HARD demo posterior "
+                      "(one_i + summation + init-params, 7 correlated "
+                      "dims, prior-aware): min-over-parameters effective "
+                      "samples/sec",
+            "value": round(hmc_rate, 1), "unit": "ESS/sec (HMC)",
+            "mh_ess_per_s": round(mh_rate, 1),
+            "hmc_over_mh": round(hmc_rate / mh_rate, 2) if mh_rate else None,
+            "hmc": {"chains": C, "nits": NITS_H, "elapsed_s": round(t_h, 3),
+                    "min_ess": round(ess_h, 1), "max_rhat": round(rh_h, 3),
+                    "n_leapfrog": 4, "target_accept": 0.65},
+            "mh": {"chains": C, "nits": NITS_M, "elapsed_s": round(t_m, 3),
+                   "min_ess": round(ess_m, 1), "max_rhat": round(rh_m, 3),
+                   "rwalk_std": 0.05},
+            "note": "capability row - the reference has no gradient-based "
+                    "sampler at any speed; vs_baseline not defined. "
+                    "Companion to config 7: on the tiny 3-param posterior "
+                    "(config 7) raw MH iteration rate wins; here the "
+                    "7-dim correlated geometry flips it",
+            "vs_baseline": None}
+
+
 def config8_fused_ensemble(base):
     """Fused affine-invariant ensemble vs fused random-walk MH at equal
     device budget: raw chain-steps/sec (the kernels should be at parity —
@@ -506,6 +597,7 @@ def main():
         config5_stiff_and_aic(base),
         config6_stiff_mcmc(base),
         config7_hmc_ess(base),
+        config7b_hmc_hard(base),
         config8_fused_ensemble(base),
     ]
     for r in results:

@@ -228,6 +228,26 @@ def kernel_priors_supported(priors) -> bool:
     return all(d is None or _kernel_logpdf(d) is not None for d in priors)
 
 
+@lru_cache(maxsize=1)
+def mosaic_supported() -> bool:
+    """True when the default jax backend can compile AND run a trivial
+    Pallas kernel. ``ModelFramework.MCMC(backend='auto')`` probes this
+    (once; cached) instead of denylisting platform names, so an unknown
+    PJRT plugin without Mosaic support falls back to the XLA sampler
+    rather than crashing inside ``pallas_call``.
+    """
+    try:
+        def k(x_ref, o_ref):
+            o_ref[...] = x_ref[...] + 1.0
+
+        x = jnp.zeros((_DEF_SUB, _LANES), jnp.float32)
+        out = pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)
+        return bool(np.asarray(out)[0, 0] == 1.0)
+    except Exception:
+        return False
+
+
 def _static_prior(d):
     """Rebuild a prior with plain-float fields.
 
@@ -305,16 +325,67 @@ def _build_plan(spec: ModelSpec, obs: ObsData, times, substeps):
                        n_grid=len(times))
 
 
+def _assemble_params(spec: ModelSpec, theta_list):
+    """Per-parameter values for the RHS from flat per-slot tiles: scalars
+    pass through; array parameters are stacked to ``shp + tile_shape`` so
+    elementwise indexing works exactly like on the stacked state vector."""
+    ps = []
+    for off, shp in zip(spec.theta_offsets, spec.pshapes):
+        if shp:
+            n = int(np.prod(shp))
+            tiles = jnp.stack(theta_list[off:off + n])
+            ps.append(tiles.reshape(shp + tiles.shape[1:]))
+        else:
+            ps.append(theta_list[off])
+    return ps
+
+
+@lru_cache(maxsize=256)
+def rhs_supports_tiles(spec: ModelSpec) -> bool:
+    """True when the model RHS traces in the kernel's tiled layout.
+
+    Scalar-parameter RHSs always do (each parameter/state is a (sub, 128)
+    tile and the RHS is elementwise in them). An ARRAY parameter is handed
+    to the RHS as a ``shp + tile_shape`` stack, which supports elementwise
+    indexing (``ps[2][0] * y[1]``) but not linear algebra on the parameter
+    (``ps[2] @ y``); this probe abstract-traces the RHS once (cached per
+    spec) so ``backend='auto'`` can route such models to the XLA sampler
+    instead of failing inside kernel tracing."""
+    if not any(s for s in spec.pshapes):
+        return True
+    try:
+        shape = (1, 2)
+        theta_list = [jnp.zeros(shape, jnp.float32)
+                      for _ in range(spec.theta_size)]
+
+        def f(y, *tl):
+            return jnp.stack(list(spec.rhs(
+                0.0, y, _assemble_params(spec, list(tl)))))
+
+        y = jnp.zeros((len(spec.snames),) + shape, jnp.float32)
+        out = jax.eval_shape(f, y, *theta_list)
+        return tuple(out.shape) == (len(spec.snames),) + shape
+    except Exception:
+        return False
+
+
 def _make_scorer(spec: ModelSpec, plan: _StaticPlan, y0_base, stepper):
     """Returns score(theta_list) -> (chi, rsq): integrate + score, fully
     unrolled with static obs contributions (the plan's step list already
-    encodes the — possibly non-uniform — substep schedule)."""
+    encodes the — possibly non-uniform — substep schedule).
+
+    ``theta_list`` holds one (sub, 128) tile per FLAT theta slot
+    (``spec.theta_size`` entries). Array-valued parameters are reassembled
+    for the RHS by stacking their slot tiles to shape ``shp + tile_shape``
+    — the user RHS indexes them elementwise exactly as it indexes the
+    stacked state vector, so any reference-style RHS works unchanged."""
     y0_base = tuple(float(v) for v in np.asarray(y0_base))
     S = len(spec.snames)
     init_pidx = spec.init_pidx
 
-    def rhs(t, y, ps):
-        return jnp.stack(list(spec.rhs(t, y, ps)))
+    def rhs(t, y, theta_list):
+        return jnp.stack(list(spec.rhs(t, y,
+                                       _assemble_params(spec, theta_list))))
 
     def contrib(y, gi, chi, ssres):
         for mem, lab, lsig, ab in plan.obs_after[gi]:
@@ -380,10 +451,15 @@ def metropolis_hastings_fused(
         _rec_cap: Optional[int] = None):
     """Run C chains of reference-semantics MH fully inside a Pallas kernel.
 
-    theta0: (C, P) float32 (C padded to a multiple of tile_chains
-    internally). Returns the same record structure as the XLA sampler:
+    theta0: (C, P) float32, P = ``spec.theta_size`` FLAT slots — array
+    parameters contribute one slot per entry and are reassembled inside
+    the kernel (C padded to a multiple of tile_chains internally).
+    Returns the same record structure as the XLA sampler:
     (theta (C, R, P), chi, rsq, aic, acc_ratio (C, R), iteration (R,)).
-    Scalar parameters only (array-valued params use the XLA path).
+    ``priors``/``walk_mask`` are per-SLOT (the caller expands
+    per-parameter priors; zero-template entries of array parameters must
+    get prior None — they pin at 0 under the log-space walk and a
+    positive-support logpdf there would poison the acceptance ratio).
 
     ``mesh``: optional 1-D chain :class:`jax.sharding.Mesh` — the kernel is
     wrapped in ``shard_map`` with the chain axis sharded, each device running
@@ -393,9 +469,7 @@ def metropolis_hastings_fused(
     """
     if burnin is None:
         burnin = int(nits / 2)
-    P = len(spec.pnames)
-    if any(s for s in spec.pshapes):
-        raise ValueError("pallas MH path supports scalar parameters only")
+    P = spec.theta_size
     theta0 = np.asarray(theta0, np.float32)
     C0 = theta0.shape[0]
     n_dev = 1 if mesh is None else int(mesh.devices.size)
@@ -448,7 +522,7 @@ def metropolis_hastings_fused(
     if priors is not None:
         priors = tuple(priors)
         if len(priors) != P:
-            raise ValueError(f"priors must have one entry per parameter "
+            raise ValueError(f"priors must have one entry per theta slot "
                              f"({P}), got {len(priors)}")
         if not kernel_priors_supported(priors):
             raise ValueError(
@@ -903,14 +977,12 @@ def ensemble_fused(
 
     Cost per iteration per walker equals the fused MH kernel (two
     half-tile solves = one full-tile solve). Same record layout/returns
-    as :func:`metropolis_hastings_fused`. Scalar parameters only.
+    as :func:`metropolis_hastings_fused` (flat per-slot theta layout;
+    array parameters supported the same way).
     """
     if burnin is None:
         burnin = int(nits / 2)
-    P = len(spec.pnames)
-    if any(s for s in spec.pshapes):
-        raise ValueError("pallas ensemble path supports scalar parameters "
-                         "only")
+    P = spec.theta_size
     if a <= 1.0:
         raise ValueError(f"stretch scale a must exceed 1, got {a}")
     theta0 = np.asarray(theta0, np.float32)
@@ -966,7 +1038,7 @@ def ensemble_fused(
     if priors is not None:
         priors = tuple(priors)
         if len(priors) != P:
-            raise ValueError(f"priors must have one entry per parameter "
+            raise ValueError(f"priors must have one entry per theta slot "
                              f"({P}), got {len(priors)}")
         if not kernel_priors_supported(priors):
             raise ValueError(
@@ -1410,8 +1482,9 @@ def survey_fused(spec: ModelSpec, obs: ObsData, times, y0_base, thetas, *,
                  substeps: int = 4, stepper: str = "dopri5",
                  tile_chains: Optional[int] = None, interpret: bool = False):
     """Batched chi evaluation in one kernel (fused fit_survey) — also the
-    parity oracle for the MH kernel's in-loop scorer."""
-    P = len(spec.pnames)
+    parity oracle for the MH kernel's in-loop scorer. ``thetas`` is
+    (N, spec.theta_size) flat slots (array parameters raveled)."""
+    P = spec.theta_size
     thetas = np.asarray(thetas, np.float32)
     N0 = thetas.shape[0]
     if tile_chains is None:

@@ -93,9 +93,13 @@ def _amh_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
             z = jnp.where(accept, prop, carry.log_theta)
             if adapting:
                 n = carry.n + 1.0
-                d = z - carry.mean
+                # masked dims (static params; zero-template entries of
+                # array params sit at log(0) = -inf) are excluded from the
+                # covariance history — -inf would NaN-poison M2
+                zm = jnp.where(walk_mask > 0, z, 0.0)
+                d = zm - carry.mean
                 mean = carry.mean + d / n
-                M2 = carry.M2 + jnp.outer(d, z - mean)
+                M2 = carry.M2 + jnp.outer(d, zm - mean)
             else:
                 n, mean, M2 = carry.n, carry.mean, carry.M2
             new = _Carry(
@@ -118,7 +122,8 @@ def _amh_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
         z0 = jnp.log(th0)
         carry = _Carry(log_theta=z0, chi=chi0, rsq=rsq0, aic=aic0,
                        acc_count=jnp.asarray(0.0, th0.dtype), key=key,
-                       mean=z0, M2=jnp.zeros((P, P), th0.dtype),
+                       mean=jnp.where(walk_mask > 0, z0, 0.0),
+                       M2=jnp.zeros((P, P), th0.dtype),
                        n=jnp.asarray(0.0, th0.dtype))
         its = jnp.arange(1, nits, dtype=th0.dtype)
         # adaptation runs only during burn-in; the recorded phase uses the

@@ -83,7 +83,11 @@ def _ensemble_impl(spec, obs, times, y0_base, theta0, key, walk_mask, *,
         partner = comp[j]                         # (H, P) gather
         z = _stretch_z(k_z, (H,), a, cur.dtype)   # (H,)
         # Y = X + (1 - z)(partner - X), restricted to walked dims
-        prop = cur + (1.0 - z)[:, None] * (partner - cur) * walk_mask[None]
+        # where() not *mask: masked dims of array params sit at
+        # log(0) = -inf and (partner - cur) there is NaN; NaN*0 = NaN
+        prop = jnp.where(walk_mask[None] > 0,
+                         cur + (1.0 - z)[:, None] * (partner - cur),
+                         cur)
         chi_n, rsq_n, aic_n, lp_n = batch_metrics(prop)
 
         cur_chi = jax.lax.dynamic_slice_in_dim(carry.chi, lo, H)
@@ -138,7 +142,7 @@ def ensemble_mh(
         walk_mask=None, init_jitter: float = 0.01,
         prior_logpdf=None, use_priors: bool = False,
         method: str = "dopri5", rtol: float = 1e-6, atol: float = 1e-4,
-        max_steps: int = 4096, substeps=4) -> MHOutput:
+        max_steps: int = 4096, substeps=4, mesh=None) -> MHOutput:
     """Run one W-walker affine-invariant ensemble; returns MHOutput with
     the walker axis in the chains slot — drop-in for the posterior
     DataFrame machinery.
@@ -157,6 +161,14 @@ def ensemble_mh(
         starts are collinear in some walked direction can never leave that
         subspace (moves are affine combinations of walker positions).
         Set 0.0 to disable.
+    mesh : optional 1-D chain :class:`jax.sharding.Mesh`. Stretch moves
+        couple walkers, so cross-device partner gathers would put a
+        collective in the hot loop; instead each device runs an
+        INDEPENDENT ensemble over its walker shard (zero collectives —
+        the same layout as the fused kernel's per-tile ensembles,
+        ops/pallas_mh.ensemble_fused). Walkers pad up so every device
+        hosts an even ensemble of >= 4; padding rows are dropped from the
+        output.
     """
     if burnin is None:
         burnin = int(nits / 2)
@@ -188,14 +200,49 @@ def ensemble_mh(
             init_jitter * walk_mask[None, :]
             * jax.random.normal(k_init, theta0.shape, theta0.dtype))
 
-    theta_s, chi_s, rsq_s, aic_s, ar_s = _ensemble_impl(
-        spec, obs, times, y0_base, theta0, key, walk_mask,
-        nits=int(nits), burnin=int(burnin), a=float(a),
-        n_walked=n_walked, prior_logpdf=prior_logpdf,
-        use_priors=bool(use_priors), num_params=num_params,
-        method=method, rtol=float(rtol), atol=float(atol),
-        max_steps=int(max_steps),
-        substeps=substeps if isinstance(substeps, tuple) else int(substeps))
+    ikw = dict(nits=int(nits), burnin=int(burnin), a=float(a),
+               n_walked=n_walked, prior_logpdf=prior_logpdf,
+               use_priors=bool(use_priors), num_params=num_params,
+               method=method, rtol=float(rtol), atol=float(atol),
+               max_steps=int(max_steps),
+               substeps=substeps if isinstance(substeps, tuple)
+               else int(substeps))
+
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    if n_dev > 1:
+        from jax.sharding import PartitionSpec as PS
+
+        W0 = W
+        # every device hosts an even, >= 4-walker independent ensemble
+        per_dev = max(4, -(-W0 // n_dev))
+        per_dev += per_dev % 2
+        W = per_dev * n_dev
+        if W > W0:
+            key, k_pad = jax.random.split(key)
+            idx = jax.random.randint(k_pad, (W - W0,), 0, W0)
+            reps = theta0[idx] * jnp.exp(
+                0.05 * walk_mask[None, :] * jax.random.normal(
+                    jax.random.fold_in(k_pad, 1), (W - W0, P),
+                    theta0.dtype))
+            theta0 = jnp.concatenate([theta0, reps], axis=0)
+        axis = mesh.axis_names[0]
+
+        def body(th_local, key_arr, obs_, times_, y0_):
+            k = jax.random.fold_in(key_arr, jax.lax.axis_index(axis))
+            return _ensemble_impl(spec, obs_, times_, y0_, th_local, k,
+                                  walk_mask, **ikw)
+
+        rec_specs = (PS(None, axis, None),) + (PS(None, axis),) * 4
+        smap = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(PS(axis), PS(), PS(), PS(), PS()),
+            out_specs=rec_specs, check_vma=False)
+        outs = jax.jit(smap)(theta0, key, obs, times,
+                             jnp.asarray(y0_base))
+        theta_s, chi_s, rsq_s, aic_s, ar_s = [o[:, :W0] for o in outs]
+    else:
+        theta_s, chi_s, rsq_s, aic_s, ar_s = _ensemble_impl(
+            spec, obs, times, y0_base, theta0, key, walk_mask, **ikw)
     # records carry the walker axis second: (R, W, ...) -> (W, R, ...)
     iterations = jnp.arange(1, nits)[burnin:]
     return MHOutput(theta=jnp.swapaxes(theta_s, 0, 1),

@@ -31,6 +31,7 @@ from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import stats as jstats
 from ..model import ModelSpec, ObsData, fit_metrics, integrate_theta, observe
@@ -58,7 +59,13 @@ class _Carry(NamedTuple):
 def _chain_step(spec: ModelSpec, obs: ObsData, times, y0_base, walk_mask,
                 num_params, rwalk_std, prior_logpdf, use_priors, ikw,
                 carry: _Carry, it):
-    key, k_eps, k_u = jax.random.split(carry.key, 3)
+    # counter-based streams: the chain key is CONSTANT and each iteration
+    # folds in its global index, so any chunking of the scan (periodic
+    # checkpointing) reproduces the exact same draws — a resumed run is
+    # bitwise identical to an uninterrupted one (SURVEY.md section 5.4)
+    key = carry.key
+    k_eps, k_u = jax.random.split(
+        jax.random.fold_in(carry.key, it.astype(jnp.int32)))
     eps = rwalk_std * jax.random.normal(
         k_eps, carry.log_theta.shape, carry.log_theta.dtype)
     prop_log = carry.log_theta + eps * walk_mask
@@ -164,6 +171,158 @@ def metropolis_hastings(
     iterations = jnp.arange(1, nits)[burnin:]
     return MHOutput(theta=theta_s, chi=chi_s, rsquared=rsq_s, aic=aic_s,
                     acceptance_ratio=ar_s, iteration=iterations)
+
+
+@partial(jax.jit, static_argnames=(
+    "spec", "num_params", "method", "rtol", "atol", "max_steps",
+    "substeps"))
+def _mh_init_state(spec, obs, times, y0_base, theta0, *, num_params,
+                   method, rtol, atol, max_steps, substeps):
+    ikw = dict(method=method, rtol=rtol, atol=atol, max_steps=max_steps,
+               substeps=substeps)
+
+    def one(th0):
+        y0 = spec.override_inits(y0_base, th0)
+        ys = integrate_theta(spec, th0, y0, times, **ikw)
+        chi0, rsq0, aic0 = fit_metrics(spec, obs, ys, num_params)
+        return (jnp.log(th0), chi0, rsq0, aic0,
+                jnp.asarray(0.0, th0.dtype))
+
+    return jax.vmap(one)(theta0)
+
+
+@partial(jax.jit, static_argnames=(
+    "spec", "it_start", "length", "rwalk_std", "prior_logpdf",
+    "use_priors", "num_params", "method", "rtol", "atol", "max_steps",
+    "substeps"))
+def _mh_chunk_impl(spec, obs, times, y0_base, state, keys, walk_mask, *,
+                   it_start, length, rwalk_std, prior_logpdf, use_priors,
+                   num_params, method, rtol, atol, max_steps, substeps):
+    """One checkpoint chunk of the XLA MH scan: iterations
+    [it_start, it_start + length), recording every iteration. Because
+    draws are counter-based on the global iteration (see _chain_step),
+    the chunk boundaries are bitwise-invisible."""
+    ikw = dict(method=method, rtol=rtol, atol=atol, max_steps=max_steps,
+               substeps=substeps)
+    step = partial(_chain_step, spec, obs, times, y0_base, walk_mask,
+                   num_params, rwalk_std, prior_logpdf, use_priors, ikw)
+
+    def one_chain(st, key):
+        lt, chi, rsq, aic, acc = st
+        carry = _Carry(log_theta=lt, chi=chi, rsq=rsq, aic=aic,
+                       acc_count=acc, key=key)
+        its = it_start + jnp.arange(length, dtype=lt.dtype)
+        carry, recs = jax.lax.scan(step, carry, its)
+        return (carry.log_theta, carry.chi, carry.rsq, carry.aic,
+                carry.acc_count), recs
+
+    return jax.vmap(one_chain)(state, keys)
+
+
+def metropolis_hastings_checkpointed(
+        spec: ModelSpec, obs: ObsData, times, y0_base, theta0, keys, *,
+        nits: int = 1000, burnin: Optional[int] = None,
+        walk_mask=None, rwalk_std: float = 0.05,
+        prior_logpdf: Optional[Callable] = None, use_priors: bool = False,
+        method: str = "dopri5", rtol: float = 1e-6, atol: float = 1e-4,
+        max_steps: int = 4096, substeps: int = 4,
+        checkpoint_every: int = 100, checkpoint_path: Optional[str] = None,
+        resume_from: Optional[str] = None,
+        _stop_after_chunks: Optional[int] = None) -> MHOutput:
+    """Periodically-checkpointed XLA MH (VERDICT r2 weak 4): the scan is
+    split into chunks of ``checkpoint_every`` proposals; after each chunk
+    the chain state and records so far are persisted (npz) so a killed
+    run resumes via ``resume_from``. The per-iteration draws are
+    counter-based on the global iteration, so a chunked / killed /
+    resumed run is BITWISE identical to :func:`metropolis_hastings` with
+    the same arguments — any integrator, including the stiff adaptive
+    methods the fused kernel cannot run.
+
+    ``_stop_after_chunks``: test hook simulating a mid-run kill.
+    """
+    import os
+
+    if burnin is None:
+        burnin = int(nits / 2)
+    if nits - 1 <= burnin:
+        raise ValueError(f"nits={nits} leaves no recorded iterations after "
+                         f"burnin={burnin}")
+    E = int(checkpoint_every)
+    if E < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    theta0 = jnp.atleast_2d(theta0)
+    P = theta0.shape[-1]
+    if walk_mask is None:
+        walk_mask = jnp.ones((P,), theta0.dtype)
+    walk_mask = jnp.asarray(walk_mask, theta0.dtype)
+    num_params = int(jnp.count_nonzero(theta0[0]))
+    if use_priors and prior_logpdf is None:
+        raise ValueError("use_priors=True requires prior_logpdf")
+    skw = dict(method=method, rtol=float(rtol), atol=float(atol),
+               max_steps=int(max_steps),
+               substeps=substeps if isinstance(substeps, tuple)
+               else int(substeps))
+
+    R = nits - 1
+    n_chunks = -(-R // E)
+    sig = repr(("xla-mh", spec.pnames, spec.pshapes, P,
+                int(theta0.shape[0]), nits, float(rwalk_std),
+                bool(use_priors), skw["method"], skw["rtol"], skw["atol"],
+                skw["max_steps"], skw["substeps"]))
+
+    k0, state, recs = 0, None, []
+    if resume_from:
+        with np.load(resume_from, allow_pickle=False) as z:
+            saved_sig = bytes(z["sig"]).decode()
+            if saved_sig != sig:
+                raise ValueError(
+                    "checkpoint was written by a different MCMC "
+                    f"configuration:\n  saved: {saved_sig}\n  this:  {sig}")
+            k0 = int(z["next_chunk"])
+            state = tuple(jnp.asarray(z[f"state{i}"]) for i in range(5))
+            keys = jax.random.wrap_key_data(jnp.asarray(z["key_data"]))
+            if k0 > 0:
+                recs = [tuple(z[f"rec{i}"] for i in range(5))]
+    if state is None:
+        state = _mh_init_state(spec, obs, times, y0_base, theta0,
+                               num_params=num_params, **skw)
+
+    for k in range(k0, n_chunks):
+        it_start = 1 + k * E
+        length = min(E, R - k * E)
+        state, out = _mh_chunk_impl(
+            spec, obs, times, y0_base, state, keys, walk_mask,
+            it_start=it_start, length=length, rwalk_std=float(rwalk_std),
+            prior_logpdf=prior_logpdf, use_priors=bool(use_priors),
+            num_params=num_params, **skw)
+        recs.append(tuple(np.asarray(o) for o in out))
+        if checkpoint_path:
+            merged = tuple(np.concatenate([r[i] for r in recs], axis=1)
+                           for i in range(5))
+            recs = [merged]
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez_compressed(
+                    f, sig=np.frombuffer(sig.encode(), np.uint8),
+                    next_chunk=np.asarray(k + 1),
+                    key_data=np.asarray(jax.random.key_data(keys)),
+                    **{f"state{i}": np.asarray(state[i])
+                       for i in range(5)},
+                    **{f"rec{i}": merged[i] for i in range(5)})
+            os.replace(tmp, checkpoint_path)
+        if (_stop_after_chunks is not None
+                and k + 1 - k0 >= _stop_after_chunks and k + 1 < n_chunks):
+            return None
+
+    th, chi, rsq, aic, ar = (np.concatenate([r[i] for r in recs], axis=1)
+                             for i in range(5))
+    iterations = jnp.arange(1, nits)[burnin:]
+    return MHOutput(theta=jnp.asarray(th[:, burnin:]),
+                    chi=jnp.asarray(chi[:, burnin:]),
+                    rsquared=jnp.asarray(rsq[:, burnin:]),
+                    aic=jnp.asarray(aic[:, burnin:]),
+                    acceptance_ratio=jnp.asarray(ar[:, burnin:]),
+                    iteration=iterations)
 
 
 def survey(spec: ModelSpec, obs: ObsData, times, y0_base, thetas, *,

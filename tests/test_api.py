@@ -215,9 +215,11 @@ def test_mcmc_end_to_end(zeroI, capsys):
                       fitsurvey_samples=256, sd_fitdistance=6.0,
                       print_report=True)
     # reference posterior columns (Samplers.py:160-165 + Framework.py:1036)
+    # plus the documented all_rejected sentinel (VERDICT r2 missing 2)
     assert list(post.columns) == ["mu", "phi", "beta", "chi", "rsquared",
                                   "aic", "iteration", "acceptance_ratio",
-                                  "chain#"]
+                                  "chain#", "all_rejected"]
+    assert not post["all_rejected"].any()
     # nits=60 -> burnin=30 -> records it in 31..59 = 29 per chain
     assert len(post) == 4 * 29
     assert set(post["chain#"]) == {0, 1, 2, 3}

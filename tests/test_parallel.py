@@ -119,3 +119,51 @@ def test_mesh_chunked_checkpoint_sharding_invariant(tmp_path):
     for a, b, c in zip(ref, chk, unsh):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         np.testing.assert_array_equal(np.asarray(b), np.asarray(c))
+
+
+def test_sharded_ensemble_runs_independent_per_device(setup):
+    """The XLA ensemble under a mesh: one independent ensemble per device
+    (no hot-loop collectives), padded to even per-device counts, padding
+    dropped from the output (VERDICT r2 weak 7)."""
+    from odelib_tpu.samplers import ensemble_mh
+
+    spec, obs, times, y0 = setup
+    mesh = chain_mesh()
+    rng = np.random.default_rng(0)
+    W = 20  # not divisible by 8 -> pads to 4 walkers/device = 32
+    theta0 = jnp.asarray(np.asarray([0.6, 2.4e-8, 24.0])
+                         * np.exp(rng.normal(0, 0.1, (W, 3))))
+    out = ensemble_mh(spec, obs, times, y0, theta0,
+                      jax.random.PRNGKey(3), nits=30, rtol=1e-6,
+                      atol=1e-3, mesh=mesh)
+    assert out.theta.shape == (W, 14, 3)
+    chi = np.asarray(out.chi)
+    assert np.isfinite(chi).all()
+    # the ensembles actually moved (stretch moves accepted somewhere)
+    assert float(np.asarray(out.acceptance_ratio)[:, -1].mean()) > 0.0
+
+
+def test_api_ensemble_backend_uses_mesh(setup):
+    """MCMC(sampler='ensemble') on a multi-device runtime shards walkers
+    instead of running the whole batch on one device."""
+    import pandas as pd
+    import scipy.stats
+
+    from odelib_tpu import ModelFramework, parameter
+
+    from helpers import synthetic_df, zero_i
+
+    fw = ModelFramework(ODE=zero_i, parameter_names=["mu", "phi", "beta"],
+                        state_names=["S", "V"], dataframe=synthetic_df(),
+                        t_steps=60,
+                        mu=parameter(scipy.stats.lognorm,
+                                     {"s": 0.5, "scale": 0.5}),
+                        phi=parameter(scipy.stats.lognorm,
+                                      {"s": 0.5, "scale": 2e-8}),
+                        beta=parameter(scipy.stats.lognorm,
+                                       {"s": 0.5, "scale": 25}))
+    inits = pd.DataFrame([dict(mu=0.6, phi=2.4e-8, beta=24.0)] * 16)
+    post = fw.MCMC(chain_inits=inits, iterations_per_chain=30,
+                   sampler="ensemble", print_report=False)
+    assert set(post["chain#"]) == set(range(16))
+    assert np.isfinite(post["chi"]).all()

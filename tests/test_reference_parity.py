@@ -135,6 +135,74 @@ def test_posterior_parity_with_reference(ref_odelib):
         assert 0.25 < med_ours / med_ref < 4.0, (p, med_ref, med_ours)
 
 
+def test_all_rejected_chain_parity(ref_odelib):
+    """What does the reference ACTUALLY do when a chain never accepts?
+    Executed answer: it records the seed state every post-burnin iteration
+    with acceptance_ratio 0 (``Samplers.py:147-153`` stores
+    unconditionally; the NaN row at ``:171-172`` fires only when nothing
+    was recorded at all, i.e. burnin >= nits-1). Our sampler matches the
+    repeated-seed-row behavior and additionally flags those chains with
+    the documented ``all_rejected`` column so pooled posteriors can drop
+    them (VERDICT r2 missing 2)."""
+    import odelib_tpu
+
+    true = {"mu": 0.9, "phi": 3e-8, "beta": 25.0}
+
+    def build(mod, parameter_cls, df):
+        return mod(ODE=_zero_i_ref, parameter_names=["mu", "phi", "beta"],
+                   state_names=["S", "V"], dataframe=df,
+                   mu=parameter_cls(scipy.stats.lognorm,
+                                    {"s": 1, "scale": 0.5}),
+                   phi=parameter_cls(scipy.stats.lognorm,
+                                     {"s": 1, "scale": 1e-8}),
+                   beta=parameter_cls(scipy.stats.lognorm,
+                                      {"s": 1, "scale": 30}),
+                   t_steps=288, random_seed=3)
+
+    # synthetic data AT the true parameters with an absurdly tight
+    # log_sigma: the seed fits near-perfectly, every 5% rwalk proposal
+    # costs ~(0.05/1e-4)^2 chi — rejected with probability 1-exp(-1e5)
+    probe = build(odelib_tpu.ModelFramework, odelib_tpu.parameter,
+                  _demo_df())
+    probe.set_parameters(**true)
+    probe.set_inits(S=5.2e6, V=1.1e7)
+    ys = np.asarray(probe.integrate(as_dataframe=False))
+    t_sel = np.linspace(0, len(probe.times) - 1, 9).astype(int)
+    rows = []
+    for org, col in (("S", 0), ("V", 1)):
+        for ti in t_sel:
+            rows.append({"organism": org, "time": probe.times[ti],
+                         "abundance": ys[ti, col], "log_sigma": 1e-4})
+    df = pd.DataFrame(rows)
+
+    ref = build(ref_odelib.ModelFramework, ref_odelib.parameter, df)
+    ours = build(odelib_tpu.ModelFramework, odelib_tpu.parameter, df)
+    for m in (ref, ours):
+        m.set_inits(S=5.2e6, V=1.1e7)
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        post_ref = ref.MCMC(chain_inits=[dict(true)], cpu_cores=1,
+                            iterations_per_chain=40, print_report=False)
+    with pytest.warns(UserWarning, match="never accepted"):
+        post_ours = ours.MCMC(chain_inits=[dict(true)],
+                              iterations_per_chain=40, print_report=False)
+
+    # reference: 19 repeated seed rows, zero acceptance, NO NaN row
+    assert len(post_ref) == 19
+    assert (post_ref["acceptance_ratio"] == 0.0).all()
+    assert not post_ref[["mu", "phi", "beta"]].isna().any().any()
+    for p, v in true.items():
+        np.testing.assert_allclose(post_ref[p].to_numpy(float), v)
+
+    # ours: same repeated seed rows, plus the all_rejected flag
+    assert len(post_ours) == 19
+    assert (post_ours["acceptance_ratio"] == 0.0).all()
+    assert post_ours["all_rejected"].all()
+    for p, v in true.items():
+        np.testing.assert_allclose(post_ours[p].to_numpy(float), v,
+                                   rtol=1e-6)
+
+
 def test_reference_gradient_is_broken_and_ours_matches_its_intent(ref_odelib):
     """The reference's gradient() crashes on any normal model: it assigns a
     raw float into self.parameters (Framework.py:1095) and get_parameters
