@@ -521,6 +521,85 @@ def config7b_hmc_hard(base):
             "vs_baseline": None}
 
 
+def config9_joint_fused(base):
+    """Fused multi-experiment (JointFit) throughput: K=2 copies of the
+    demo problem scored back-to-back inside one kernel (ops/pallas_joint).
+    Ideal joint cost is K single-experiment solves per iteration, so the
+    honest figure of merit is joint rate / (single fused rate / K) —
+    'fraction of ideal' (VERDICT r3 task 3: within ~1/K of config 4)."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    import bench as B
+    from odelib_tpu.ops.pallas_joint import joint_metropolis_hastings_fused
+
+    spec, obs_host, times_fit, y0 = B.build_problem()
+    on_tpu = jax.default_backend() not in ("cpu",)
+    K = 2
+    specs = (spec,) * K
+    idxs = (tuple(range(3)),) * K          # fully-shared joint theta, D=3
+    # the second experiment must be GENUINELY distinct: with identical
+    # (y0, grid, theta) the two unrolled solves are the same expression
+    # and the compiler CSEs them, making the "joint" kernel cost one
+    # experiment. Perturb both the observations and the initial state so
+    # the K trajectories differ.
+    rng_b = np.random.default_rng(7)
+    obs_b = obs_host._replace(
+        log_abundance=np.asarray(obs_host.log_abundance)
+        + rng_b.normal(0, 0.1, len(np.asarray(obs_host.log_abundance))))
+    obs_l = (obs_host, obs_b)
+    times_l = (times_fit,) * K
+    y0_l = (y0, np.asarray(y0) * 1.13)
+    C, NITS = (10000, 2000) if on_tpu else (256, 12)
+    rng = np.random.default_rng(0)
+    th0 = (np.array([0.6, 2.4e-8, 24.0])
+           * np.exp(rng.normal(0, 0.05, (C, 3)))).astype(np.float32)
+    kw = dict(seed=0, nits=NITS, burnin=NITS // 2, substeps_list=[4] * K,
+              interpret=not on_tpu,
+              tile_chains=None if on_tpu else 128)
+
+    def run():
+        out = joint_metropolis_hastings_fused(
+            specs, idxs, obs_l, times_l, y0_l, th0, **kw)
+        _sync(out.chi[-1:, -1:])
+        return out
+
+    out = run()
+    med = _timed(run, reps=3)
+    rate = C * (NITS - 1) / med
+
+    # measure the single-experiment fused rate on the SAME shapes so the
+    # ideal-cost denominator is apples-to-apples
+    from odelib_tpu.ops.pallas_mh import metropolis_hastings_fused
+
+    def run_single():
+        o = metropolis_hastings_fused(
+            spec, obs_host, times_fit, y0, th0, seed=0, nits=NITS,
+            burnin=NITS // 2, substeps=4, interpret=not on_tpu,
+            tile_chains=None if on_tpu else 128)
+        _sync(o.chi[-1:, -1:])
+        return o
+
+    run_single()
+    med_single = _timed(run_single, reps=3)
+    single_rate = C * (NITS - 1) / med_single
+    frac_ideal = rate / (single_rate / K)
+    return {"config": 9,
+            "metric": "fused JOINT (K=2 experiments) MCMC chain-steps/sec "
+                      "at 10k chains",
+            "value": round(rate, 1), "unit": "joint chain-steps/sec",
+            "elapsed_s": round(med, 4), "k_experiments": K,
+            "mean_acceptance": round(float(np.mean(np.asarray(
+                out.acceptance_ratio)[:, -1])), 3),
+            "finite_chi_frac": round(float(np.mean(np.isfinite(
+                np.asarray(out.chi)))), 4),
+            "single_experiment_rate": round(single_rate, 1),
+            "fraction_of_ideal": round(frac_ideal, 3),
+            "note": "ideal = single-experiment fused rate / K; "
+                    "fraction_of_ideal ~ 1.0 means zero joint overhead",
+            "vs_baseline": None}
+
+
 def config8_fused_ensemble(base):
     """Fused affine-invariant ensemble vs fused random-walk MH at equal
     device budget: raw chain-steps/sec (the kernels should be at parity —
@@ -599,6 +678,7 @@ def main():
         config7_hmc_ess(base),
         config7b_hmc_hard(base),
         config8_fused_ensemble(base),
+        config9_joint_fused(base),
     ]
     for r in results:
         print(json.dumps(r))

@@ -146,15 +146,28 @@ class JointFit:
     def MCMC(self, chain_inits=32, iterations_per_chain=1000,
              fitsurvey_samples=1000, use_priors=False, rwalk_std=0.05,
              burnin=None, static_parameters=(), print_report=True,
-             **solver_kw) -> pd.DataFrame:
+             backend="auto", checkpoint_every=None, checkpoint_path=None,
+             resume_from=None, pallas_tile_chains=None,
+             pallas_interpret=False, **solver_kw) -> pd.DataFrame:
         """Joint MCMC posterior over all experiments.
 
         Chains seed from the best ``chain_inits`` of ``fitsurvey_samples``
         LHS prior draws (sampled with replacement, weighted toward low
         chi). Returns a DataFrame with the joint columns plus total
         ``chi``, per-experiment ``chi:<name>``, ``iteration``,
-        ``acceptance_ratio`` and ``chain#`` — the familiar posterior
-        shape, one row per recorded joint sample.
+        ``acceptance_ratio``, ``chain#`` and ``all_rejected`` — the
+        familiar posterior shape, one row per recorded joint sample.
+
+        Framework-grade execution (same knobs as ``ModelFramework.MCMC``):
+
+        * ``backend='auto'`` runs the K experiments fused back-to-back in
+          ONE Pallas kernel per chain tile on TPU (joint throughput within
+          ~1/K of the single-experiment fused rate —
+          ops/pallas_joint.py); 'xla' forces the scan+vmap sampler (any
+          prior family); chains shard over the device mesh on both paths;
+        * ``checkpoint_every=N`` + ``checkpoint_path``: periodic
+          persistence with bit-exact resume via ``resume_from`` (fused
+          backend).
         """
         nits = int(iterations_per_chain)
         if burnin is None:
@@ -176,10 +189,9 @@ class JointFit:
                                  f"(joint columns: {self.columns})")
             mask[self.columns.index(p)] = 0.0
 
+        dists = self._dists()
         prior_logpdf = None
         if use_priors:
-            dists = self._dists()
-
             def prior_logpdf(theta):
                 tot = 0.0
                 for j, d in enumerate(dists):
@@ -189,32 +201,103 @@ class JointFit:
 
         specs, idxs, obs, times, y0s, method, subs = \
             self._device_args(solver_kw)
-        dtype = jnp.result_type(float)
-        base_key = jax.random.PRNGKey(self.random_seed)
-        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
-            jnp.arange(n_chains))
-        out = joint_metropolis_hastings(
-            specs, idxs, obs, times, y0s,
-            jnp.asarray(theta0, dtype), keys,
-            nits=nits, burnin=int(burnin),
-            walk_mask=jnp.asarray(mask, dtype),
-            rwalk_std=float(rwalk_std), prior_logpdf=prior_logpdf,
-            use_priors=bool(use_priors), method=method,
-            substeps_list=subs)
 
-        theta = np.asarray(out.theta)        # (C, R, D)
+        if backend not in ("auto", "pallas", "xla"):
+            raise ValueError(f"backend must be 'auto', 'pallas' or 'xla', "
+                             f"got {backend!r}")
+        if backend == "auto":
+            from .ops.pallas_mh import (kernel_priors_supported,
+                                        mosaic_supported)
+            backend = "pallas" if (
+                jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+                and mosaic_supported()
+                and (not use_priors or kernel_priors_supported(dists))
+            ) else "xla"
+        if checkpoint_every is not None and backend != "pallas":
+            import warnings
+            warnings.warn("checkpoint_every on JointFit is supported on "
+                          "the fused (pallas) backend; running without "
+                          "periodic checkpoints")
+
+        if backend == "pallas":
+            from .parallel import chain_mesh
+            from .ops.pallas_joint import joint_metropolis_hastings_fused
+            progress_path = None
+            if checkpoint_every is not None:
+                if checkpoint_path is None:
+                    raise ValueError(
+                        "checkpoint_every requires checkpoint_path (chain "
+                        "state is persisted to <checkpoint_path>.progress)")
+                progress_path = checkpoint_path + ".progress"
+            priors = None
+            if use_priors:
+                priors = tuple(dists)
+            out = joint_metropolis_hastings_fused(
+                specs, idxs,
+                tuple(self.frameworks[nm]._obsdata_fit_host
+                      for nm in self.frameworks),
+                tuple(np.asarray(self.frameworks[nm]._times_fit)
+                      for nm in self.frameworks),
+                tuple(np.asarray(fw.get_inits())
+                      for fw in self.frameworks.values()),
+                np.asarray(theta0, np.float32), seed=int(self.random_seed),
+                nits=nits, burnin=int(burnin), walk_mask=mask,
+                rwalk_std=float(rwalk_std),
+                stepper="rk4" if method == "rk4" else "dopri5",
+                substeps_list=subs, priors=priors,
+                tile_chains=(None if pallas_tile_chains is None
+                             else int(pallas_tile_chains)),
+                interpret=bool(pallas_interpret),
+                checkpoint_every=checkpoint_every,
+                checkpoint_path=progress_path, resume_from=resume_from,
+                mesh=chain_mesh() if (jax.device_count() > 1
+                                      and not pallas_interpret) else None)
+        else:
+            from .parallel import chain_mesh, pad_chains, shard_chain_batch
+            dtype = jnp.result_type(float)
+            mesh = chain_mesh()
+            n_padded = pad_chains(n_chains, mesh)
+            th0 = np.asarray(theta0, dtype)
+            if n_padded > n_chains:
+                th0 = np.concatenate(
+                    [th0, np.tile(th0[-1:], (n_padded - n_chains, 1))])
+            base_key = jax.random.PRNGKey(self.random_seed)
+            keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+                jnp.arange(n_padded))
+            margs = shard_chain_batch(
+                (jnp.asarray(th0, dtype), keys), mesh)
+            out = joint_metropolis_hastings(
+                specs, idxs, obs, times, y0s, margs[0], margs[1],
+                nits=nits, burnin=int(burnin),
+                walk_mask=jnp.asarray(mask, dtype),
+                rwalk_std=float(rwalk_std), prior_logpdf=prior_logpdf,
+                use_priors=bool(use_priors), method=method,
+                substeps_list=subs)
+
+        theta = np.asarray(out.theta)[:n_chains]   # (C, R, D)
         C, R, D = theta.shape
         names = list(self.frameworks)
+        chi_all = np.asarray(out.chi)[:n_chains]
+        parts_all = np.asarray(out.chi_parts)[:n_chains]
+        ar_all = np.asarray(out.acceptance_ratio)[:n_chains]
+        all_rejected = ar_all[:, -1] == 0.0 if R else np.zeros(C, bool)
         frames = []
         for c in range(C):
             df = pd.DataFrame(theta[c], columns=self.columns)
-            df["chi"] = np.asarray(out.chi[c])
+            df["chi"] = chi_all[c]
             for k, nm in enumerate(names):
-                df[f"chi:{nm}"] = np.asarray(out.chi_parts[c, :, k])
+                df[f"chi:{nm}"] = parts_all[c, :, k]
             df["iteration"] = np.asarray(out.iteration)
-            df["acceptance_ratio"] = np.asarray(out.acceptance_ratio[c])
+            df["acceptance_ratio"] = ar_all[c]
             df["chain#"] = c
+            df["all_rejected"] = bool(all_rejected[c])
             frames.append(df)
+        if all_rejected.any():
+            import warnings
+            warnings.warn(
+                f"{int(all_rejected.sum())}/{C} joint chains never "
+                "accepted a proposal; their rows repeat the seed draw and "
+                "are flagged all_rejected=True")
         posterior = pd.concat(frames, ignore_index=True)
 
         if print_report:
