@@ -390,7 +390,11 @@ def _make_scorer(spec: ModelSpec, plan: _StaticPlan, y0_base, stepper):
     def contrib(y, gi, chi, ssres):
         for mem, lab, lsig, ab in plan.obs_after[gi]:
             pred = sum(y[m] for m in mem) if len(mem) > 1 else y[mem[0]]
-            pred = jnp.maximum(pred, 1e-37)  # f32-safe floor: log(<=0) guard
+            # NO floor on pred: log(0) = -inf and log(<0) = NaN make chi
+            # non-finite, so a blown-up trajectory is rejected outright —
+            # the same semantics as the XLA path and the reference
+            # (a clamp would instead hand the chain a huge-but-finite chi
+            # that hides the blow-up; VERDICT r2 weak 8)
             c = jnp.log(pred)
             chi = chi + (lab - c) ** 2 / (2.0 * lsig * lsig)
             ssres = ssres + (pred - ab) ** 2

@@ -244,3 +244,40 @@ def test_jointfit_mcmc_pallas_backend_end_to_end():
                                post["chi:a"] + post["chi:b"], rtol=1e-4)
     assert abs(np.log(post["k"]).mean()) < 0.25
     assert not post["all_rejected"].any()
+
+
+def test_joint_fused_heterogeneous_models():
+    """The fused joint kernel must handle experiments with DIFFERENT
+    models (distinct RHS, distinct observation grids/counts) sharing a
+    parameter: exp a = exponential decay, exp b = logistic growth, both
+    driven by the shared rate k."""
+    def rhs_b(t, y, ps):
+        k, cap = ps
+        return jnp.stack([k * y[0] * (1.0 - y[0] / cap)])
+
+    rng = np.random.default_rng(21)
+    t_b = np.linspace(0.0, 4.0, 7)
+    cap, k_true, y0b = 1e6, 1.0, 1e4
+    yb = cap / (1 + (cap / y0b - 1) * np.exp(-k_true * t_b))
+    df_b = pd.DataFrame([{"organism": "y", "time": t,
+                          "abundance": v * np.exp(rng.normal(0, 0.1)),
+                          "log_sigma": 0.1} for t, v in zip(t_b, yb)])
+    fw_b = odelib_tpu.ModelFramework(
+        ODE=rhs_b, parameter_names=["k", "cap"], state_names=["y"],
+        dataframe=df_b, t_steps=24, ode_style="jax", random_seed=7,
+        k=odelib_tpu.parameter(stats_gen=LogNormal(s=0.7, scale=1.0),
+                               hyperparameters={}, random_seed=7),
+        cap=odelib_tpu.parameter(init_value=cap))
+    fw_a = _decay_fw(_decay_df(1.0, seed=20, n=12), seed=20)
+
+    jf = JointFit({"a": fw_a, "b": fw_b}, shared=["k"], random_seed=9)
+    assert jf.columns == ["k", "b:cap"]
+    post = jf.MCMC(chain_inits=8, iterations_per_chain=200,
+                   fitsurvey_samples=128, print_report=False,
+                   static_parameters=["b:cap"],
+                   backend="pallas", pallas_interpret=True,
+                   pallas_tile_chains=128)
+    np.testing.assert_allclose(post["chi"],
+                               post["chi:a"] + post["chi:b"], rtol=1e-4)
+    assert abs(np.log(post["k"]).mean()) < 0.3
+    np.testing.assert_allclose(post["b:cap"], cap, rtol=1e-5)

@@ -406,3 +406,17 @@ def test_mosaic_supported_probe_is_safe_on_cpu():
     from odelib_tpu.ops.pallas_mh import mosaic_supported
     assert mosaic_supported() is False
     assert mosaic_supported() is False  # cached second call
+
+
+def test_fused_blowup_gives_nonfinite_chi(setup):
+    """A blown-up trajectory must yield NON-FINITE chi in-kernel (inf/NaN
+    -> always rejected), exactly like the XLA path — not a clamped
+    huge-but-finite value that hides the blow-up (VERDICT r2 weak 8)."""
+    spec, obs_host, times_fit, y0 = setup
+    thetas = np.array([[50.0, 2.4e-8, 24.0],     # e^150 growth: overflows
+                       [0.6, 2.4e-8, 24.0]], np.float32)
+    chis = np.asarray(survey_fused(spec, obs_host, times_fit, y0, thetas,
+                                   substeps=1, tile_chains=128,
+                                   interpret=True))
+    assert not np.isfinite(chis[0])
+    assert np.isfinite(chis[1])
