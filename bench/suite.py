@@ -363,12 +363,18 @@ def config7_hmc_ess(base):
     economics question is whether its costlier iterations (n_leapfrog
     gradient solves each) buy proportionally more mixing. The binding
     constraint for downstream use is the SLOWEST-mixing parameter, so that
-    is the headline (min-over-parameters ESS/sec)."""
+    is the headline (min-over-parameters ESS/sec). Both samplers run
+    prior-aware with the demo's own lognormal priors: the likelihood-only
+    target is improper along ``mu`` (the data barely constrain it from
+    below), so an efficient sampler correctly diffuses mu toward 0 until
+    f32 underflow — ESS of an improper target is not a meaningful number
+    for either sampler."""
     import jax
     import jax.numpy as jnp
 
     import bench as B
     from odelib_tpu.data import obsdata_to_device
+    from odelib_tpu.distributions import LogNormal
     from odelib_tpu.samplers import hamiltonian_mc, metropolis_hastings
     from odelib_tpu.utils.diagnostics import effective_sample_size
 
@@ -376,6 +382,13 @@ def config7_hmc_ess(base):
     obs = obsdata_to_device(obs_host, jnp.float32)
     times_d = jnp.asarray(times_fit, jnp.float32)
     y0_d = jnp.asarray(y0, jnp.float32)
+
+    # demo cell-9 priors (examples/demo_infection_states.py:85-86)
+    pri = (LogNormal(s=3.0, scale=1e-8), LogNormal(s=3.0, scale=1e-8),
+           LogNormal(s=1.0, scale=25.0))
+
+    def prior_logpdf(theta):
+        return sum(d.logpdf(theta[..., i]) for i, d in enumerate(pri))
 
     on_tpu = jax.default_backend() not in ("cpu",)
     C = 1024 if on_tpu else 64
@@ -388,14 +401,16 @@ def config7_hmc_ess(base):
     def run_hmc():
         out = hamiltonian_mc(spec, obs, times_d, y0_d, th0, keys,
                              nits=NITS_H, burnin=NITS_H // 2, n_leapfrog=8,
-                             step_size=0.02, substeps=4)
+                             step_size=0.02, substeps=4,
+                             prior_logpdf=prior_logpdf, use_priors=True)
         _sync(out.chi[-1:, -1:])
         return out
 
     def run_mh():
         out = metropolis_hastings(spec, obs, times_d, y0_d, th0, keys,
                                   nits=NITS_M, burnin=NITS_M // 2,
-                                  method="fixed_dopri5", substeps=4)
+                                  method="fixed_dopri5", substeps=4,
+                                  prior_logpdf=prior_logpdf, use_priors=True)
         _sync(out.chi[-1:, -1:])
         return out
 
@@ -413,7 +428,8 @@ def config7_hmc_ess(base):
     hmc_rate, mh_rate = ess_h / t_h, ess_m / t_m
     return {"config": 7,
             "metric": "HMC vs random-walk MH: min-over-parameters effective "
-                      "samples/sec on the demo posterior (XLA backend)",
+                      "samples/sec on the demo posterior (prior-aware, "
+                      "XLA backend)",
             "value": round(hmc_rate, 1), "unit": "ESS/sec (HMC)",
             "mh_ess_per_s": round(mh_rate, 1),
             "hmc_over_mh": round(hmc_rate / mh_rate, 2) if mh_rate else None,
@@ -477,8 +493,21 @@ def config7b_hmc_hard(base):
         _sync(out.chi[-1:, -1:])
         return out
 
+    def run_chees():
+        out = hamiltonian_mc(spec, obs, times_d, y0_d, th0, keys,
+                             nits=NITS_H, burnin=NITS_H // 4,
+                             n_leapfrog=4, step_size=0.02,
+                             target_accept=0.65, substeps=4,
+                             path_adapt=True, max_leapfrog=64,
+                             prior_logpdf=plp, use_priors=True,
+                             chunk_iters=1024)
+        _sync(out.chi[-1:, -1:])
+        return out
+
     out_h = run_hmc()
     t_h = _timed(run_hmc, reps=3)
+    out_c = run_chees()
+    t_c = _timed(run_chees, reps=3)
     out_m = run_mh()
     t_m = _timed(run_mh, reps=3)
 
@@ -497,8 +526,10 @@ def config7b_hmc_hard(base):
         return ess, max(rhats)
 
     ess_h, rh_h = stats(out_h)
+    ess_c, rh_c = stats(out_c)
     ess_m, rh_m = stats(out_m)
     hmc_rate, mh_rate = ess_h / t_h, ess_m / t_m
+    chees_rate = ess_c / t_c
     return {"config": "7b",
             "metric": "HMC vs random-walk MH on the HARD demo posterior "
                       "(one_i + summation + init-params, 7 correlated "
@@ -510,6 +541,15 @@ def config7b_hmc_hard(base):
             "hmc": {"chains": C, "nits": NITS_H, "elapsed_s": round(t_h, 3),
                     "min_ess": round(ess_h, 1), "max_rhat": round(rh_h, 3),
                     "n_leapfrog": 4, "target_accept": 0.65},
+            "chees": {"chains": C, "nits": NITS_H,
+                      "elapsed_s": round(t_c, 3),
+                      "min_ess": round(ess_c, 1),
+                      "max_rhat": round(rh_c, 3),
+                      "ess_per_s": round(chees_rate, 1),
+                      "over_fixed_hmc": round(chees_rate / hmc_rate, 2)
+                      if hmc_rate else None,
+                      "note": "path_adapt=True - ChEES-adapted trajectory "
+                              "length, no hand-tuned n_leapfrog"},
             "mh": {"chains": C, "nits": NITS_M, "elapsed_s": round(t_m, 3),
                    "min_ess": round(ess_m, 1), "max_rhat": round(rh_m, 3),
                    "rwalk_std": 0.05},

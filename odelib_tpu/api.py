@@ -1577,6 +1577,7 @@ class ModelFramework:
              checkpoint_path=None, checkpoint_every=None, resume_from=None,
              backend="auto", burnin=None, sampler="mh", n_leapfrog=4,
              step_size=0.02, target_accept=0.65, mass_adapt=True,
+             path_adapt=False, max_leapfrog=256,
              temperatures=(1.0, 2.0, 4.0, 8.0), swap_every=1,
              stretch_a=2.0, adapt_start=50,
              profile=False, pallas_interpret=False, pallas_tile_chains=None,
@@ -1610,14 +1611,15 @@ class ModelFramework:
           kernel path) and the per-dispatch chain tile size (default None
           = auto: the measured-optimal tile for the batch size after
           padding waste, ``ops.pallas_mh.pick_tile_chains``);
-        * ``checkpoint_every=N`` (fused backend AND the XLA MH sampler,
-          including stiff/adaptive methods and array parameters): persist
-          chain state and records every N iterations to
-          ``<checkpoint_path>.progress`` so a killed run resumes bit-exact
-          via ``resume_from=<that file>`` — both paths use counter-based
-          draws keyed on the global iteration, so a resumed run is bitwise
-          identical to an uninterrupted one (the reference has no
-          persistence at all — SURVEY.md section 5.4);
+        * ``checkpoint_every=N`` (fused backend AND the XLA MH/HMC
+          samplers, including stiff/adaptive methods and array
+          parameters): persist chain state and records every N iterations
+          to ``<checkpoint_path>.progress`` so a killed run resumes
+          bit-exact via ``resume_from=<that file>`` — MH keys draws on
+          the global iteration counter and HMC carries its PRNG key plus
+          every adaptation statistic in the persisted state, so a resumed
+          run is bitwise identical to an uninterrupted one (the reference
+          has no persistence at all — SURVEY.md section 5.4);
         * ``substeps='auto'`` (solver kwarg, here or at construction):
           calibrate a per-interval static step schedule from this run's
           seeding draws via the adaptive solver (ops/schedule.py) — the
@@ -1632,7 +1634,13 @@ class ModelFramework:
           mass matrix adapted from early-burn-in variance
           (``mass_adapt``, default True — see samplers/hmc.py for when
           HMC beats the random walk and when it does not). Targets the
-          same posterior as MH; identical output columns;
+          same posterior as MH; identical output columns.
+          ``path_adapt=True`` switches to ChEES trajectory-length
+          adaptation (the batch-hardware NUTS replacement): one shared
+          max length is Adam-tuned during warmup, each iteration runs a
+          Halton-jittered fraction of it (same leapfrog count on every
+          lane), capped at ``max_leapfrog`` steps; ``n_leapfrog`` then
+          only seeds the initial length;
         * ``sampler='pt'``: replica-exchange (parallel tempering) MH for
           multimodal posteriors — each chain carries a ``temperatures``
           ladder of replicas with parity-alternating swap moves every
@@ -1848,9 +1856,9 @@ class ModelFramework:
             _t0 = time.perf_counter()
 
         if checkpoint_every is not None and backend not in ("pallas",
-                                                            "xla"):
+                                                            "xla", "hmc"):
             warnings.warn("checkpoint_every is supported on the fused "
-                          "(pallas) backend and the XLA MH sampler; "
+                          "(pallas) backend and the XLA MH/HMC samplers; "
                           f"running sampler={sampler!r} without periodic "
                           "checkpoints")
         if backend == "pallas" and sampler == "ensemble":
@@ -1919,18 +1927,33 @@ class ModelFramework:
             margs = shard_chain_batch(
                 (jnp.asarray(th0, dtype), keys), mesh)
             if backend == "hmc":
-                from .samplers import hamiltonian_mc
-                out = hamiltonian_mc(
-                    self._spec, self._obsdata_fit,
-                    jnp.asarray(self._times_fit, dtype),
-                    jnp.asarray(self.get_inits(), dtype), margs[0], margs[1],
+                hkw = dict(
                     nits=nits, burnin=burnin,
                     walk_mask=jnp.asarray(mask, dtype),
                     n_leapfrog=n_leapfrog, step_size=step_size,
                     target_accept=target_accept, mass_adapt=mass_adapt,
+                    path_adapt=path_adapt, max_leapfrog=max_leapfrog,
                     prior_logpdf=prior_logpdf, use_priors=use_priors,
                     method="rk4" if method == "rk4" else "fixed_dopri5",
                     substeps=substeps)
+                hargs = (self._spec, self._obsdata_fit,
+                         jnp.asarray(self._times_fit, dtype),
+                         jnp.asarray(self.get_inits(), dtype),
+                         margs[0], margs[1])
+                if checkpoint_every is not None:
+                    if checkpoint_path is None:
+                        raise ValueError(
+                            "checkpoint_every requires checkpoint_path "
+                            "(chain state is persisted to "
+                            "<checkpoint_path>.progress)")
+                    from .samplers import hamiltonian_mc_checkpointed
+                    out = hamiltonian_mc_checkpointed(
+                        *hargs, checkpoint_every=int(checkpoint_every),
+                        checkpoint_path=checkpoint_path + ".progress",
+                        resume_from=resume_from, **hkw)
+                else:
+                    from .samplers import hamiltonian_mc
+                    out = hamiltonian_mc(*hargs, **hkw)
             elif backend == "amh":
                 from .samplers import adaptive_metropolis
                 out = adaptive_metropolis(

@@ -22,11 +22,15 @@ from . import infection  # noqa: F401,E402
 from . import ecology  # noqa: F401,E402
 from . import epidemiology  # noqa: F401,E402
 from . import chemistry  # noqa: F401,E402
+from . import pharmacology  # noqa: F401,E402
+from . import neuroscience  # noqa: F401,E402
 
 from .infection import one_i, two_i, zero_i  # noqa: F401,E402
 from .ecology import chemostat, logistic, lotka_volterra  # noqa: F401,E402
 from .epidemiology import seir, sir  # noqa: F401,E402
 from .chemistry import oregonator, robertson, vanderpol  # noqa: F401,E402
+from .pharmacology import pk_oral, pk_two_compartment  # noqa: F401,E402
+from .neuroscience import fitzhugh_nagumo, hindmarsh_rose  # noqa: F401,E402
 
 __all__ = [
     "ModelDef", "available", "get", "register",
@@ -34,4 +38,6 @@ __all__ = [
     "lotka_volterra", "logistic", "chemostat",
     "sir", "seir",
     "robertson", "vanderpol", "oregonator",
+    "pk_oral", "pk_two_compartment",
+    "fitzhugh_nagumo", "hindmarsh_rose",
 ]

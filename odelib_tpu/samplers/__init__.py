@@ -1,7 +1,7 @@
 from .amh import adaptive_metropolis
 from .ensemble import ensemble_mh
 from .joint import JointOutput, joint_metropolis_hastings, joint_survey
-from .hmc import hamiltonian_mc
+from .hmc import hamiltonian_mc, hamiltonian_mc_checkpointed
 from .lhs import lhs_unit, sample_lhs
 from .mh import MHOutput, equilibriums, metropolis_hastings, survey
 from .optimize import MAPResult, map_fit
@@ -10,6 +10,7 @@ from .smc import SMCOutput, smc_sample
 
 __all__ = ["lhs_unit", "sample_lhs", "MHOutput", "metropolis_hastings",
            "survey", "equilibriums", "hamiltonian_mc",
+           "hamiltonian_mc_checkpointed",
            "parallel_tempering", "map_fit", "MAPResult", "ensemble_mh",
            "smc_sample", "SMCOutput", "adaptive_metropolis",
            "joint_metropolis_hastings", "joint_survey", "JointOutput"]

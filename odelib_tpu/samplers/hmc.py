@@ -36,6 +36,18 @@ Design notes (all vmap/shard_map-safe, one XLA program per ensemble):
   z += eps * M^-1 * p; trajectory lengths are jittered per chain +-50%
   to break periodicity. Static parameters get zero momentum and zero
   gradient through ``walk_mask``.
+* ``path_adapt=True`` additionally learns the TRAJECTORY LENGTH during
+  warmup — the ChEES-HMC recipe (Hoffman, Radul & Sountsov, AISTATS
+  2021), which is the accelerator-native answer to NUTS: instead of
+  NUTS's per-chain recursive tree doubling (data-dependent control flow
+  that diverges across vmapped lanes and defeats batching), ONE shared
+  maximum length tau is adapted by Adam on the Change-in-Estimator-of-
+  Expected-Square criterion, and each iteration runs a SINGLE
+  Halton-jittered length h_m * tau shared by every chain — all lanes
+  always execute the same leapfrog count, so the batch stays dense on
+  the VPU. tau freezes (to its iterate average) at the end of warmup;
+  the recorded phase is exact MCMC with jittered-but-state-independent
+  trajectory lengths.
 * Failures follow the framework's NaN-not-exception model: a non-finite
   Hamiltonian rejects the trajectory and the chain continues.
 """
@@ -58,6 +70,14 @@ class _DualAvg(NamedTuple):
     mu: Any           # shrinkage target (log(10 * eps0))
 
 
+class _Chees(NamedTuple):
+    """Shared trajectory-length state for ChEES adaptation."""
+    log_tau: Any      # current log max trajectory length (scalar, shared)
+    log_tau_bar: Any  # iterate-averaged (frozen at end of warmup)
+    m1: Any           # Adam first moment
+    m2: Any           # Adam second moment
+
+
 class _Carry(NamedTuple):
     z: Any            # (C, P) log-theta
     u_pot: Any        # (C,) potential at z
@@ -67,8 +87,24 @@ class _Carry(NamedTuple):
     g: Any            # (C, P) cached grad U at z (reused next iteration)
     acc_count: Any    # (C,)
     da: _DualAvg
+    chees: _Chees
     mass_inv: Any     # (P,) shared diagonal inverse mass (= var_chains(z))
     key: Any
+
+
+def _halton2(n: int):
+    """Radical-inverse base-2 (van der Corput) sequence for m = 1..n:
+    the deterministic low-discrepancy jitter stream of ChEES-HMC."""
+    import numpy as np
+    out = np.zeros(n)
+    for i in range(n):
+        m, f, r = i + 1, 0.5, 0.0
+        while m:
+            r += f * (m & 1)
+            m >>= 1
+            f *= 0.5
+        out[i] = r
+    return out
 
 
 def _leapfrog(vag_u, z, p, g, eps, n_steps, walk_mask, mass_inv):
@@ -104,18 +140,8 @@ def _leapfrog(vag_u, z, p, g, eps, n_steps, walk_mask, mass_inv):
                              (z, p, g, zero, (zero, zero, zero)))
 
 
-@partial(jax.jit, static_argnames=(
-    "spec", "nits", "burnin", "n_leapfrog", "target_accept", "use_priors",
-    "prior_logpdf", "num_params", "method", "substeps", "init_step_size",
-    "mass_adapt"))
-def _hmc_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
-              nits, burnin, n_leapfrog, target_accept, use_priors,
-              prior_logpdf, num_params, method, substeps, init_step_size,
-              mass_adapt):
-    ikw = dict(method=method, substeps=substeps)
-    dtype = theta0.dtype
-    C = theta0.shape[0]
-
+def _make_vag_u(spec, obs, times, y0_base, *, use_priors, prior_logpdf,
+                num_params, ikw):
     def potential1(z):
         """U(z) with the fit metrics as aux — one solve serves gradient,
         Hamiltonian and posterior record alike."""
@@ -128,8 +154,18 @@ def _hmc_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
             u = u - prior_logpdf(theta)
         return u, (chi, rsq, aic)
 
-    vag_u = jax.vmap(jax.value_and_grad(potential1, has_aux=True))
+    return jax.vmap(jax.value_and_grad(potential1, has_aux=True))
 
+
+def _make_step(vag_u, walk_mask, C, dtype, *, burnin, n_leapfrog,
+               target_accept, mass_adapt, path_adapt, max_leapfrog,
+               adam_lr):
+    """Build the per-iteration transition shared by every dispatch
+    strategy. All state (including the PRNG key and every adaptation
+    statistic) lives in the ``_Carry``, so running the scan in chunks
+    from the host — the fix for runtimes that kill very long single
+    dispatches, and the hook for periodic checkpointing — is bitwise
+    identical to one uninterrupted scan."""
     # dual-averaging constants (Stan defaults)
     gamma, t0, kappa = 0.05, 10.0, 0.75
     warm0 = min(10, max(burnin // 4, 1))  # mass refresh starts here
@@ -139,16 +175,36 @@ def _hmc_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
         ok = (var > 1e-10) & jnp.isfinite(var) & (walk_mask > 0)
         return jnp.where(ok, var, mass_inv)
 
-    def step(carry: _Carry, it):
+    def step(carry: _Carry, it_h):
+        it, h_m = it_h
         key, k_mom, k_u, k_jit = jax.random.split(carry.key, 4)
         eps = jnp.exp(carry.da.log_eps)
-        # jitter trajectory length per chain +-50% to break periodicity
-        eps_j = eps * (0.5 + jax.random.uniform(k_jit, (C, 1), dtype))
+        if path_adapt:
+            # ChEES: ONE Halton-jittered trajectory length shared by all
+            # chains — lanes never diverge in leapfrog count. The step
+            # itself keeps the per-chain +-50% jitter: all lanes run the
+            # same n_steps but at eps * u_c, so realized trajectory TIMES
+            # spread 0.5-1.5x across the batch. Without it every chain
+            # lands on the identical length and a tau that drifts onto a
+            # resonant (near-periodic) orbit collapses the WHOLE batch's
+            # mixing at once (measured on the 7-dim bench posterior:
+            # min-ESS 776 shared-eps vs 6-figure with jitter), and a lane
+            # whose region needs a smaller step than the shared eps is
+            # stuck at zero acceptance with no escape.
+            tau_m = h_m * jnp.exp(carry.chees.log_tau)
+            n_steps = jnp.clip(jnp.ceil(tau_m / eps), 1,
+                               max_leapfrog).astype(jnp.int32)
+            u_j = 0.5 + jax.random.uniform(k_jit, (C, 1), dtype)
+            eps_j = eps * u_j
+        else:
+            # fixed count; jitter the step per chain +-50% instead
+            n_steps = n_leapfrog
+            eps_j = eps * (0.5 + jax.random.uniform(k_jit, (C, 1), dtype))
         sigma_p = jax.lax.rsqrt(carry.mass_inv)
         p0 = jax.random.normal(k_mom, carry.z.shape, dtype) \
             * sigma_p * walk_mask
         z1, p1, g1, u1, (chi1, rsq1, aic1) = _leapfrog(
-            vag_u, carry.z, p0, carry.g, eps_j, n_leapfrog,
+            vag_u, carry.z, p0, carry.g, eps_j, n_steps,
             walk_mask, carry.mass_inv)
 
         kin = lambda p: 0.5 * jnp.sum(p * p * carry.mass_inv, axis=-1)
@@ -196,12 +252,74 @@ def _hmc_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
         da = da._replace(log_eps=jnp.where(switch, da.log_eps_bar,
                                            da.log_eps))
 
+        ch = carry.chees
+        if path_adapt:
+            # stochastic gradient of the ChEES criterion
+            # E[(|z'-zbar'|^2 - |z-zbar|^2)^2]/4 w.r.t. tau, through the
+            # halton jitter (Hoffman et al. 2021 eq. 6): the end velocity
+            # is d(proposal)/d(trajectory time)
+            wm = walk_mask > 0
+            dz0 = jnp.where(wm, carry.z - jnp.mean(carry.z, 0), 0.0)
+            dz1 = jnp.where(wm, z1 - jnp.mean(z1, 0), 0.0)
+            v1 = jnp.where(wm, carry.mass_inv * p1, 0.0)
+            r_diff = jnp.sum(dz1 * dz1, -1) - jnp.sum(dz0 * dz0, -1)
+            proj = jnp.sum(dz1 * v1, -1)
+            # chain c ran trajectory time ~ h_m * u_c * tau, so its
+            # d(time)/d(tau) carries the chain's own jitter factor
+            contrib = alpha * h_m * u_j[:, 0] * r_diff * proj
+            contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
+            g_tau = jnp.sum(contrib) / jnp.maximum(jnp.sum(alpha), 1e-6)
+            # Adam ascent on log tau (d/dlog = tau * d/dtau)
+            glt = g_tau * jnp.exp(ch.log_tau)
+            glt = jnp.where(jnp.isfinite(glt), glt, 0.0)
+            b1, b2 = 0.9, 0.999
+            m1 = b1 * ch.m1 + (1.0 - b1) * glt
+            m2 = b2 * ch.m2 + (1.0 - b2) * glt * glt
+            mh_ = m1 / (1.0 - b1 ** m)
+            vh_ = m2 / (1.0 - b2 ** m)
+            log_tau = ch.log_tau + adam_lr * mh_ / (jnp.sqrt(vh_) + 1e-8)
+            # keep tau inside what max_leapfrog can realize at current eps
+            log_tau = jnp.clip(log_tau, da.log_eps,
+                               da.log_eps + jnp.log(float(max_leapfrog)))
+            log_tau_bar = w * log_tau + (1.0 - w) * ch.log_tau_bar
+            ch = _Chees(
+                log_tau=jnp.where(adapting, log_tau, ch.log_tau),
+                log_tau_bar=jnp.where(adapting, log_tau_bar,
+                                      ch.log_tau_bar),
+                m1=jnp.where(adapting, m1, ch.m1),
+                m2=jnp.where(adapting, m2, ch.m2))
+            ch = ch._replace(log_tau=jnp.where(switch, ch.log_tau_bar,
+                                               ch.log_tau))
+
         new = _Carry(z=z, u_pot=u_pot, chi=chi, rsq=rsq, aic=aic, g=g,
                      acc_count=carry.acc_count + accept.astype(dtype),
-                     da=da, mass_inv=mass_inv, key=key)
+                     da=da, chees=ch, mass_inv=mass_inv, key=key)
         record = (jnp.exp(z), chi, rsq, aic, new.acc_count / it)
         return new, record
 
+    return step, cross_chain_mass
+
+
+_HMC_STATICS = ("spec", "burnin", "n_leapfrog", "target_accept",
+                "use_priors", "prior_logpdf", "num_params", "method",
+                "substeps", "init_step_size", "mass_adapt", "path_adapt",
+                "max_leapfrog", "adam_lr")
+
+
+@partial(jax.jit, static_argnames=_HMC_STATICS)
+def _hmc_init(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
+              burnin, n_leapfrog, target_accept, use_priors, prior_logpdf,
+              num_params, method, substeps, init_step_size, mass_adapt,
+              path_adapt, max_leapfrog, adam_lr):
+    dtype = theta0.dtype
+    C = theta0.shape[0]
+    vag_u = _make_vag_u(spec, obs, times, y0_base, use_priors=use_priors,
+                        prior_logpdf=prior_logpdf, num_params=num_params,
+                        ikw=dict(method=method, substeps=substeps))
+    _, cross_chain_mass = _make_step(
+        vag_u, walk_mask, C, dtype, burnin=burnin, n_leapfrog=n_leapfrog,
+        target_accept=target_accept, mass_adapt=mass_adapt,
+        path_adapt=path_adapt, max_leapfrog=max_leapfrog, adam_lr=adam_lr)
     z0 = jnp.log(theta0)
     (u0, (chi0, rsq0, aic0)), g0 = vag_u(z0)
     g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
@@ -212,18 +330,74 @@ def _hmc_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
     mass0 = jnp.ones((theta0.shape[-1],), dtype)
     if mass_adapt:
         mass0 = cross_chain_mass(z0, mass0)
-    carry = _Carry(z=z0, u_pot=u0, chi=chi0, rsq=rsq0, aic=aic0, g=g0,
-                   acc_count=jnp.zeros((C,), dtype), da=da0,
-                   mass_inv=mass0, key=keys[0])
+    lt0 = jnp.log(jnp.asarray(n_leapfrog * init_step_size, dtype))
+    zero0 = jnp.asarray(0.0, dtype)
+    ch0 = _Chees(log_tau=lt0, log_tau_bar=lt0, m1=zero0, m2=zero0)
+    return _Carry(z=z0, u_pot=u0, chi=chi0, rsq=rsq0, aic=aic0, g=g0,
+                  acc_count=jnp.zeros((C,), dtype), da=da0, chees=ch0,
+                  mass_inv=mass0, key=keys[0])
+
+
+@partial(jax.jit, static_argnames=_HMC_STATICS + ("record",))
+def _hmc_chunk(spec, obs, times, y0_base, carry, its, halton, walk_mask, *,
+               burnin, n_leapfrog, target_accept, use_priors, prior_logpdf,
+               num_params, method, substeps, init_step_size, mass_adapt,
+               path_adapt, max_leapfrog, adam_lr, record):
+    """One bounded device dispatch: scan ``its.shape[0]`` iterations and
+    hand the carry back to the host. Chunking bounds per-dispatch
+    wall-clock (long ChEES trajectories at large ``nits`` otherwise
+    exceed what remote-tunnel TPU runtimes tolerate in a single
+    execution) and is the unit of periodic checkpointing."""
+    C = carry.z.shape[0]
+    vag_u = _make_vag_u(spec, obs, times, y0_base, use_priors=use_priors,
+                        prior_logpdf=prior_logpdf, num_params=num_params,
+                        ikw=dict(method=method, substeps=substeps))
+    step, _ = _make_step(
+        vag_u, walk_mask, C, carry.z.dtype, burnin=burnin,
+        n_leapfrog=n_leapfrog, target_accept=target_accept,
+        mass_adapt=mass_adapt, path_adapt=path_adapt,
+        max_leapfrog=max_leapfrog, adam_lr=adam_lr)
+    if record:
+        carry, recs = jax.lax.scan(step, carry, (its, halton))
+        # scan stacks on the leading axis: (R, C, ...) -> (C, R, ...)
+        return carry, tuple(jnp.swapaxes(r, 0, 1) for r in recs)
+    carry, _ = jax.lax.scan(lambda c, xs: (step(c, xs)[0], None),
+                            carry, (its, halton))
+    return carry, None
+
+
+def _hmc_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, halton, *,
+              nits, burnin, n_leapfrog, target_accept, use_priors,
+              prior_logpdf, num_params, method, substeps, init_step_size,
+              mass_adapt, path_adapt, max_leapfrog, adam_lr,
+              chunk_iters=None):
+    dtype = theta0.dtype
+    skw = dict(burnin=burnin, n_leapfrog=n_leapfrog,
+               target_accept=target_accept, use_priors=use_priors,
+               prior_logpdf=prior_logpdf, num_params=num_params,
+               method=method, substeps=substeps,
+               init_step_size=init_step_size, mass_adapt=mass_adapt,
+               path_adapt=path_adapt, max_leapfrog=max_leapfrog,
+               adam_lr=adam_lr)
+    carry = _hmc_init(spec, obs, times, y0_base, theta0, keys, walk_mask,
+                      **skw)
     its = jnp.arange(1, nits, dtype=dtype)
-    carry, _ = jax.lax.scan(
-        lambda c, it: (step(c, it)[0], None), carry, its[:burnin])
-    carry, recs = jax.lax.scan(step, carry, its[burnin:])
-    # scan stacks on the leading (record) axis: (R, C, ...) -> (C, R, ...)
-    th_s, chi_s, rsq_s, aic_s, ar_s = recs
-    return (jnp.swapaxes(th_s, 0, 1), jnp.swapaxes(chi_s, 0, 1),
-            jnp.swapaxes(rsq_s, 0, 1), jnp.swapaxes(aic_s, 0, 1),
-            jnp.swapaxes(ar_s, 0, 1))
+    E = chunk_iters or (nits - 1)
+    recs = []
+    for lo in range(0, nits - 1, E):
+        hi = min(lo + E, nits - 1)
+        # a chunk straddling the burnin boundary is split so the no-record
+        # program serves the warmup part and the record program the rest
+        for a, b in ((lo, min(hi, burnin)), (max(lo, burnin), hi)):
+            if a >= b:
+                continue
+            carry, rec = _hmc_chunk(
+                spec, obs, times, y0_base, carry, its[a:b], halton[a:b],
+                walk_mask, record=(a >= burnin), **skw)
+            if rec is not None:
+                recs.append(rec)
+    return tuple(jnp.concatenate(parts, axis=1)
+                 for parts in zip(*recs))
 
 
 def hamiltonian_mc(
@@ -233,7 +407,9 @@ def hamiltonian_mc(
         target_accept: float = 0.65, walk_mask=None,
         prior_logpdf=None, use_priors: bool = False,
         method: str = "fixed_dopri5", substeps=4,
-        mass_adapt: bool = True) -> MHOutput:
+        mass_adapt: bool = True, path_adapt: bool = False,
+        max_leapfrog: int = 256, adam_lr: float = 0.025,
+        chunk_iters: Optional[int] = None) -> MHOutput:
     """Run C interacting-warmup HMC chains as one jitted device program.
 
     Same input/output contract as :func:`~odelib_tpu.samplers.mh.
@@ -250,6 +426,22 @@ def hamiltonian_mc(
     freeze at the end of burn-in, so recorded samples are exact MCMC.
     Seed the chains overdispersed (the MCMC() fit-survey seeding does)
     for a sound initial variance estimate.
+
+    ``path_adapt=True`` (ChEES, Hoffman et al. 2021) additionally adapts
+    the trajectory LENGTH during warmup: Adam ascends the ChEES criterion
+    on one shared max length tau, each iteration runs a Halton-jittered
+    ``h_m * tau`` (one shared leapfrog count per iteration — vmapped
+    lanes never diverge, the reason this recipe beats a NUTS port on
+    batch hardware), and tau freezes to its iterate average at the end
+    of warmup. ``n_leapfrog * step_size`` seeds tau; ``max_leapfrog``
+    caps the realized step count per trajectory.
+
+    ``chunk_iters`` bounds the iterations per device dispatch: the scan
+    runs in host-driven chunks with the full sampler state (PRNG key and
+    every adaptation statistic) threaded through the carry, so chunked ==
+    unchunked bitwise. Use it when a single dispatch would run for
+    minutes (e.g. ``path_adapt`` with large ``nits`` — long-lived single
+    executions can exceed what remote-tunnel TPU runtimes tolerate).
 
     When to prefer HMC over the random-walk backends: several
     correlated, jointly-identified parameters where MH's isotropic 5%
@@ -280,13 +472,176 @@ def hamiltonian_mc(
     if use_priors and prior_logpdf is None:
         raise ValueError("use_priors=True requires prior_logpdf")
 
+    halton = jnp.asarray(_halton2(int(nits) - 1), theta0.dtype)
     theta_s, chi_s, rsq_s, aic_s, ar_s = _hmc_impl(
-        spec, obs, times, y0_base, theta0, keys, walk_mask,
+        spec, obs, times, y0_base, theta0, keys, walk_mask, halton,
         nits=int(nits), burnin=int(burnin), n_leapfrog=int(n_leapfrog),
         target_accept=float(target_accept), use_priors=bool(use_priors),
         prior_logpdf=prior_logpdf, num_params=num_params, method=method,
         substeps=substeps if isinstance(substeps, tuple) else int(substeps),
-        init_step_size=float(step_size), mass_adapt=bool(mass_adapt))
+        init_step_size=float(step_size), mass_adapt=bool(mass_adapt),
+        path_adapt=bool(path_adapt), max_leapfrog=int(max_leapfrog),
+        adam_lr=float(adam_lr),
+        chunk_iters=int(chunk_iters) if chunk_iters else None)
     iterations = jnp.arange(1, nits)[burnin:]
     return MHOutput(theta=theta_s, chi=chi_s, rsquared=rsq_s, aic=aic_s,
                     acceptance_ratio=ar_s, iteration=iterations)
+
+
+def hamiltonian_mc_checkpointed(
+        spec: ModelSpec, obs: ObsData, times, y0_base, theta0, keys, *,
+        nits: int = 1000, burnin: Optional[int] = None,
+        n_leapfrog: int = 4, step_size: float = 0.02,
+        target_accept: float = 0.65, walk_mask=None,
+        prior_logpdf=None, use_priors: bool = False,
+        method: str = "fixed_dopri5", substeps=4,
+        mass_adapt: bool = True, path_adapt: bool = False,
+        max_leapfrog: int = 256, adam_lr: float = 0.025,
+        checkpoint_every: int = 100, checkpoint_path: Optional[str] = None,
+        resume_from: Optional[str] = None,
+        _stop_after_chunks: Optional[int] = None) -> MHOutput:
+    """Periodically-checkpointed HMC/ChEES: the scan runs in chunks of
+    ``checkpoint_every`` iterations (burn-in unrecorded, exactly like the
+    plain driver) and after each chunk the FULL sampler state —
+    positions, cached gradients, PRNG key, dual-averaging, ChEES and
+    mass-matrix statistics — plus the records so far are persisted (npz,
+    atomic rename). A killed run resumes via ``resume_from`` and is
+    BITWISE identical to :func:`hamiltonian_mc` with the same arguments:
+    every source of randomness lives in the carry, so chunk boundaries
+    are invisible. The same chunking also bounds per-dispatch wall-clock
+    (see ``chunk_iters``); checkpointing is that mechanism plus
+    persistence.
+
+    ``_stop_after_chunks``: test hook simulating a mid-run kill.
+    """
+    import os
+
+    import numpy as np
+
+    if burnin is None:
+        burnin = int(nits / 2)
+    if nits - 1 <= burnin:
+        raise ValueError(f"nits={nits} leaves no recorded iterations after "
+                         f"burnin={burnin}")
+    if method not in ("fixed_dopri5", "rk4"):
+        raise ValueError(
+            "HMC requires a fixed-step differentiable integrator: "
+            "method='fixed_dopri5' or 'rk4'")
+    E = int(checkpoint_every)
+    if E < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    theta0 = jnp.atleast_2d(theta0)
+    P = theta0.shape[-1]
+    dtype = theta0.dtype
+    if walk_mask is None:
+        walk_mask = jnp.ones((P,), dtype)
+    walk_mask = jnp.asarray(walk_mask, dtype)
+    num_params = int(jnp.count_nonzero(theta0[0]))
+    if use_priors and prior_logpdf is None:
+        raise ValueError("use_priors=True requires prior_logpdf")
+
+    burnin = int(burnin)
+    nits = int(nits)
+    skw = dict(burnin=burnin, n_leapfrog=int(n_leapfrog),
+               target_accept=float(target_accept),
+               use_priors=bool(use_priors), prior_logpdf=prior_logpdf,
+               num_params=num_params, method=method,
+               substeps=substeps if isinstance(substeps, tuple)
+               else int(substeps),
+               init_step_size=float(step_size),
+               mass_adapt=bool(mass_adapt), path_adapt=bool(path_adapt),
+               max_leapfrog=int(max_leapfrog), adam_lr=float(adam_lr))
+
+    R = nits - 1
+    n_chunks = -(-R // E)
+    sig = repr(("hmc", spec.pnames, spec.pshapes, P, int(theta0.shape[0]),
+                nits, burnin, skw["n_leapfrog"], skw["target_accept"],
+                skw["init_step_size"], skw["mass_adapt"],
+                skw["path_adapt"], skw["max_leapfrog"], skw["adam_lr"],
+                tuple(float(w) for w in np.asarray(walk_mask)),
+                bool(use_priors), method, skw["substeps"]))
+
+    halton = jnp.asarray(_halton2(nits - 1), dtype)
+    its = jnp.arange(1, nits, dtype=dtype)
+
+    k0, carry, recs = 0, None, []
+    if resume_from:
+        with np.load(resume_from, allow_pickle=False) as z:
+            saved_sig = bytes(z["sig"]).decode()
+            if saved_sig != sig:
+                raise ValueError(
+                    "checkpoint was written by a different HMC "
+                    f"configuration:\n  saved: {saved_sig}\n  this:  {sig}")
+            k0 = int(z["next_chunk"])
+            n_leaves = int(z["n_leaves"])
+            leaves = [jnp.asarray(z[f"leaf{i}"]) for i in range(n_leaves)]
+            _, treedef = jax.tree_util.tree_flatten(
+                _carry_skeleton(theta0.shape[0], P, dtype))
+            carry = jax.tree_util.tree_unflatten(treedef, leaves)
+            carry = carry._replace(
+                key=jax.random.wrap_key_data(jnp.asarray(z["key_data"])))
+            if "rec0" in z:
+                recs = [tuple(z[f"rec{i}"] for i in range(5))]
+    if carry is None:
+        carry = _hmc_init(spec, obs, times, y0_base, theta0, keys,
+                          walk_mask, **skw)
+
+    for k in range(k0, n_chunks):
+        lo, hi = k * E, min((k + 1) * E, R)
+        # identical program variants to the plain driver (no-record
+        # during burnin): the record flag changes XLA's reduction order
+        # for the cross-chain mass/step statistics at the last ulp on
+        # some platforms, which would break bitwise resume parity
+        for a, b in ((lo, min(hi, burnin)), (max(lo, burnin), hi)):
+            if a >= b:
+                continue
+            carry, rec = _hmc_chunk(spec, obs, times, y0_base, carry,
+                                    its[a:b], halton[a:b], walk_mask,
+                                    record=(a >= burnin), **skw)
+            if rec is not None:
+                recs.append(tuple(np.asarray(r) for r in rec))
+        if checkpoint_path:
+            rec_payload = {}
+            if recs:
+                merged = tuple(np.concatenate([r[i] for r in recs], axis=1)
+                               for i in range(5))
+                recs = [merged]
+                rec_payload = {f"rec{i}": merged[i] for i in range(5)}
+            leaves, _ = jax.tree_util.tree_flatten(
+                carry._replace(key=None))
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez_compressed(
+                    f, sig=np.frombuffer(sig.encode(), np.uint8),
+                    next_chunk=np.asarray(k + 1),
+                    n_leaves=np.asarray(len(leaves)),
+                    key_data=np.asarray(
+                        jax.random.key_data(carry.key)),
+                    **{f"leaf{i}": np.asarray(v)
+                       for i, v in enumerate(leaves)},
+                    **rec_payload)
+            os.replace(tmp, checkpoint_path)
+        if (_stop_after_chunks is not None
+                and k + 1 - k0 >= _stop_after_chunks and k + 1 < n_chunks):
+            return None
+
+    th, chi, rsq, aic, ar = (np.concatenate([r[i] for r in recs], axis=1)
+                             for i in range(5))
+    iterations = jnp.arange(1, nits)[burnin:]
+    return MHOutput(theta=jnp.asarray(th), chi=jnp.asarray(chi),
+                    rsquared=jnp.asarray(rsq), aic=jnp.asarray(aic),
+                    acceptance_ratio=jnp.asarray(ar),
+                    iteration=iterations)
+
+
+def _carry_skeleton(C, P, dtype):
+    """A _Carry with key=None and zero leaves, used only for its treedef
+    when restoring a checkpoint (tree_unflatten needs the structure)."""
+    z = jnp.zeros((C, P), dtype)
+    v = jnp.zeros((C,), dtype)
+    s = jnp.asarray(0.0, dtype)
+    da = _DualAvg(log_eps=s, log_eps_bar=s, h_bar=s, mu=s)
+    ch = _Chees(log_tau=s, log_tau_bar=s, m1=s, m2=s)
+    return _Carry(z=z, u_pot=v, chi=v, rsq=v, aic=v, g=z, acc_count=v,
+                  da=da, chees=ch, mass_inv=jnp.zeros((P,), dtype),
+                  key=None)

@@ -267,6 +267,7 @@ def metropolis_hastings_checkpointed(
     n_chunks = -(-R // E)
     sig = repr(("xla-mh", spec.pnames, spec.pshapes, P,
                 int(theta0.shape[0]), nits, float(rwalk_std),
+                tuple(float(w) for w in np.asarray(walk_mask)),
                 bool(use_priors), skw["method"], skw["rtol"], skw["atol"],
                 skw["max_steps"], skw["substeps"]))
 

@@ -22,3 +22,27 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(items):
+    """Insert a cache-clear boundary between test modules.
+
+    A full-suite run compiles many hundreds of XLA programs in one
+    process; letting executables/tracing caches accumulate across all of
+    them has produced compiler segfaults deep into the run (XLA CPU,
+    observed at ~240 tests on this machine). Dropping JAX's caches at
+    module boundaries keeps the compiler's resident state bounded;
+    within a module, fixtures still share compilations.
+    """
+    seen = {}
+    for it in items:
+        mod = it.nodeid.split("::", 1)[0]
+        if mod not in seen:
+            seen[mod] = True
+            it.add_marker(pytest.mark.usefixtures("_module_cache_clear"))
+
+
+@pytest.fixture
+def _module_cache_clear():
+    jax.clear_caches()
+    yield

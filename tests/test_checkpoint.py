@@ -147,3 +147,57 @@ def test_api_checkpoint_every_on_xla_backend(model, tmp_path):
     assert os.path.exists(p + ".progress")
     assert len(post) == 2 * 14  # nits=30 -> records 16..29
     assert np.isfinite(post["chi"]).all()
+
+
+def test_hmc_checkpointed_bitwise_equals_plain(model, tmp_path):
+    """Chunked/persisted HMC must reproduce the single-dispatch sampler
+    bitwise: every source of randomness and adaptation lives in the
+    persisted carry (incl. ChEES trajectory-length state)."""
+    from odelib_tpu.samplers import (hamiltonian_mc,
+                                     hamiltonian_mc_checkpointed)
+
+    args = _mh_args(model)
+    for path_adapt in (False, True):
+        kw = dict(nits=24, burnin=12, n_leapfrog=2, step_size=0.02,
+                  substeps=2, path_adapt=path_adapt, max_leapfrog=8)
+        plain = hamiltonian_mc(*args, **kw)
+        chunked = hamiltonian_mc_checkpointed(
+            *args, checkpoint_every=5,
+            checkpoint_path=str(tmp_path / f"hmc-{path_adapt}.progress"),
+            **kw)
+        for a, b in zip(plain, chunked):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hmc_checkpoint_kill_and_resume(model, tmp_path):
+    from odelib_tpu.samplers import (hamiltonian_mc,
+                                     hamiltonian_mc_checkpointed)
+
+    args = _mh_args(model)
+    kw = dict(nits=30, burnin=10, n_leapfrog=2, step_size=0.02, substeps=2,
+              path_adapt=True, max_leapfrog=8)
+    p = str(tmp_path / "hmc.progress")
+    ref = hamiltonian_mc(*args, **kw)
+
+    killed = hamiltonian_mc_checkpointed(
+        *args, checkpoint_every=7, checkpoint_path=p,
+        _stop_after_chunks=2, **kw)
+    assert killed is None and os.path.exists(p)
+
+    resumed = hamiltonian_mc_checkpointed(
+        *args, checkpoint_every=7, checkpoint_path=p, resume_from=p, **kw)
+    for a, b in zip(ref, resumed):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_api_checkpoint_every_on_hmc_sampler(model, tmp_path):
+    """MCMC(sampler='hmc', checkpoint_every=...) persists progress and
+    returns the usual posterior columns."""
+    inits = pd.DataFrame([dict(mu=0.6, phi=2.4e-8, beta=24.0)] * 2)
+    p = str(tmp_path / "post.npz")
+    post = model.MCMC(chain_inits=inits, iterations_per_chain=24,
+                      print_report=False, sampler="hmc", n_leapfrog=2,
+                      checkpoint_path=p, checkpoint_every=6)
+    assert os.path.exists(p + ".progress")
+    assert {"mu", "phi", "beta", "chi", "chain#"} <= set(post.columns)
+    assert len(post) > 0

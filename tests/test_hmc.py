@@ -105,6 +105,37 @@ def test_hmc_recovers_exact_gaussian_posterior(gaussian_problem):
     np.testing.assert_allclose(z.std(0), post_std, rtol=0.35)
 
 
+def test_chees_recovers_exact_gaussian_posterior(gaussian_problem):
+    """path_adapt=True (ChEES trajectory-length adaptation) must target
+    the identical posterior — and actually move tau off its seed."""
+    spec, obs, times, y0, post_mean, post_std = gaussian_problem
+    C = 32
+    rng = np.random.default_rng(21)
+    th0 = np.exp(post_mean[None] + rng.normal(0, 0.2, (C, 2)))
+    keys = jax.random.split(jax.random.PRNGKey(21), C)
+    out = hamiltonian_mc(spec, obs, times, y0, jnp.asarray(th0), keys,
+                         nits=400, burnin=200, n_leapfrog=2, step_size=0.05,
+                         path_adapt=True)
+    z = np.log(np.asarray(out.theta)).reshape(-1, 2)
+    se = post_std / np.sqrt(C)
+    assert np.all(np.abs(z.mean(0) - post_mean) < 5 * se), (
+        f"mean {z.mean(0)} vs exact {post_mean} (5se={5 * se})")
+    np.testing.assert_allclose(z.std(0), post_std, rtol=0.35)
+    ar = np.asarray(out.acceptance_ratio[:, -1])
+    assert 0.2 < ar.mean() <= 1.0
+
+
+def test_chees_static_parameters_stay_fixed(problem):
+    spec, obs, times, y0, theta_star = problem
+    th0, keys = _chains(theta_star, 4, 5)
+    mask = jnp.asarray([1.0, 0.0, 1.0])
+    out = hamiltonian_mc(spec, obs, times, y0, th0, keys,
+                         nits=60, burnin=30, path_adapt=True, walk_mask=mask)
+    th = np.asarray(out.theta)
+    expect = np.broadcast_to(np.asarray(th0)[:, None, 1], th[:, :, 1].shape)
+    np.testing.assert_allclose(th[:, :, 1], expect, rtol=1e-6)
+
+
 def test_mh_recovers_exact_gaussian_posterior(gaussian_problem):
     """Same oracle for the MH sampler — pins both samplers to the SAME
     measure, making them mutually consistent by transitivity."""
@@ -183,3 +214,22 @@ def test_chi_sensitivity_matches_finite_differences():
         fd = (chi_at(up) - chi_at(dn)) / (2 * h)
         assert np.isfinite(g[p])
         np.testing.assert_allclose(g[p], fd, rtol=5e-3, atol=1e-4)
+
+
+def test_chunked_dispatch_bitwise_identical(problem):
+    """chunk_iters bounds per-dispatch wall-clock by scanning in
+    host-driven chunks; the carry holds ALL sampler state (key, dual
+    averaging, ChEES, mass), so any chunking must reproduce the
+    single-dispatch run bitwise."""
+    spec, obs, times, y0, theta_star = problem
+    th0, keys = _chains(theta_star, 4, 11)
+    kw = dict(nits=48, burnin=16, n_leapfrog=3, step_size=0.02,
+              path_adapt=True, max_leapfrog=16)
+    ref = hamiltonian_mc(spec, obs, times, y0, th0, keys, **kw)
+    for e in (5, 16, 31):
+        out = hamiltonian_mc(spec, obs, times, y0, th0, keys,
+                             chunk_iters=e, **kw)
+        np.testing.assert_array_equal(np.asarray(out.theta),
+                                      np.asarray(ref.theta))
+        np.testing.assert_array_equal(np.asarray(out.chi),
+                                      np.asarray(ref.chi))

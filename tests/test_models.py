@@ -20,7 +20,9 @@ ALL = models.available()
 def test_registry_lists_all_families():
     assert set(ALL) >= {"zero_i", "one_i", "two_i", "lotka_volterra",
                         "logistic", "chemostat", "sir", "seir", "robertson",
-                        "vanderpol", "oregonator"}
+                        "vanderpol", "oregonator", "pk_oral",
+                        "pk_two_compartment", "fitzhugh_nagumo",
+                        "hindmarsh_rose"}
     with pytest.raises(KeyError):
         models.get("not_a_model")
     # duplicate registration is rejected
