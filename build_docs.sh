@@ -19,6 +19,7 @@ MODULES="odelib_tpu odelib_tpu.api odelib_tpu.distributions \
  odelib_tpu.models odelib_tpu.models.base \
  odelib_tpu.models.infection odelib_tpu.models.ecology \
  odelib_tpu.models.epidemiology odelib_tpu.models.chemistry \
+ odelib_tpu.models.pharmacology odelib_tpu.models.neuroscience \
  odelib_tpu.parallel.mesh odelib_tpu.utils.checkpoint \
  odelib_tpu.utils.profiling odelib_tpu.utils.diagnostics \
  odelib_tpu.utils.model_comparison odelib_tpu.utils.sensitivity"
