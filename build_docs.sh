@@ -15,7 +15,7 @@ MODULES="odelib_tpu odelib_tpu.api odelib_tpu.distributions \
  odelib_tpu.samplers.hmc odelib_tpu.samplers.pt \
  odelib_tpu.samplers.ensemble odelib_tpu.samplers.amh \
  odelib_tpu.samplers.smc odelib_tpu.samplers.optimize \
- odelib_tpu.samplers.joint odelib_tpu.joint \
+ odelib_tpu.samplers.advi odelib_tpu.samplers.joint odelib_tpu.joint \
  odelib_tpu.models odelib_tpu.models.base \
  odelib_tpu.models.infection odelib_tpu.models.ecology \
  odelib_tpu.models.epidemiology odelib_tpu.models.chemistry \

@@ -832,17 +832,33 @@ class ModelFramework:
         ``cov``/``corr`` (log-space covariance/correlation DataFrames) and
         ``hessian_pd`` (False when the Hessian was not positive definite —
         flat/unidentified directions; pseudo-inverse is used and the
-        corresponding stds are unreliable). Another autodiff capability
-        with no reference counterpart.
+        corresponding stds are unreliable). Array-valued parameters
+        contribute one dimension per non-zero template entry, labeled
+        ``p[i]`` (zero entries are pinned, the reference convention).
+        Another autodiff capability with no reference counterpart.
         """
         if parameters is None:
             theta = np.asarray(self._current_theta(), float)
         else:
             theta = np.asarray(self._spec.pack_theta(list(parameters)),
                                float)
-        if any(s for s in self._spec.pshapes):
-            raise ValueError("laplace_approximation supports scalar "
-                             "parameters only")
+        # free flat slots: everything except zero-template array entries
+        offsets = self._spec.theta_offsets
+        names, free = [], []
+        for i, p in enumerate(self._pnames):
+            shp = self._spec.pshapes[i]
+            if not shp:
+                names.append(p)
+                free.append(offsets[i])
+                continue
+            par = self.parameters[p]
+            tmpl = np.ravel(np.asarray(
+                par.val if par is not None else np.zeros(shp), float))
+            for j, v in enumerate(tmpl):
+                if v != 0:
+                    names.append(f"{p}[{j}]")
+                    free.append(offsets[i] + j)
+        free = np.asarray(free)
         _, _, _, _, substeps = self._solver_args(
             solver_kw, len(self._times_fit) - 1)
         dtype = jnp.result_type(float)
@@ -850,23 +866,25 @@ class ModelFramework:
         obs = self._obsdata_fit
         times = jnp.asarray(self._times_fit, dtype)
         y0b = jnp.asarray(self.get_inits(), dtype)
-        jdists = tuple(self.parameters[p].jdist
-                       if self.parameters[p] is not None else None
-                       for p in self._pnames)
+        prior_logpdf = None
+        if use_priors:
+            prior_logpdf = self._prior_logpdf_for(tuple(
+                self.parameters[p].jdist
+                if self.parameters[p] is not None else None
+                for p in self._pnames))
+        z0_full = jnp.log(jnp.maximum(jnp.asarray(theta, dtype), 1e-300))
+        free_j = jnp.asarray(free)
 
-        def u_of(z):
+        def u_of(z_free):
             from .model import chi_of_theta
-            th = jnp.exp(z)
+            th = jnp.exp(z0_full.at[free_j].set(z_free))
             u = chi_of_theta(spec, obs, th, y0b, times,
                              method="fixed_dopri5", substeps=substeps)
             if use_priors:
-                for d, v in zip(jdists, spec.unpack_theta(th)):
-                    if d is not None:
-                        u = u - jnp.sum(d.logpdf(v))
+                u = u - prior_logpdf(th)
             return u
 
-        z0 = jnp.log(jnp.asarray(theta, dtype))
-        H = np.asarray(jax.hessian(u_of)(z0), float)
+        H = np.asarray(jax.hessian(u_of)(z0_full[free_j]), float)
         pd_ok = bool(np.all(np.isfinite(H)))
         if pd_ok:
             try:
@@ -878,14 +896,134 @@ class ModelFramework:
         std = np.sqrt(np.clip(np.diag(cov), 0.0, None))
         with np.errstate(invalid="ignore", divide="ignore"):
             corr = cov / np.outer(std, std)
-        names = list(self._pnames)
+        theta_free = theta[free]
         return {
-            "median": {p: float(v) for p, v in zip(names, theta)},
+            "median": {p: float(v) for p, v in zip(names, theta_free)},
             "log_std": {p: float(s) for p, s in zip(names, std)},
             "cov": pd.DataFrame(cov, index=names, columns=names),
             "corr": pd.DataFrame(corr, index=names, columns=names),
             "hessian_pd": pd_ok,
         }
+
+    def fit_advi(self, steps=800, learning_rate=0.05, n_mc=8,
+                 rank="full", draws=1000, use_priors=True,
+                 static_parameters=(), print_report=True,
+                 **solver_kw) -> pd.DataFrame:
+        """Variational (ADVI) posterior: fit a Gaussian to the
+        log-parameter posterior by reparameterized ELBO ascent through
+        the differentiable solve, then return ``draws`` posterior draws
+        as a familiar posterior DataFrame (pnames..., chi, rsquared,
+        aic) — typically 10-100x fewer solver evaluations than MCMC for
+        a near-Gaussian posterior, at the cost of the Gaussian
+        approximation (check against :meth:`MCMC` when it matters).
+
+        ``rank='full'`` learns the full log-space covariance (captures
+        parameter correlations, like :meth:`laplace_approximation` but
+        optimized in KL instead of a mode expansion); ``'diag'`` is
+        mean-field. ``use_priors`` defaults True — ADVI targets the SAME
+        density the prior-aware samplers walk (samplers/advi.py
+        docstring spells out the measure convention). Starts from the
+        current parameter values: run :meth:`fit_map` (or adopt an MCMC
+        best) first so the ascent starts in the posterior bulk.
+
+        Diagnostics ride on the result: ``df.attrs['advi']`` holds the
+        ELBO trace, the variational mean/Cholesky over the free flat
+        slots, and ``converged``. Array-valued parameters are supported
+        (zero-template entries pinned); static parameters are excluded
+        from the variational family. No reference counterpart — the
+        reference's only inference engine is random-walk MH
+        (``Statistics/Samplers.py:53-174``).
+        """
+        from .samplers import advi as _advi
+        if rank not in ("full", "diag"):
+            raise ValueError(f"rank must be 'full' or 'diag', got {rank!r}")
+        theta0 = np.asarray(self._current_theta(), float)
+        offsets = self._spec.theta_offsets
+        mask = np.ones(self._spec.theta_size)
+        for p in static_parameters:
+            i = self._pnames.index(p)
+            n = int(np.prod(self._spec.pshapes[i])) \
+                if self._spec.pshapes[i] else 1
+            mask[offsets[i]:offsets[i] + n] = 0.0
+        for i, p in enumerate(self._pnames):
+            shp = self._spec.pshapes[i]
+            if shp and self.parameters[p] is not None:
+                tmpl = np.ravel(np.asarray(self.parameters[p].val, float))
+                sl = slice(offsets[i], offsets[i] + tmpl.size)
+                mask[sl] = np.where(tmpl != 0, mask[sl], 0.0)
+        if np.any((theta0 <= 0) & (mask != 0)):
+            raise ValueError(
+                "fit_advi needs positive current values on every free "
+                "dimension (the variational family lives in log space); "
+                "set parameters or run fit_map first")
+        method, _, _, _, substeps = self._solver_args(
+            solver_kw, len(self._times_fit) - 1)
+        prior_logpdf = None
+        if use_priors:
+            prior_logpdf = self._prior_logpdf_for(tuple(
+                self.parameters[p].jdist
+                if self.parameters[p] is not None else None
+                for p in self._pnames))
+
+        dtype = jnp.result_type(float)
+        res = _advi(
+            self._spec, self._obsdata_fit,
+            jnp.asarray(self._times_fit, dtype),
+            jnp.asarray(self.get_inits(), dtype), theta0,
+            steps=steps, learning_rate=learning_rate, n_mc=n_mc,
+            full_rank=(rank == "full"), draws=draws,
+            walk_mask=mask, prior_logpdf=prior_logpdf,
+            use_priors=use_priors, seed=int(self.random_seed),
+            method="rk4" if method == "rk4" else "fixed_dopri5",
+            substeps=substeps)
+
+        theta = np.asarray(res.theta)
+        out = {}
+        for p, off, shp in zip(self._pnames, offsets, self._spec.pshapes):
+            n = int(np.prod(shp)) if shp else 1
+            col = theta[:, off:off + n]
+            out[p] = list(col.reshape((-1,) + shp)) if shp else col[:, 0]
+        df = pd.DataFrame(out)
+        df["chi"] = np.asarray(res.chi)
+        df["rsquared"] = np.asarray(res.rsquared)
+        df["aic"] = np.asarray(res.aic)
+        df.attrs["advi"] = {
+            "elbo": np.asarray(res.elbo),
+            "mu": np.asarray(res.mu),
+            "L": np.asarray(res.L),
+            "free_idx": np.asarray(res.free_idx),
+            "converged": bool(res.converged),
+        }
+        if not bool(res.converged):
+            warnings.warn("ADVI did not converge (non-finite or unstable "
+                          "ELBO tail); inspect df.attrs['advi']['elbo'], "
+                          "lower learning_rate or raise steps")
+        if print_report:
+            from .stats import rawstats as _rawstats
+            report = ["\nADVI Report (variational posterior)\n"
+                      "==================================="]
+            for p in self._pnames:
+                vals = df[p].to_numpy()
+                if self._spec.pshapes[self._pnames.index(p)]:
+                    flat = np.stack([np.ravel(np.asarray(v, float))
+                                     for v in vals])
+                    for j in range(flat.shape[1]):
+                        if not np.any(flat[:, j]):
+                            continue
+                        m, s = _rawstats(flat[:, j])
+                        report.append(
+                            f"parameter: {p}[{j}]\n\tmedian = "
+                            f"{float(m):0.3e}, Standard deviation = "
+                            f"{float(s):0.3e}")
+                else:
+                    m, s = _rawstats(vals.astype(float))
+                    report.append(f"parameter: {p}\n\tmedian = "
+                                  f"{float(m):0.3e}, Standard deviation = "
+                                  f"{float(s):0.3e}")
+            report.append(f"\nfinal ELBO = {float(res.elbo[-1]):0.4e}, "
+                          f"converged = {bool(res.converged)}")
+            print("\n".join(report))
+        return df
 
     def profile_likelihood(self, parameter_name, p_range=None, points=21,
                            starts=8, steps=400, learning_rate=0.05,

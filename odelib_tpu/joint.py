@@ -34,6 +34,13 @@ class JointFit:
     Joint layout: ``[shared..., <name>:<p> for each experiment's free
     parameters...]``; posterior columns use the same naming. Priors for
     shared parameters come from the FIRST framework.
+
+    Array-valued parameters are supported throughout: each contributes
+    one FLAT joint slot per entry (the joint theta mirrors
+    ``ModelSpec.theta_offsets`` packing), posterior/survey columns hold
+    the reshaped ndarray per row, zero-template entries never walk (the
+    reference convention, ``Framework.py:107-122``), and shared array
+    parameters must have the same shape in every experiment.
     """
 
     def __init__(self, frameworks, shared, random_seed=0):
@@ -48,55 +55,130 @@ class JointFit:
         for nm, fw in self.frameworks.items():
             if fw.df is None:
                 raise ValueError(f"experiment {nm!r} has no data")
-            if any(s for s in fw._spec.pshapes):
-                raise ValueError("JointFit supports scalar parameters only")
             missing = [p for p in self.shared if p not in fw._pnames]
             if missing:
                 raise ValueError(f"experiment {nm!r} lacks shared "
                                  f"parameter(s) {missing}")
-        # joint layout
-        self.columns = list(self.shared)
+        first = next(iter(self.frameworks.values()))
+
+        def pshape(fw, p):
+            return fw._spec.pshapes[list(fw._pnames).index(p)]
+
+        for p in self.shared:
+            shp0 = pshape(first, p)
+            for nm, fw in self.frameworks.items():
+                if pshape(fw, p) != shp0:
+                    raise ValueError(
+                        f"shared parameter {p!r} has shape {shp0} in the "
+                        f"first experiment but {pshape(fw, p)} in {nm!r}")
+
+        # joint FLAT layout: one slot per scalar parameter / per array
+        # entry. ``columns`` stays one label per PARAMETER (posterior
+        # cells hold the reshaped ndarray for array parameters, matching
+        # ModelFramework._posterior_to_df).
+        self.columns = []        # per-parameter labels, layout order
+        self._col_shapes = {}    # label -> () or array shape
+        self._col_offsets = {}   # label -> first flat slot
+        self._col_params = {}    # label -> (owning framework, pname)
+        self.dim = 0             # total flat joint slots
+
+        def add_column(lab, shp, fw, p):
+            self.columns.append(lab)
+            self._col_shapes[lab] = shp
+            self._col_offsets[lab] = self.dim
+            self._col_params[lab] = (fw, p)
+            self.dim += int(np.prod(shp)) if shp else 1
+
+        for p in self.shared:
+            add_column(p, pshape(first, p), first, p)
         self._idx_maps = {}
         for nm in names:
             fw = self.frameworks[nm]
             idx = []
-            for p in fw._pnames:
+            for i, p in enumerate(fw._pnames):
+                shp = fw._spec.pshapes[i]
+                n = int(np.prod(shp)) if shp else 1
                 if p in self.shared:
-                    idx.append(self.shared.index(p))
+                    off = self._col_offsets[p]
                 else:
-                    self.columns.append(f"{nm}:{p}")
-                    idx.append(len(self.columns) - 1)
+                    lab = f"{nm}:{p}"
+                    add_column(lab, shp, fw, p)
+                    off = self._col_offsets[lab]
+                idx.extend(range(off, off + n))
             self._idx_maps[nm] = tuple(idx)
-        self.dim = len(self.columns)
+
+    def _template(self, lab):
+        """Flat current-value template of an array column (None for
+        scalars). Zero entries never walk and never draw in LHS —
+        the reference convention (``Samplers.py:31-32``)."""
+        shp = self._col_shapes[lab]
+        if not shp:
+            return None
+        fw, p = self._col_params[lab]
+        par = fw.parameters[p]
+        return np.ravel(np.asarray(
+            par.val if par is not None else np.zeros(shp), float))
 
     def _dists(self):
-        """Prior distribution (or None) per joint dimension."""
+        """Prior distribution (or None) per joint FLAT slot. Array
+        parameters repeat their prior per non-zero template entry."""
         out = [None] * self.dim
-        first = next(iter(self.frameworks.values()))
-        for j, p in enumerate(self.shared):
-            par = first.parameters[p]
-            if par is not None and par.has_distribution():
-                out[j] = par.jdist
-        for nm, fw in self.frameworks.items():
-            for p, j in zip(fw._pnames, self._idx_maps[nm]):
-                if p in self.shared:
-                    continue
-                par = fw.parameters[p]
-                if par is not None and par.has_distribution():
-                    out[j] = par.jdist
+        for lab in self.columns:
+            fw, p = self._col_params[lab]
+            par = fw.parameters[p]
+            d = par.jdist if (par is not None
+                              and par.has_distribution()) else None
+            off = self._col_offsets[lab]
+            tmpl = self._template(lab)
+            if tmpl is None:
+                out[off] = d
+            else:
+                for i, v in enumerate(tmpl):
+                    out[off + i] = d if v != 0 else None
         return out
 
     def _current_joint_theta(self):
         th = np.zeros(self.dim)
-        first = next(iter(self.frameworks.values()))
-        for nm, fw in self.frameworks.items():
-            t = np.asarray(fw._current_theta(), float)
-            for p, j in zip(fw._pnames, self._idx_maps[nm]):
-                th[j] = t[list(fw._pnames).index(p)]
-        for j, p in enumerate(self.shared):
-            th[j] = float(np.asarray(first.parameters[p].val
-                                     if first.parameters[p] is not None
-                                     else th[j]))
+        for lab in self.columns:
+            fw, p = self._col_params[lab]
+            par = fw.parameters[p]
+            if par is None:
+                continue
+            off = self._col_offsets[lab]
+            v = np.ravel(np.asarray(par.val, float))
+            th[off:off + v.size] = v
+        return th
+
+    def _df_from_thetas(self, thetas, base=None):
+        """(N, dim) flat joint thetas -> DataFrame with one column per
+        parameter label (array columns hold reshaped ndarrays)."""
+        thetas = np.asarray(thetas, float)
+        data = {} if base is None else dict(base)
+        for lab in self.columns:
+            off = self._col_offsets[lab]
+            shp = self._col_shapes[lab]
+            if shp:
+                n = int(np.prod(shp))
+                data[lab] = [thetas[r, off:off + n].reshape(shp)
+                             for r in range(len(thetas))]
+            else:
+                data[lab] = thetas[:, off]
+        return pd.DataFrame(data)
+
+    def _thetas_from_df(self, df):
+        """Inverse of :meth:`_df_from_thetas`; missing columns fill from
+        current framework values."""
+        th = np.tile(self._current_joint_theta(), (len(df), 1))
+        for lab in self.columns:
+            if lab not in df:
+                continue
+            off = self._col_offsets[lab]
+            if self._col_shapes[lab]:
+                vals = np.stack([np.ravel(np.asarray(v, float))
+                                 for v in df[lab].to_numpy()])
+            else:
+                vals = np.asarray(df[lab], float)[:, None]
+            th[:, off:off + vals.shape[1]] = vals
         return th
 
     def _device_args(self, solver_kw):
@@ -139,7 +221,7 @@ class JointFit:
             specs, idxs, obs, times, y0s,
             jnp.asarray(thetas, jnp.result_type(float)),
             method=method, substeps_list=subs))
-        df = pd.DataFrame(thetas, columns=self.columns)
+        df = self._df_from_thetas(thetas)
         df["chi"] = np.where(np.isfinite(chis), chis, np.nan)
         return df
 
@@ -180,14 +262,24 @@ class JointFit:
         top = survey.nsmallest(max(n_chains, 8), "chi")
         rng = np.random.default_rng(self.random_seed)
         rows = top.iloc[rng.integers(0, len(top), n_chains)]
-        theta0 = rows[self.columns].to_numpy(float)
+        theta0 = self._thetas_from_df(rows)
 
+        # walk mask: static parameters stay fixed; zero-template entries
+        # of array parameters never walk (Framework.py:107-122)
         mask = np.ones(self.dim)
         for p in static_parameters:
             if p not in self.columns:
                 raise ValueError(f"unknown static parameter {p!r} "
                                  f"(joint columns: {self.columns})")
-            mask[self.columns.index(p)] = 0.0
+            off = self._col_offsets[p]
+            shp = self._col_shapes[p]
+            mask[off:off + (int(np.prod(shp)) if shp else 1)] = 0.0
+        for lab in self.columns:
+            tmpl = self._template(lab)
+            if tmpl is not None:
+                off = self._col_offsets[lab]
+                sl = slice(off, off + tmpl.size)
+                mask[sl] = np.where(tmpl != 0, mask[sl], 0.0)
 
         dists = self._dists()
         prior_logpdf = None
@@ -207,11 +299,16 @@ class JointFit:
                              f"got {backend!r}")
         if backend == "auto":
             from .ops.pallas_mh import (kernel_priors_supported,
-                                        mosaic_supported)
+                                        mosaic_supported,
+                                        rhs_supports_tiles)
             backend = "pallas" if (
                 jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
                 and mosaic_supported()
                 and (not use_priors or kernel_priors_supported(dists))
+                # array parameters run fused when every experiment's RHS
+                # traces in the tiled layout (elementwise indexing)
+                and all(rhs_supports_tiles(fw._spec)
+                        for fw in self.frameworks.values())
             ) else "xla"
         if checkpoint_every is not None and backend != "pallas":
             import warnings
@@ -283,7 +380,7 @@ class JointFit:
         all_rejected = ar_all[:, -1] == 0.0 if R else np.zeros(C, bool)
         frames = []
         for c in range(C):
-            df = pd.DataFrame(theta[c], columns=self.columns)
+            df = self._df_from_thetas(theta[c])
             df["chi"] = chi_all[c]
             for k, nm in enumerate(names):
                 df[f"chi:{nm}"] = parts_all[c, :, k]
@@ -303,10 +400,22 @@ class JointFit:
         if print_report:
             report = ["\nJoint Fitting Report\n===================="]
             for col in self.columns:
-                median, std = rawstats(posterior[col].to_numpy())
-                report.append(f"parameter: {col}\n\tmedian = "
-                              f"{float(median):0.3e}, Standard deviation "
-                              f"= {float(std):0.3e}")
+                tmpl = self._template(col)
+                if tmpl is None:
+                    median, std = rawstats(posterior[col].to_numpy())
+                    report.append(f"parameter: {col}\n\tmedian = "
+                                  f"{float(median):0.3e}, Standard "
+                                  f"deviation = {float(std):0.3e}")
+                    continue
+                vals = np.stack([np.ravel(np.asarray(v, float))
+                                 for v in posterior[col].to_numpy()])
+                for i in range(vals.shape[1]):
+                    if tmpl[i] == 0:
+                        continue
+                    median, std = rawstats(vals[:, i])
+                    report.append(f"parameter: {col}[{i}]\n\tmedian = "
+                                  f"{float(median):0.3e}, Standard "
+                                  f"deviation = {float(std):0.3e}")
             best = posterior.loc[posterior["chi"].idxmin()]
             report.append("\nBest joint sample:")
             report.append("\tChi = {:0.3e} ({})".format(
@@ -321,7 +430,10 @@ class JointFit:
         best = posterior.loc[posterior["chi"].idxmin()]
         for nm, fw in self.frameworks.items():
             vals = {}
-            for p, j in zip(fw._pnames, self._idx_maps[nm]):
-                vals[p] = float(best[self.columns[j]])
+            for i, p in enumerate(fw._pnames):
+                lab = p if p in self.shared else f"{nm}:{p}"
+                shp = fw._spec.pshapes[i]
+                vals[p] = (np.asarray(best[lab], float).reshape(shp)
+                           if shp else float(best[lab]))
             fw.set_parameters(**vals)
         return best

@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_mh import (_LANES, _DEF_SUB, _FIXED_STEPPERS, _Rng,
                         _build_plan, _kernel_logpdf, _make_scorer_from_key,
                         _normalize_substeps, _static_prior,
-                        kernel_priors_supported, pick_tile_chains)
+                        kernel_priors_supported, pick_tile_chains,
+                        rhs_supports_tiles)
 
 
 class JointFusedOutput(NamedTuple):
@@ -78,8 +79,12 @@ def joint_metropolis_hastings_fused(
                              f"{s.theta_size}")
         if any(i < 0 or i >= D for i in m):
             raise ValueError(f"idx map {m} out of range for joint size {D}")
-    if any(any(s for s in sp.pshapes) for sp in specs):
-        raise ValueError("fused joint path supports scalar parameters only")
+    for sp in specs:
+        if not rhs_supports_tiles(sp):
+            raise ValueError(
+                "fused joint path: this experiment's RHS does matrix ops "
+                "on an array parameter (tile probe failed); use the XLA "
+                "joint backend")
 
     n_dev = 1 if mesh is None else int(mesh.devices.size)
     if tile_chains is None:

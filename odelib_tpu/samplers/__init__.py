@@ -1,3 +1,4 @@
+from .advi import ADVIResult, advi
 from .amh import adaptive_metropolis
 from .ensemble import ensemble_mh
 from .joint import JointOutput, joint_metropolis_hastings, joint_survey
@@ -13,4 +14,5 @@ __all__ = ["lhs_unit", "sample_lhs", "MHOutput", "metropolis_hastings",
            "hamiltonian_mc_checkpointed",
            "parallel_tempering", "map_fit", "MAPResult", "ensemble_mh",
            "smc_sample", "SMCOutput", "adaptive_metropolis",
-           "joint_metropolis_hastings", "joint_survey", "JointOutput"]
+           "joint_metropolis_hastings", "joint_survey", "JointOutput",
+           "advi", "ADVIResult"]

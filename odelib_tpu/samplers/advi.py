@@ -1,0 +1,218 @@
+"""Automatic Differentiation Variational Inference (ADVI) through the
+ODE solve.
+
+A fast, deterministic alternative to MCMC for the posterior the samplers
+target: fit a Gaussian ``q(z)`` (mean-field diagonal or full-rank
+Cholesky) to the log-parameter posterior by maximizing the
+reparameterized ELBO with Adam — the Monte-Carlo expectation vmapped
+over draws, gradients flowing through the fixed-step solve, one jitted
+XLA program (Kucukelbir et al. 2017, "Automatic Differentiation
+Variational Inference", JMLR 18).
+
+Convention: matches the MH samplers exactly. Chains walk ``z = log
+theta`` with a symmetric proposal and accept on ``exp(-chi) [*
+prior_theta(theta)]`` (samplers/mh.py, mirroring the reference's
+lognormal rwalk, ``/root/reference/ODElib/Framework.py:107-122`` +
+``Statistics/Samplers.py:124-127``), so their stationary density over z
+is ``pi(z) ∝ exp(-chi(e^z)) [* prior_theta(e^z)]`` — ADVI optimizes
+``q(z)`` against that same log-density, and its posterior is directly
+comparable to the MCMC posterior in log-parameter space.
+
+Static parameters and zero-template entries of array parameters are
+pinned (excluded from the variational family), like the samplers' walk
+mask. Non-finite ELBO gradients (a diverged solve in one MC draw) zero
+the step — the framework's NaN-tolerant failure model — and the best
+iterate seen is tracked so a late divergence cannot lose the fit.
+
+No reference counterpart: the reference's only inference engine is
+random-walk MH (``Statistics/Samplers.py:53-174``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model import ModelSpec, ObsData, fit_metrics, integrate_theta
+
+
+class ADVIResult(NamedTuple):
+    mu: Any          # (F,) variational mean over the FREE z dims
+    L: Any           # (F, F) Cholesky factor of q's covariance
+    elbo: Any        # (steps,) per-step MC ELBO estimate
+    theta: Any       # (draws, P) posterior draws, linear space, full layout
+    chi: Any         # (draws,) chi of each draw
+    rsquared: Any    # (draws,)
+    aic: Any         # (draws,)
+    free_idx: Any    # (F,) flat-theta indices of the free dims
+    converged: Any   # bool: best ELBO finite and tail-stable
+
+
+@partial(jax.jit, static_argnames=(
+    "spec", "F", "steps", "learning_rate", "n_mc", "full_rank",
+    "use_priors", "prior_logpdf", "num_params", "method", "substeps",
+    "draws"))
+def _advi_impl(spec, obs, times, y0_base, z0_full, free_idx, key, *,
+               F, steps, learning_rate, n_mc, full_rank, use_priors,
+               prior_logpdf, num_params, method, substeps, draws):
+    ikw = dict(method=method, substeps=substeps)
+    dtype = z0_full.dtype
+
+    def logp_free(z_free):
+        z = z0_full.at[free_idx].set(z_free)
+        theta = jnp.exp(z)
+        y0 = spec.override_inits(y0_base, theta)
+        ys = integrate_theta(spec, theta, y0, times, **ikw)
+        chi, _, _ = fit_metrics(spec, obs, ys, num_params)
+        lp = -chi
+        if use_priors:
+            lp = lp + prior_logpdf(theta)
+        return lp
+
+    # variational parameters lam:
+    #   mean-field: [mu (F), log_sigma (F)]
+    #   full-rank:  [mu (F), tril entries (F*(F+1)//2), diag stored as log]
+    tril_r, tril_c = jnp.tril_indices(F)
+
+    def unpack(lam):
+        mu = lam[:F]
+        if full_rank:
+            L = jnp.zeros((F, F), dtype).at[tril_r, tril_c].set(lam[F:])
+            raw_diag = jnp.diagonal(L)
+            L = L.at[jnp.diag_indices(F)].set(jnp.exp(raw_diag))
+            return mu, L, jnp.sum(raw_diag)
+        log_sig = lam[F:]
+        return mu, jnp.diag(jnp.exp(log_sig)), jnp.sum(log_sig)
+
+    half_log_2pie = 0.5 * (1.0 + jnp.log(2.0 * jnp.pi))
+
+    def elbo_of(lam, k, n):
+        mu, L, logdet = unpack(lam)
+        eps = jax.random.normal(k, (n, F), dtype)
+        zs = mu[None, :] + eps @ L.T
+        lps = jax.vmap(logp_free)(zs)
+        entropy = F * half_log_2pie + logdet
+        return jnp.mean(lps) + entropy
+
+    elbo_grad = jax.value_and_grad(lambda lam, k: elbo_of(lam, k, n_mc))
+
+    # Adam (ascent); non-finite gradients zero the step (diverged solve)
+    b1, b2, eps_a = 0.9, 0.999, 1e-8
+    n_lam = F + (F * (F + 1) // 2 if full_rank else F)
+    lam0 = jnp.zeros((n_lam,), dtype)
+    lam0 = lam0.at[:F].set(z0_full[free_idx])
+    # init scale sigma = 0.1 in z-space: log(0.1) on the (raw) diagonal
+    if full_rank:
+        diag_pos = F + jnp.cumsum(jnp.arange(1, F + 1)) - 1
+        lam0 = lam0.at[diag_pos].set(jnp.log(0.1))
+    else:
+        lam0 = lam0.at[F:].set(jnp.log(0.1))
+
+    # cosine learning-rate decay (1 -> 0.1) shrinks the stationary Adam
+    # jitter; tail iterate-averaging (last quarter) removes the MC noise
+    # a single final iterate would carry (standard ADVI practice —
+    # argmax over NOISY per-step ELBOs is biased toward high-entropy
+    # iterates, so best-iterate is only the divergence fallback)
+    tail_start = (3 * steps) // 4
+    n_tail = max(1, steps - tail_start)
+
+    def body(carry, i):
+        lam, m, v, best_lam, best_e, lam_sum = carry
+        e, g = elbo_grad(lam, jax.random.fold_in(key, i))
+        # best-iterate tracking: e belongs to the PRE-step lam
+        better = jnp.isfinite(e) & (e > best_e)
+        best_lam = jnp.where(better, lam, best_lam)
+        best_e = jnp.where(better, e, best_e)
+        ok = jnp.all(jnp.isfinite(g))
+        g = jnp.where(ok, g, 0.0)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        mh = m / (1 - b1 ** (i + 1))
+        vh = v / (1 - b2 ** (i + 1))
+        lr = learning_rate * (
+            0.1 + 0.45 * (1.0 + jnp.cos(jnp.pi * i / steps)))
+        lam = lam + lr * mh / (jnp.sqrt(vh) + eps_a)
+        lam_sum = lam_sum + jnp.where(i >= tail_start, 1.0, 0.0) * lam
+        return (lam, m, v, best_lam, best_e, lam_sum), e
+
+    init = (lam0, jnp.zeros_like(lam0), jnp.zeros_like(lam0), lam0,
+            jnp.asarray(-jnp.inf, dtype), jnp.zeros_like(lam0))
+    (lam, _, _, best_lam, best_e, lam_sum), elbos = jax.lax.scan(
+        body, init, jnp.arange(steps))
+    lam_avg = lam_sum / n_tail
+    # pick tail-average vs best-iterate on a fresh, larger common batch
+    n_eval = max(64, 4 * n_mc)
+    k_eval = jax.random.fold_in(key, steps + 2)
+    e_avg = elbo_of(lam_avg, k_eval, n_eval)
+    e_best = elbo_of(best_lam, k_eval, n_eval)
+    use_avg = jnp.isfinite(e_avg) & ((e_avg >= e_best)
+                                     | ~jnp.isfinite(e_best))
+    lam_star = jnp.where(use_avg, lam_avg, best_lam)
+    best_e = jnp.where(use_avg, e_avg, e_best)
+    mu, L, _ = unpack(lam_star)
+
+    # posterior draws from the fitted q + per-draw fit metrics
+    eps = jax.random.normal(jax.random.fold_in(key, steps + 1),
+                            (draws, F), dtype)
+    z_free = mu[None, :] + eps @ L.T
+
+    def one_draw(zf):
+        z = z0_full.at[free_idx].set(zf)
+        theta = jnp.exp(z)
+        y0 = spec.override_inits(y0_base, theta)
+        ys = integrate_theta(spec, theta, y0, times, **ikw)
+        chi, rsq, aic = fit_metrics(spec, obs, ys, num_params)
+        return theta, chi, rsq, aic
+
+    theta_d, chi_d, rsq_d, aic_d = jax.vmap(one_draw)(z_free)
+    tail = elbos[-max(1, steps // 10):]
+    converged = (jnp.isfinite(best_e)
+                 & (jnp.std(tail) < 0.1 * jnp.abs(best_e) + 1.0))
+    return mu, L, elbos, theta_d, chi_d, rsq_d, aic_d, converged
+
+
+def advi(spec: ModelSpec, obs: ObsData, times, y0_base, theta_init, *,
+         steps: int = 800, learning_rate: float = 0.05, n_mc: int = 8,
+         full_rank: bool = True, draws: int = 1000, walk_mask=None,
+         prior_logpdf=None, use_priors: bool = False, seed: int = 0,
+         method: str = "fixed_dopri5", substeps=4) -> ADVIResult:
+    """Fit a Gaussian ``q(z)`` to the log-parameter posterior and sample
+    ``draws`` posterior draws from it.
+
+    ``theta_init``: (P,) starting point (linear space) — ideally a MAP /
+    min-chi point so the ELBO ascent starts in the posterior bulk.
+    ``walk_mask`` pins dims exactly like the MH samplers. Requires a
+    fixed-step differentiable integrator (``fixed_dopri5``/``rk4``).
+    """
+    theta_init = jnp.ravel(jnp.asarray(theta_init))
+    P = theta_init.shape[0]
+    if walk_mask is None:
+        walk_mask = jnp.ones((P,), theta_init.dtype)
+    walk_mask = np.asarray(walk_mask)
+    free_idx = np.where(walk_mask != 0)[0]
+    F = int(free_idx.size)
+    if F == 0:
+        raise ValueError("advi: every dimension is masked static")
+    if use_priors and prior_logpdf is None:
+        raise ValueError("use_priors=True requires prior_logpdf")
+    if method not in ("fixed_dopri5", "rk4"):
+        raise ValueError("advi requires a fixed-step differentiable "
+                         "integrator: 'fixed_dopri5' or 'rk4'")
+    num_params = int(np.count_nonzero(np.asarray(theta_init)))
+    dtype = jnp.result_type(float)
+    mu, L, elbos, theta_d, chi_d, rsq_d, aic_d, conv = _advi_impl(
+        spec, obs, jnp.asarray(times, dtype), jnp.asarray(y0_base, dtype),
+        jnp.log(jnp.asarray(theta_init, dtype)),
+        jnp.asarray(free_idx), jax.random.PRNGKey(seed),
+        F=F, steps=int(steps), learning_rate=float(learning_rate),
+        n_mc=int(n_mc), full_rank=bool(full_rank),
+        use_priors=bool(use_priors), prior_logpdf=prior_logpdf,
+        num_params=num_params, method=method,
+        substeps=substeps if isinstance(substeps, tuple) else int(substeps),
+        draws=int(draws))
+    return ADVIResult(mu=mu, L=L, elbo=elbos, theta=theta_d, chi=chi_d,
+                      rsquared=rsq_d, aic=aic_d,
+                      free_idx=jnp.asarray(free_idx), converged=conv)

@@ -228,3 +228,23 @@ def test_zero_template_walk_mask_via_api():
     mu = np.stack(post["mu"].to_numpy())
     assert (mu[:, 1] == 0.0).all()
     assert (np.std(mu[:, 0]) >= 0).all() and np.isfinite(mu[:, 0]).all()
+
+
+def test_laplace_array_param(fw):
+    """Laplace approximation over the free flat slots of an array
+    parameter: labels mu[0]/mu[1], scalar labels unchanged (round 3:
+    scalar-only restriction lifted)."""
+    lap = fw.laplace_approximation()
+    assert set(lap["median"]) == {"mu[0]", "mu[1]", "phi", "beta"}
+    assert set(lap["cov"].columns) == {"mu[0]", "mu[1]", "phi", "beta"}
+    stds = lap["log_std"]
+    assert all(np.isfinite(v) for v in stds.values()), stds
+
+
+def test_advi_array_param_on_infection_model(fw):
+    """fit_advi accepts the vector parameter (one free dim per non-zero
+    template entry) and returns (2,)-shaped posterior cells."""
+    post = fw.fit_advi(steps=150, draws=64, n_mc=4, print_report=False)
+    cells = np.stack([np.asarray(v, float) for v in post["mu"]])
+    assert cells.shape[1] == 2 and np.isfinite(cells).all()
+    assert np.isfinite(np.asarray(post["chi"], float)).all()

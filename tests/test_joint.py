@@ -281,3 +281,112 @@ def test_joint_fused_heterogeneous_models():
                                post["chi:a"] + post["chi:b"], rtol=1e-4)
     assert abs(np.log(post["k"]).mean()) < 0.3
     np.testing.assert_allclose(post["b:cap"], cap, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Array-valued parameters in JointFit (round 3: scalar-only lifted)
+# ---------------------------------------------------------------------------
+
+def _vec_decay_df(mu, y0=(1e6, 1e5), sig=0.15, seed=0, n=10):
+    """Two species decaying independently at per-species rate mu[i]."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for t in np.linspace(0.0, 3.0, n):
+        for i, org in enumerate(["A", "B"]):
+            rows.append({"organism": org, "time": t,
+                         "abundance": y0[i] * np.exp(-mu[i] * t)
+                         * np.exp(rng.normal(0, sig)),
+                         "log_sigma": sig})
+    return pd.DataFrame(rows)
+
+
+def _vec_fw(df, seed=0, tmpl=(0.8, 0.8)):
+    def rhs(t, y, ps):
+        (mu,) = ps
+        return jnp.stack([-mu[0] * y[0], -mu[1] * y[1]])
+
+    return odelib_tpu.ModelFramework(
+        ODE=rhs, parameter_names=["mu"], state_names=["A", "B"],
+        dataframe=df, t_steps=32, ode_style="jax", random_seed=seed,
+        mu=odelib_tpu.parameter(stats_gen=LogNormal(s=0.5, scale=1.0),
+                                init_value=np.array(tmpl, float),
+                                hyperparameters={}, random_seed=seed))
+
+
+def test_joint_array_param_xla_end_to_end():
+    """Shared VECTOR parameter across two experiments: survey + MCMC on
+    the XLA backend round-trip the (2,)-shaped cells, pooling works, and
+    set_best_params pushes the array back into both frameworks."""
+    mu_true = (1.0, 0.5)
+    fw1 = _vec_fw(_vec_decay_df(mu_true, seed=31), seed=31)
+    fw2 = _vec_fw(_vec_decay_df(mu_true, seed=32), seed=32)
+    jf = JointFit({"a": fw1, "b": fw2}, shared=["mu"], random_seed=5)
+    assert jf.columns == ["mu"] and jf.dim == 2
+
+    survey = jf.fit_survey(samples=96)
+    assert np.asarray(survey["mu"].iloc[0]).shape == (2,)
+    assert np.isfinite(survey["chi"]).any()
+
+    post = jf.MCMC(chain_inits=8, iterations_per_chain=300,
+                   fitsurvey_samples=128, print_report=True,
+                   backend="xla")
+    cells = np.stack([np.asarray(v, float) for v in post["mu"]])
+    assert cells.shape[1] == 2
+    np.testing.assert_allclose(post["chi"],
+                               post["chi:a"] + post["chi:b"], rtol=1e-5)
+    # joint posterior centres on the true per-species rates
+    med = np.median(cells, axis=0)
+    np.testing.assert_allclose(med, mu_true, rtol=0.25)
+
+    best = jf.set_best_params(post)
+    for fw in (fw1, fw2):
+        v = np.asarray(fw.parameters["mu"].val, float)
+        assert v.shape == (2,)
+        np.testing.assert_allclose(v, np.asarray(best["mu"], float))
+
+
+def test_joint_array_param_fused_interpret():
+    """The fused (Pallas, interpret-mode) joint backend accepts array
+    parameters: theta tiles per flat slot, per-experiment chi parts sum."""
+    mu_true = (1.0, 0.5)
+    fw1 = _vec_fw(_vec_decay_df(mu_true, seed=41), seed=41)
+    fw2 = _vec_fw(_vec_decay_df(mu_true, seed=42), seed=42)
+    jf = JointFit({"a": fw1, "b": fw2}, shared=["mu"], random_seed=6)
+    post = jf.MCMC(chain_inits=8, iterations_per_chain=120,
+                   fitsurvey_samples=96, print_report=False,
+                   backend="pallas", pallas_interpret=True,
+                   pallas_tile_chains=128)
+    cells = np.stack([np.asarray(v, float) for v in post["mu"]])
+    assert cells.shape[1] == 2
+    assert np.isfinite(np.asarray(post["chi"], float)).all()
+    np.testing.assert_allclose(post["chi"],
+                               post["chi:a"] + post["chi:b"], rtol=1e-4)
+
+
+def test_joint_array_param_zero_template_and_shape_check():
+    """Zero template entries never walk (reference convention); shared
+    array parameters must have the same shape in every experiment."""
+    mu = (0.9, 0.0)
+    fw1 = _vec_fw(_vec_decay_df(mu, seed=51), seed=51, tmpl=mu)
+    fw2 = _vec_fw(_vec_decay_df(mu, seed=52), seed=52, tmpl=mu)
+    jf = JointFit({"a": fw1, "b": fw2}, shared=["mu"], random_seed=7)
+    post = jf.MCMC(chain_inits=4, iterations_per_chain=80,
+                   fitsurvey_samples=64, print_report=False,
+                   backend="xla")
+    cells = np.stack([np.asarray(v, float) for v in post["mu"]])
+    assert (cells[:, 1] == 0.0).all()
+    assert (cells[:, 0] > 0.0).all()
+
+    # shape mismatch across experiments is rejected up front
+    def rhs3(t, y, ps):
+        (mu,) = ps
+        return jnp.stack([-mu[0] * y[0], -mu[1] * y[1]])
+    fw3 = odelib_tpu.ModelFramework(
+        ODE=rhs3, parameter_names=["mu"], state_names=["A", "B"],
+        dataframe=_vec_decay_df((0.9, 0.5), seed=53), t_steps=32,
+        ode_style="jax", random_seed=53,
+        mu=odelib_tpu.parameter(stats_gen=LogNormal(s=0.5, scale=1.0),
+                                init_value=np.array([0.8, 0.8, 0.8]),
+                                hyperparameters={}, random_seed=53))
+    with pytest.raises(ValueError, match="shape"):
+        JointFit({"a": fw1, "c": fw3}, shared=["mu"])
