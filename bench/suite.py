@@ -702,6 +702,99 @@ def config8_fused_ensemble(base):
             "vs_baseline": None}
 
 
+def config10_advi(base):
+    """ADVI (full-rank variational posterior) vs prior-aware fused MCMC
+    on the demo posterior: wall-clock, solver-evaluation budget, and
+    log-space moment agreement. Honest framing: on this tiny posterior
+    the fused random walk is so fast that MCMC wins wall-clock on TPU —
+    ADVI's lane is solver-evaluation-bound regimes (adaptive/stiff XLA
+    paths, expensive RHS) and quick full-covariance summaries."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench as B
+    from odelib_tpu.data import obsdata_to_device
+    from odelib_tpu.distributions import LogNormal
+    from odelib_tpu.ops.pallas_mh import metropolis_hastings_fused
+    from odelib_tpu.samplers import advi
+
+    spec, obs_host, times_fit, y0 = B.build_problem()
+    on_tpu = jax.default_backend() not in ("cpu",)
+    obs = obsdata_to_device(obs_host, jnp.float32)
+    dists = (LogNormal(s=0.5, scale=0.6), LogNormal(s=0.5, scale=2.4e-8),
+             LogNormal(s=0.5, scale=24.0))
+
+    def prior_logpdf(theta):
+        return (dists[0].logpdf(theta[0]) + dists[1].logpdf(theta[1])
+                + dists[2].logpdf(theta[2]))
+
+    th_init = np.array([0.6, 2.4e-8, 24.0], np.float32)
+    # 2400 steps = the measured variational optimum on this posterior
+    # (600 steps leaves sigma mid-transition; 2400 matches 2400@n_mc=32)
+    STEPS, N_MC, DRAWS = (2400, 8, 4096) if on_tpu else (60, 4, 256)
+
+    def run_advi():
+        r = advi(spec, obs, times_fit, y0, th_init, steps=STEPS,
+                 n_mc=N_MC, full_rank=True, draws=DRAWS,
+                 prior_logpdf=prior_logpdf, use_priors=True, seed=0,
+                 method="fixed_dopri5", substeps=4)
+        _sync(r.chi[-1:])
+        return r
+
+    res = run_advi()
+    t_advi = _timed(run_advi, reps=3)
+
+    # reference posterior: prior-aware fused MH (in-kernel LogNormal)
+    C, NITS = (4096, 4096) if on_tpu else (128, 32)
+    rng = np.random.default_rng(0)
+    th0 = (th_init * np.exp(rng.normal(0, 0.05, (C, 3)))).astype(np.float32)
+
+    def run_mcmc():
+        o = metropolis_hastings_fused(
+            spec, obs_host, times_fit, y0, th0, seed=1, nits=NITS,
+            burnin=NITS // 2, substeps=4, priors=dists,
+            interpret=not on_tpu, tile_chains=None if on_tpu else 128)
+        _sync(o.chi[-1:, -1:])
+        return o
+
+    out = run_mcmc()
+    t_mcmc = _timed(run_mcmc, reps=3)
+
+    lv = np.log(np.maximum(np.asarray(res.theta), 1e-37))       # ADVI draws
+    lm = np.log(np.maximum(np.asarray(out.theta), 1e-37)).reshape(-1, 3)
+    mean_err_sigma = float(np.max(np.abs(lv.mean(0) - lm.mean(0))
+                                  / lm.std(0)))
+    std_ratio = [round(float(s), 3) for s in lv.std(0) / lm.std(0)]
+    return {"config": 10,
+            "metric": "ADVI (full-rank) vs prior-aware fused MCMC on the "
+                      "demo posterior: fit wall-clock and log-space "
+                      "moment agreement",
+            "value": round(t_advi, 3), "unit": "s (ADVI fit + draws)",
+            "advi": {"steps": STEPS, "n_mc": N_MC, "draws": DRAWS,
+                     "solver_evals": STEPS * N_MC + DRAWS + 128,
+                     "elapsed_s": round(t_advi, 3),
+                     "converged": bool(res.converged)},
+            "mcmc": {"chains": C, "nits": NITS,
+                     "solver_evals": C * (NITS - 1),
+                     "elapsed_s": round(t_mcmc, 3)},
+            "max_mean_err_in_posterior_sigma": round(mean_err_sigma, 3),
+            "log_std_ratio_advi_over_mcmc": std_ratio,
+            "note": "capability row - the reference has no variational "
+                    "inference; vs_baseline not defined. ADVI uses "
+                    f"{(STEPS * N_MC + DRAWS + 128) / (C * (NITS - 1)):.1%}"
+                    " of the MCMC solver-evaluation budget; the fused MH "
+                    "kernel still wins wall-clock on this toy because its "
+                    "per-solve cost is lower than XLA dispatch. The "
+                    "~0.7-0.8 std ratio is the reverse-KL (mode-seeking) "
+                    "Gaussian limit on this non-Gaussian posterior (mu "
+                    "unidentified below ~0.1), not non-convergence: "
+                    "doubling steps / quadrupling n_mc leaves it "
+                    "unchanged, and on near-Gaussian posteriors ADVI "
+                    "matches quadrature ground truth exactly "
+                    "(tests/test_advi.py)",
+            "vs_baseline": None}
+
+
 def main():
     import bench as B
     spec, obs_host, times_fit, y0 = B.build_problem()
@@ -719,6 +812,7 @@ def main():
         config7b_hmc_hard(base),
         config8_fused_ensemble(base),
         config9_joint_fused(base),
+        config10_advi(base),
     ]
     for r in results:
         print(json.dumps(r))

@@ -450,6 +450,26 @@ pd.DataFrame({'mu[0]': mu_draws[:, 0], 'mu[1]': mu_draws[:, 1],
               'phi': post_vec['phi']}).describe().loc[
     ['mean', '50%', 'std']].round(4)"""),
     (M, """\
+# Variational inference (ADVI)
+
+When the posterior is near-Gaussian in log-parameters, `fit_advi` skips
+sampling entirely: it fits a full-covariance Gaussian to the posterior by
+ELBO ascent through the differentiable solve and returns draws from it as
+the same posterior DataFrame. Start it from a good point (`fit_map`, or the
+MCMC best we already have) and sanity-check the moments against MCMC."""),
+    (C, """\
+zeroI.set_best_params(posterior)
+post_advi = zeroI.fit_advi(steps=200 if FAST else 600,
+                           draws=len(posterior), use_priors=False,
+                           print_report=False)   # same target as the
+                                                 # (reference-semantics) MCMC
+pd.DataFrame({
+    'log-mean (MCMC)': np.log(posterior[['mu', 'phi', 'beta']]).mean(),
+    'log-mean (ADVI)': np.log(post_advi[['mu', 'phi', 'beta']]).mean(),
+    'log-std (MCMC)': np.log(posterior[['mu', 'phi', 'beta']]).std(),
+    'log-std (ADVI)': np.log(post_advi[['mu', 'phi', 'beta']]).std(),
+}).round(3)"""),
+    (M, """\
 # Scaling out
 
 Everything above also runs (a) **fused on a real TPU chip** — `MCMC`

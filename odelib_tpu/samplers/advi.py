@@ -168,9 +168,15 @@ def _advi_impl(spec, obs, times, y0_base, z0_full, free_idx, key, *,
         return theta, chi, rsq, aic
 
     theta_d, chi_d, rsq_d, aic_d = jax.vmap(one_draw)(z_free)
-    tail = elbos[-max(1, steps // 10):]
-    converged = (jnp.isfinite(best_e)
-                 & (jnp.std(tail) < 0.1 * jnp.abs(best_e) + 1.0))
+    # converged = the ELBO stopped climbing: compare the two halves of
+    # the tail window against the MC noise floor (a merely *stable* tail
+    # std can coexist with a slow steady climb — seen on the demo
+    # posterior, where sigma was still mid-transition at 600 steps)
+    q = max(2, steps // 8)
+    h1, h2 = elbos[-2 * q:-q], elbos[-q:]
+    se = jnp.std(elbos[-2 * q:]) / jnp.sqrt(1.0 * q) + 1e-9
+    drift = jnp.mean(h2) - jnp.mean(h1)
+    converged = jnp.isfinite(best_e) & (drift < 4.0 * se + 0.1)
     return mu, L, elbos, theta_d, chi_d, rsq_d, aic_d, converged
 
 
