@@ -456,10 +456,23 @@ When the posterior is near-Gaussian in log-parameters, `fit_advi` skips
 sampling entirely: it fits a full-covariance Gaussian to the posterior by
 ELBO ascent through the differentiable solve and returns draws from it as
 the same posterior DataFrame. Start it from a good point (`fit_map`, or the
-MCMC best we already have) and sanity-check the moments against MCMC."""),
+MCMC best we already have) and sanity-check the moments against MCMC.
+
+This posterior is deliberately a stress test for that Gaussian assumption:
+`mu` is practically unidentified here (log-std > 3 — the data barely
+constrain it), so the joint posterior is far from Gaussian, and ADVI's
+mode-seeking KL direction is expected to *underdisperse* the correlated
+`phi`/`beta` directions, while `mu`'s variational std keeps growing (a
+likelihood-flat direction with no prior has unbounded ELBO entropy — the
+MCMC "std" there is equally arbitrary, just the random walk's reach). That
+is exactly what the table shows — use ADVI's cheap full-covariance summary
+to scout, keep `use_priors=True` (the default) so priors regularize flat
+directions, and reach for MCMC (or `bench/suite.py` config 10's moment
+check) when tails matter. On identified, near-Gaussian posteriors ADVI
+matches quadrature ground truth (`tests/test_advi.py`)."""),
     (C, """\
 zeroI.set_best_params(posterior)
-post_advi = zeroI.fit_advi(steps=200 if FAST else 600,
+post_advi = zeroI.fit_advi(steps=200 if FAST else 2400,
                            draws=len(posterior), use_priors=False,
                            print_report=False)   # same target as the
                                                  # (reference-semantics) MCMC

@@ -202,6 +202,177 @@ class JointFit:
         return (tuple(specs), tuple(idxs), tuple(obs), tuple(times),
                 tuple(y0s), method, tuple(subs))
 
+    def _walk_mask(self, static_parameters=()):
+        """Static parameters stay fixed; zero-template entries of array
+        parameters never walk (``Framework.py:107-122``)."""
+        mask = np.ones(self.dim)
+        for p in static_parameters:
+            if p not in self.columns:
+                raise ValueError(f"unknown static parameter {p!r} "
+                                 f"(joint columns: {self.columns})")
+            off = self._col_offsets[p]
+            shp = self._col_shapes[p]
+            mask[off:off + (int(np.prod(shp)) if shp else 1)] = 0.0
+        for lab in self.columns:
+            tmpl = self._template(lab)
+            if tmpl is not None:
+                off = self._col_offsets[lab]
+                sl = slice(off, off + tmpl.size)
+                mask[sl] = np.where(tmpl != 0, mask[sl], 0.0)
+        return mask
+
+    def _joint_chi_fn(self, solver_kw):
+        """Summed multi-experiment chi over the joint FLAT theta, cached
+        per (method, substeps) — the gradient consumers (fit_map,
+        fit_advi) pass it as a static jit argument hashed by identity, so
+        a fresh closure per call would recompile every time."""
+        specs, idxs, obs, times, y0s, method, subs = \
+            self._device_args(solver_kw)
+        key = (method, subs)
+        cache = getattr(self, "_chi_fn_cache", None)
+        if cache is None:
+            cache = self._chi_fn_cache = {}
+        if key in cache:
+            return cache[key]
+        from .model import chi_of_theta
+        K = len(specs)
+
+        def chi_fn(theta):
+            tot = 0.0
+            for k in range(K):
+                th_k = jnp.take(theta, jnp.asarray(idxs[k]))
+                tot = tot + chi_of_theta(
+                    specs[k], obs[k], th_k, y0s[k], times[k],
+                    method=method, substeps=subs[k])
+            return tot
+
+        cache[key] = chi_fn
+        return chi_fn
+
+    def _joint_prior_logpdf(self):
+        """Per-slot prior sum over the joint theta (cached closure)."""
+        fn = getattr(self, "_prior_fn", None)
+        if fn is None:
+            dists = self._dists()
+
+            def fn(theta):
+                tot = 0.0
+                for j, d in enumerate(dists):
+                    if d is not None:
+                        tot = tot + d.logpdf(theta[j])
+                return tot
+
+            self._prior_fn = fn
+        return fn
+
+    def fit_map(self, starts=64, steps=500, learning_rate=0.05,
+                use_priors=False, static_parameters=(), set_best=True,
+                **solver_kw) -> pd.DataFrame:
+        """Multi-start gradient (Adam) point estimation of the JOINT
+        posterior: maximum likelihood over the summed multi-experiment
+        chi, or MAP with ``use_priors=True``. Mirrors
+        :meth:`ModelFramework.fit_map`; all starts (LHS draws over the
+        joint priors + the current values) optimize as one vmapped
+        program with gradients flowing through every experiment's solve.
+        ``set_best=True`` pushes the winner into every framework."""
+        from .samplers import map_fit_custom, sample_lhs
+
+        dists = self._dists()
+        key = jax.random.PRNGKey(self.random_seed)
+        cur = self._current_joint_theta()
+        draw_dims = [j for j, d in enumerate(dists) if d is not None]
+        thetas = np.tile(cur, (int(starts), 1))
+        if draw_dims:
+            lhs = np.asarray(sample_lhs(
+                key, [dists[j] for j in draw_dims], int(starts)))
+            thetas[:, draw_dims] = lhs
+        thetas = np.concatenate([thetas, cur[None]])
+        dtype = jnp.result_type(float)
+        res = map_fit_custom(
+            self._joint_chi_fn(solver_kw), jnp.asarray(thetas, dtype),
+            steps=int(steps), learning_rate=float(learning_rate),
+            walk_mask=jnp.asarray(self._walk_mask(static_parameters),
+                                  dtype),
+            prior_logpdf=self._joint_prior_logpdf() if use_priors
+            else None, use_priors=bool(use_priors))
+        df = self._df_from_thetas(np.asarray(res.theta))
+        df["chi"] = np.asarray(res.chi)
+        df["loss"] = np.asarray(res.loss)
+        df["converged"] = np.asarray(res.converged)
+        df = df.sort_values("chi").reset_index(drop=True)
+        if set_best and len(df) and np.isfinite(df["chi"].iloc[0]):
+            self.set_best_params(df)
+        return df
+
+    def fit_advi(self, steps=800, learning_rate=0.05, n_mc=8,
+                 rank="full", draws=1000, use_priors=True,
+                 static_parameters=(), print_report=True,
+                 **solver_kw) -> pd.DataFrame:
+        """Variational (ADVI) JOINT posterior: a Gaussian over the joint
+        log-parameters fitted by ELBO ascent through all K experiments'
+        solves at once. Mirrors :meth:`ModelFramework.fit_advi` (same
+        convergence diagnostics in ``df.attrs['advi']``; run
+        :meth:`fit_map` first so the ascent starts in the posterior
+        bulk). Returns draws as the joint posterior DataFrame (columns
+        + total ``chi``)."""
+        from .samplers import advi_custom
+        from .stats import rawstats as _rawstats
+
+        if rank not in ("full", "diag"):
+            raise ValueError(f"rank must be 'full' or 'diag', got {rank!r}")
+        cur = self._current_joint_theta()
+        mask = self._walk_mask(static_parameters)
+        if np.any((cur <= 0) & (mask != 0)):
+            raise ValueError(
+                "fit_advi needs positive current values on every free "
+                "joint dimension; run fit_map (or set parameters) first")
+        res = advi_custom(
+            self._joint_chi_fn(solver_kw), cur, steps=int(steps),
+            learning_rate=float(learning_rate), n_mc=int(n_mc),
+            full_rank=(rank == "full"), draws=int(draws),
+            walk_mask=mask,
+            prior_logpdf=self._joint_prior_logpdf() if use_priors
+            else None, use_priors=bool(use_priors),
+            seed=int(self.random_seed))
+        df = self._df_from_thetas(np.asarray(res.theta))
+        df["chi"] = np.asarray(res.chi)
+        df.attrs["advi"] = {
+            "elbo": np.asarray(res.elbo),
+            "mu": np.asarray(res.mu),
+            "L": np.asarray(res.L),
+            "free_idx": np.asarray(res.free_idx),
+            "converged": bool(res.converged),
+        }
+        if not bool(res.converged):
+            import warnings
+            warnings.warn("joint ADVI did not converge; inspect "
+                          "df.attrs['advi']['elbo'], lower learning_rate "
+                          "or raise steps")
+        if print_report:
+            report = ["\nJoint ADVI Report (variational posterior)\n"
+                      "========================================="]
+            for col in self.columns:
+                tmpl = self._template(col)
+                if tmpl is None:
+                    m, s = _rawstats(df[col].to_numpy(float))
+                    report.append(f"parameter: {col}\n\tmedian = "
+                                  f"{float(m):0.3e}, Standard deviation "
+                                  f"= {float(s):0.3e}")
+                    continue
+                vals = np.stack([np.ravel(np.asarray(v, float))
+                                 for v in df[col].to_numpy()])
+                for i in range(vals.shape[1]):
+                    if tmpl[i] == 0:
+                        continue
+                    m, s = _rawstats(vals[:, i])
+                    report.append(f"parameter: {col}[{i}]\n\tmedian = "
+                                  f"{float(m):0.3e}, Standard deviation "
+                                  f"= {float(s):0.3e}")
+            report.append(f"\nfinal ELBO = {float(res.elbo[-1]):0.4e}, "
+                          f"converged = {bool(res.converged)}")
+            print("\n".join(report))
+        return df
+
     def fit_survey(self, samples=1000, **solver_kw) -> pd.DataFrame:
         """LHS over the joint priors -> DataFrame[columns..., chi]."""
         from .samplers import sample_lhs
@@ -263,23 +434,7 @@ class JointFit:
         rng = np.random.default_rng(self.random_seed)
         rows = top.iloc[rng.integers(0, len(top), n_chains)]
         theta0 = self._thetas_from_df(rows)
-
-        # walk mask: static parameters stay fixed; zero-template entries
-        # of array parameters never walk (Framework.py:107-122)
-        mask = np.ones(self.dim)
-        for p in static_parameters:
-            if p not in self.columns:
-                raise ValueError(f"unknown static parameter {p!r} "
-                                 f"(joint columns: {self.columns})")
-            off = self._col_offsets[p]
-            shp = self._col_shapes[p]
-            mask[off:off + (int(np.prod(shp)) if shp else 1)] = 0.0
-        for lab in self.columns:
-            tmpl = self._template(lab)
-            if tmpl is not None:
-                off = self._col_offsets[lab]
-                sl = slice(off, off + tmpl.size)
-                mask[sl] = np.where(tmpl != 0, mask[sl], 0.0)
+        mask = self._walk_mask(static_parameters)
 
         dists = self._dists()
         prior_logpdf = None

@@ -1,11 +1,11 @@
-from .advi import ADVIResult, advi
+from .advi import ADVIResult, advi, advi_custom
 from .amh import adaptive_metropolis
 from .ensemble import ensemble_mh
 from .joint import JointOutput, joint_metropolis_hastings, joint_survey
 from .hmc import hamiltonian_mc, hamiltonian_mc_checkpointed
 from .lhs import lhs_unit, sample_lhs
 from .mh import MHOutput, equilibriums, metropolis_hastings, survey
-from .optimize import MAPResult, map_fit
+from .optimize import MAPResult, map_fit, map_fit_custom
 from .pt import parallel_tempering
 from .smc import SMCOutput, smc_sample
 
@@ -15,4 +15,4 @@ __all__ = ["lhs_unit", "sample_lhs", "MHOutput", "metropolis_hastings",
            "parallel_tempering", "map_fit", "MAPResult", "ensemble_mh",
            "smc_sample", "SMCOutput", "adaptive_metropolis",
            "joint_metropolis_hastings", "joint_survey", "JointOutput",
-           "advi", "ADVIResult"]
+           "advi", "advi_custom", "ADVIResult", "map_fit_custom"]

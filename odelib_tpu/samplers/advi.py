@@ -59,18 +59,56 @@ def _advi_impl(spec, obs, times, y0_base, z0_full, free_idx, key, *,
                F, steps, learning_rate, n_mc, full_rank, use_priors,
                prior_logpdf, num_params, method, substeps, draws):
     ikw = dict(method=method, substeps=substeps)
-    dtype = z0_full.dtype
 
-    def logp_free(z_free):
-        z = z0_full.at[free_idx].set(z_free)
-        theta = jnp.exp(z)
+    def metrics_of(theta):
         y0 = spec.override_inits(y0_base, theta)
         ys = integrate_theta(spec, theta, y0, times, **ikw)
-        chi, _, _ = fit_metrics(spec, obs, ys, num_params)
-        lp = -chi
+        return fit_metrics(spec, obs, ys, num_params)
+
+    def logp_of(theta):
+        lp = -metrics_of(theta)[0]
         if use_priors:
             lp = lp + prior_logpdf(theta)
         return lp
+
+    return _advi_core(logp_of, metrics_of, z0_full, free_idx, key, F=F,
+                      steps=steps, learning_rate=learning_rate, n_mc=n_mc,
+                      full_rank=full_rank, draws=draws)
+
+
+@partial(jax.jit, static_argnames=(
+    "chi_fn", "F", "steps", "learning_rate", "n_mc", "full_rank",
+    "use_priors", "prior_logpdf", "draws"))
+def _advi_custom_impl(chi_fn, z0_full, free_idx, key, *, F, steps,
+                      learning_rate, n_mc, full_rank, use_priors,
+                      prior_logpdf, draws):
+    """ADVI against an arbitrary chi(theta) closure (hashed by identity —
+    cache the closure, e.g. on the JointFit instance, to reuse the jit).
+    rsquared/aic are reported as NaN (no single-experiment metrics)."""
+    nan = jnp.full((), jnp.nan, z0_full.dtype)
+
+    def metrics_of(theta):
+        return chi_fn(theta), nan, nan
+
+    def logp_of(theta):
+        lp = -chi_fn(theta)
+        if use_priors:
+            lp = lp + prior_logpdf(theta)
+        return lp
+
+    return _advi_core(logp_of, metrics_of, z0_full, free_idx, key, F=F,
+                      steps=steps, learning_rate=learning_rate, n_mc=n_mc,
+                      full_rank=full_rank, draws=draws)
+
+
+def _advi_core(logp_of, metrics_of, z0_full, free_idx, key, *, F, steps,
+               learning_rate, n_mc, full_rank, draws):
+    """Shared ELBO-ascent core (runs inside an enclosing jit).
+    ``logp_of``/``metrics_of`` take theta in LINEAR space."""
+    dtype = z0_full.dtype
+
+    def logp_free(z_free):
+        return logp_of(jnp.exp(z0_full.at[free_idx].set(z_free)))
 
     # variational parameters lam:
     #   mean-field: [mu (F), log_sigma (F)]
@@ -160,11 +198,8 @@ def _advi_impl(spec, obs, times, y0_base, z0_full, free_idx, key, *,
     z_free = mu[None, :] + eps @ L.T
 
     def one_draw(zf):
-        z = z0_full.at[free_idx].set(zf)
-        theta = jnp.exp(z)
-        y0 = spec.override_inits(y0_base, theta)
-        ys = integrate_theta(spec, theta, y0, times, **ikw)
-        chi, rsq, aic = fit_metrics(spec, obs, ys, num_params)
+        theta = jnp.exp(z0_full.at[free_idx].set(zf))
+        chi, rsq, aic = metrics_of(theta)
         return theta, chi, rsq, aic
 
     theta_d, chi_d, rsq_d, aic_d = jax.vmap(one_draw)(z_free)
@@ -218,6 +253,40 @@ def advi(spec: ModelSpec, obs: ObsData, times, y0_base, theta_init, *,
         use_priors=bool(use_priors), prior_logpdf=prior_logpdf,
         num_params=num_params, method=method,
         substeps=substeps if isinstance(substeps, tuple) else int(substeps),
+        draws=int(draws))
+    return ADVIResult(mu=mu, L=L, elbo=elbos, theta=theta_d, chi=chi_d,
+                      rsquared=rsq_d, aic=aic_d,
+                      free_idx=jnp.asarray(free_idx), converged=conv)
+
+
+def advi_custom(chi_fn, theta_init, *, steps: int = 800,
+                learning_rate: float = 0.05, n_mc: int = 8,
+                full_rank: bool = True, draws: int = 1000, walk_mask=None,
+                prior_logpdf=None, use_priors: bool = False,
+                seed: int = 0) -> ADVIResult:
+    """ADVI against an arbitrary differentiable ``chi_fn(theta)`` (e.g.
+    the summed multi-experiment chi of a :class:`~odelib_tpu.joint.
+    JointFit`). Same conventions as :func:`advi`; ``chi_fn`` is a static
+    jit argument hashed by IDENTITY — cache the closure to reuse the
+    compiled program. rsquared/aic columns come back NaN."""
+    theta_init = jnp.ravel(jnp.asarray(theta_init))
+    P = theta_init.shape[0]
+    if walk_mask is None:
+        walk_mask = jnp.ones((P,), theta_init.dtype)
+    walk_mask = np.asarray(walk_mask)
+    free_idx = np.where(walk_mask != 0)[0]
+    F = int(free_idx.size)
+    if F == 0:
+        raise ValueError("advi: every dimension is masked static")
+    if use_priors and prior_logpdf is None:
+        raise ValueError("use_priors=True requires prior_logpdf")
+    dtype = jnp.result_type(float)
+    mu, L, elbos, theta_d, chi_d, rsq_d, aic_d, conv = _advi_custom_impl(
+        chi_fn, jnp.log(jnp.asarray(theta_init, dtype)),
+        jnp.asarray(free_idx), jax.random.PRNGKey(seed),
+        F=F, steps=int(steps), learning_rate=float(learning_rate),
+        n_mc=int(n_mc), full_rank=bool(full_rank),
+        use_priors=bool(use_priors), prior_logpdf=prior_logpdf,
         draws=int(draws))
     return ADVIResult(mu=mu, L=L, elbo=elbos, theta=theta_d, chi=chi_d,
                       rsquared=rsq_d, aic=aic_d,

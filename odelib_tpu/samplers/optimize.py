@@ -35,11 +35,32 @@ def _map_impl(spec, obs, times, y0_base, theta0, walk_mask, *,
               method, substeps):
     ikw = dict(method=method, substeps=substeps)
 
-    def u_of(z):
-        theta = jnp.exp(z)
+    def chi_of(theta):
         y0 = spec.override_inits(y0_base, theta)
         ys = integrate_theta(spec, theta, y0, times, **ikw)
-        chi, _, _ = fit_metrics(spec, obs, ys, num_params)
+        return fit_metrics(spec, obs, ys, num_params)[0]
+
+    return _map_core(chi_of, theta0, walk_mask, steps=steps,
+                     learning_rate=learning_rate, use_priors=use_priors,
+                     prior_logpdf=prior_logpdf)
+
+
+@partial(jax.jit, static_argnames=(
+    "chi_fn", "steps", "learning_rate", "use_priors", "prior_logpdf"))
+def _map_custom_impl(chi_fn, theta0, walk_mask, *, steps, learning_rate,
+                     use_priors, prior_logpdf):
+    return _map_core(chi_fn, theta0, walk_mask, steps=steps,
+                     learning_rate=learning_rate, use_priors=use_priors,
+                     prior_logpdf=prior_logpdf)
+
+
+def _map_core(chi_of, theta0, walk_mask, *, steps, learning_rate,
+              use_priors, prior_logpdf):
+    """Shared multi-start Adam core (runs inside an enclosing jit);
+    ``chi_of`` takes theta in LINEAR space."""
+    def u_of(z):
+        theta = jnp.exp(z)
+        chi = chi_of(theta)
         if use_priors:
             chi = chi - prior_logpdf(theta)
         return chi
@@ -77,9 +98,7 @@ def _map_impl(spec, obs, times, y0_base, theta0, walk_mask, *,
         best_z = jnp.where(better, z, best_z)
         best_u = jnp.where(better, u_end, best_u)
         theta = jnp.exp(best_z)
-        y0 = spec.override_inits(y0_base, theta)
-        ys = integrate_theta(spec, theta, y0, times, **ikw)
-        chi, _, _ = fit_metrics(spec, obs, ys, num_params)
+        chi = chi_of(theta)
         converged = jnp.isfinite(best_u) & (steps_abs[-1] < 1e-3)
         return theta, chi, best_u, converged
 
@@ -114,4 +133,26 @@ def map_fit(spec: ModelSpec, obs: ObsData, times, y0_base, theta0, *,
         use_priors=bool(use_priors), prior_logpdf=prior_logpdf,
         num_params=num_params, method=method,
         substeps=substeps if isinstance(substeps, tuple) else int(substeps))
+    return MAPResult(theta=theta, chi=chi, loss=loss, converged=conv)
+
+
+def map_fit_custom(chi_fn, theta0, *, steps: int = 500,
+                   learning_rate: float = 0.05, walk_mask=None,
+                   prior_logpdf=None,
+                   use_priors: bool = False) -> MAPResult:
+    """Multi-start Adam on an arbitrary differentiable ``chi_fn(theta)``
+    (e.g. the summed multi-experiment chi of a JointFit). ``chi_fn`` is a
+    static jit argument hashed by IDENTITY — cache the closure to reuse
+    the compiled program."""
+    theta0 = jnp.atleast_2d(theta0)
+    P = theta0.shape[-1]
+    if walk_mask is None:
+        walk_mask = jnp.ones((P,), theta0.dtype)
+    walk_mask = jnp.asarray(walk_mask, theta0.dtype)
+    if use_priors and prior_logpdf is None:
+        raise ValueError("use_priors=True requires prior_logpdf")
+    theta, chi, loss, conv = _map_custom_impl(
+        chi_fn, theta0, walk_mask, steps=int(steps),
+        learning_rate=float(learning_rate), use_priors=bool(use_priors),
+        prior_logpdf=prior_logpdf)
     return MAPResult(theta=theta, chi=chi, loss=loss, converged=conv)

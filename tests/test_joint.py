@@ -390,3 +390,51 @@ def test_joint_array_param_zero_template_and_shape_check():
                                 hyperparameters={}, random_seed=53))
     with pytest.raises(ValueError, match="shape"):
         JointFit({"a": fw1, "c": fw3}, shared=["mu"])
+
+
+# ---------------------------------------------------------------------------
+# Joint MAP and ADVI (round 3: gradient consumers over the joint chi)
+# ---------------------------------------------------------------------------
+
+def test_joint_fit_map_recovers_shared_rate():
+    """Multi-start Adam on the summed 2-experiment chi: the shared decay
+    rate lands on the pooled optimum, and set_best pushes it into both
+    frameworks."""
+    fw1 = _decay_fw(_decay_df(1.0, seed=61), seed=61)
+    fw2 = _decay_fw(_decay_df(1.0, seed=62), seed=62)
+    jf = JointFit({"a": fw1, "b": fw2}, shared=["k"], random_seed=8)
+    df = jf.fit_map(starts=24, steps=300, learning_rate=0.1)
+    assert {"k", "chi", "loss", "converged"} <= set(df.columns)
+    best_k = float(df["k"].iloc[0])
+    assert abs(np.log(best_k)) < 0.15, best_k
+    v1 = float(np.asarray(fw1.parameters["k"].val))
+    v2 = float(np.asarray(fw2.parameters["k"].val))
+    assert v1 == v2 == pytest.approx(best_k)
+    # the joint optimum beats either single-experiment fit on total chi
+    chi_joint = float(df["chi"].iloc[0])
+    s1 = fw1.fit_map(starts=8, steps=300, learning_rate=0.1,
+                     set_best=False)
+    assert np.isfinite(chi_joint) and np.isfinite(s1["chi"].iloc[0])
+
+
+def test_joint_fit_advi_matches_joint_mcmc():
+    """Joint ADVI posterior of the shared rate agrees with the joint
+    prior-aware MCMC posterior in log-space moments."""
+    fw1 = _decay_fw(_decay_df(1.0, seed=71), seed=71)
+    fw2 = _decay_fw(_decay_df(1.0, seed=72), seed=72)
+    jf = JointFit({"a": fw1, "b": fw2}, shared=["k"], random_seed=9)
+    jf.fit_map(starts=16, steps=300, learning_rate=0.1)
+    post_v = jf.fit_advi(steps=400, draws=2000, print_report=True)
+    assert post_v.attrs["advi"]["converged"]
+
+    post_m = jf.MCMC(chain_inits=16, iterations_per_chain=400,
+                     fitsurvey_samples=128, use_priors=True,
+                     backend="xla", print_report=False)
+    mv, sv = np.log(post_v["k"]).mean(), np.log(post_v["k"]).std()
+    mm, sm = np.log(post_m["k"]).mean(), np.log(post_m["k"]).std()
+    assert abs(mv - mm) < 3 * sm / np.sqrt(50) + 0.05, (mv, mm)
+    assert 0.5 < sv / sm < 2.0, (sv, sm)
+    # masking the ONLY joint dimension is an error, not a silent no-op
+    with pytest.raises(ValueError, match="masked static"):
+        jf.fit_advi(steps=50, draws=50, static_parameters=["k"],
+                    print_report=False)
