@@ -22,6 +22,7 @@ MODULES="odelib_tpu odelib_tpu.api odelib_tpu.distributions \
  odelib_tpu.models.pharmacology odelib_tpu.models.neuroscience \
  odelib_tpu.parallel.mesh odelib_tpu.utils.checkpoint \
  odelib_tpu.utils.profiling odelib_tpu.utils.diagnostics \
+ odelib_tpu.utils.sbc \
  odelib_tpu.utils.model_comparison odelib_tpu.utils.sensitivity"
 
 if python -c "import pdoc" 2>/dev/null; then

@@ -1383,6 +1383,88 @@ class ModelFramework:
         from .utils.diagnostics import summarize
         return summarize(posteriors, list(self.get_pnames()))
 
+    def sbc(self, reps=128, iterations_per_chain=2000, thin=10, bins=16,
+            rwalk_std=0.05, burnin=None, static_parameters=(),
+            print_report=True, **solver_kw) -> dict:
+        """Simulation-based calibration of the WHOLE inference pipeline
+        (Talts et al. 2018): for each of ``reps`` replications, draw true
+        parameters from the priors, simulate data with this framework's
+        own observation design and noise model, run an MH chain on the
+        synthetic data, and rank the truth among the thinned posterior
+        draws. Uniform ranks certify solver + likelihood + sampler + RNG
+        jointly; a U shape flags underdispersion, a slope flags bias.
+        All replications run as ONE vmapped device program
+        (utils/sbc.py, incl. the prior-measure note).
+
+        Returns a dict: ``ranks`` (DataFrame, one column per prior
+        parameter/slot), ``pvalues`` (chi-square uniformity per column),
+        ``n_draws`` (rank denominator M), ``n_valid`` (replications whose
+        synthetic solve stayed finite), ``calibrated`` (every p > 0.01).
+        The reference ships zero tests of its inference loop (SURVEY §4);
+        this is the statistical test a user runs before trusting a fit.
+        """
+        from .utils.sbc import rank_uniformity_pvalue, sbc_ranks
+
+        offsets = self._spec.theta_offsets
+        dists = [None] * self._spec.theta_size
+        labels = {}
+        for i, p in enumerate(self._pnames):
+            par = self.parameters[p]
+            if par is None or not par.has_distribution() \
+                    or p in static_parameters:
+                continue
+            shp = self._spec.pshapes[i]
+            if shp:
+                tmpl = np.ravel(np.asarray(par.val, float))
+                for k in range(tmpl.size):
+                    if tmpl[k] != 0:
+                        dists[offsets[i] + k] = par.jdist
+                        labels[offsets[i] + k] = f"{p}[{k}]"
+            else:
+                dists[offsets[i]] = par.jdist
+                labels[offsets[i]] = p
+        if not labels:
+            raise ValueError("sbc needs at least one parameter with a "
+                             "prior distribution")
+        method, _, _, _, substeps = self._solver_args(
+            solver_kw, len(self._times_fit) - 1)
+        res = sbc_ranks(
+            self._spec, self._obsdata_fit, self._times_fit,
+            self.get_inits(), tuple(dists),
+            np.asarray(self._current_theta(), float), reps=int(reps),
+            nits=int(iterations_per_chain), burnin=burnin, thin=int(thin),
+            rwalk_std=float(rwalk_std), seed=int(self.random_seed),
+            method="rk4" if method == "rk4" else "fixed_dopri5",
+            substeps=substeps)
+        valid = np.asarray(res.valid, bool)
+        cols = {lab: res.ranks[valid, j] for j, lab in labels.items()}
+        ranks_df = pd.DataFrame(cols)
+        pvalues = {lab: rank_uniformity_pvalue(ranks_df[lab], res.n_draws,
+                                               bins=bins)
+                   for lab in ranks_df}
+        out = {"ranks": ranks_df, "pvalues": pvalues,
+               "n_draws": int(res.n_draws), "n_valid": int(valid.sum()),
+               "reps": int(reps),
+               "mean_acceptance": float(np.mean(res.acceptance[valid]))
+               if valid.any() else float("nan"),
+               "calibrated": bool(all(p > 0.01 for p in pvalues.values()))}
+        if int(valid.sum()) < reps:
+            warnings.warn(
+                f"sbc: {reps - int(valid.sum())}/{reps} replications had "
+                "non-finite synthetic solves and were dropped — prior "
+                "mass is escaping the solver's stable region")
+        if print_report:
+            lines = ["\nSBC Report (rank-uniformity of the pipeline)\n"
+                     "============================================",
+                     f"replications: {int(valid.sum())}/{int(reps)} valid, "
+                     f"M = {int(res.n_draws)} draws/rank, mean acceptance "
+                     f"{out['mean_acceptance']:.3f}"]
+            for lab, p in pvalues.items():
+                flag = "ok" if p > 0.01 else "MISCALIBRATED"
+                lines.append(f"\t{lab}: uniformity p = {p:0.3f}  [{flag}]")
+            print("\n".join(lines))
+        return out
+
     def sobol_sensitivity(self, samples=512, target="chi", n_boot=200,
                           print_report=True, **solver_kw) -> pd.DataFrame:
         """Variance-based global sensitivity over the priors: first-order

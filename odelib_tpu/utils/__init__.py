@@ -7,7 +7,9 @@ convergence checks.
 from .checkpoint import load_posterior, resume_theta, save_posterior
 from .diagnostics import effective_sample_size, split_rhat, summarize
 from .profiling import StageTimer, get_logger, trace
+from .sbc import SBCResult, rank_uniformity_pvalue, sbc_ranks
 
 __all__ = ["save_posterior", "load_posterior", "resume_theta",
            "StageTimer", "get_logger", "trace",
-           "effective_sample_size", "split_rhat", "summarize"]
+           "effective_sample_size", "split_rhat", "summarize",
+           "sbc_ranks", "rank_uniformity_pvalue", "SBCResult"]
