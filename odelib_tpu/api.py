@@ -907,7 +907,7 @@ class ModelFramework:
 
     def fit_advi(self, steps=800, learning_rate=0.05, n_mc=8,
                  rank="full", draws=1000, use_priors=True,
-                 static_parameters=(), print_report=True,
+                 static_parameters=(), resample=False, print_report=True,
                  **solver_kw) -> pd.DataFrame:
         """Variational (ADVI) posterior: fit a Gaussian to the
         log-parameter posterior by reparameterized ELBO ascent through
@@ -928,10 +928,18 @@ class ModelFramework:
 
         Diagnostics ride on the result: ``df.attrs['advi']`` holds the
         ELBO trace, the variational mean/Cholesky over the free flat
-        slots, and ``converged``. Array-valued parameters are supported
-        (zero-template entries pinned); static parameters are excluded
-        from the variational family. No reference counterpart — the
-        reference's only inference engine is random-walk MH
+        slots, ``converged``, and ``khat`` — the Pareto-smoothed
+        importance-sampling shape diagnostic of the Gaussian
+        approximation against the true posterior (same scale as
+        PSIS-LOO: khat < 0.7 means the smoothed weights in
+        ``df.attrs['advi']['psis_logw']`` reliably correct q's moments;
+        above it the approximation is genuinely off — run MCMC).
+        ``resample=True`` returns rows importance-RESAMPLED by those
+        weights, i.e. draws from the PSIS-corrected posterior rather
+        than raw q. Array-valued parameters are supported (zero-template
+        entries pinned); static parameters are excluded from the
+        variational family. No reference counterpart — the reference's
+        only inference engine is random-walk MH
         (``Statistics/Samplers.py:53-174``).
         """
         from .samplers import advi as _advi
@@ -987,17 +995,30 @@ class ModelFramework:
         df["chi"] = np.asarray(res.chi)
         df["rsquared"] = np.asarray(res.rsquared)
         df["aic"] = np.asarray(res.aic)
-        df.attrs["advi"] = {
+        from .samplers.advi import psis_weights, resample_indices
+        lw, khat = psis_weights(np.asarray(res.logw, float))
+        info = {
             "elbo": np.asarray(res.elbo),
             "mu": np.asarray(res.mu),
             "L": np.asarray(res.L),
             "free_idx": np.asarray(res.free_idx),
             "converged": bool(res.converged),
+            "khat": khat,
+            "psis_logw": lw,
         }
+        if resample:
+            df = df.iloc[resample_indices(lw, int(self.random_seed))]
+            df = df.reset_index(drop=True)
+        df.attrs["advi"] = info
         if not bool(res.converged):
             warnings.warn("ADVI did not converge (non-finite or unstable "
                           "ELBO tail); inspect df.attrs['advi']['elbo'], "
                           "lower learning_rate or raise steps")
+        if khat > 0.7:
+            warnings.warn(
+                f"ADVI khat = {khat:.2f} > 0.7: the Gaussian approximation "
+                "is unreliable for this posterior even after importance "
+                "correction — use MCMC")
         if print_report:
             from .stats import rawstats as _rawstats
             report = ["\nADVI Report (variational posterior)\n"
@@ -1021,7 +1042,9 @@ class ModelFramework:
                                   f"{float(m):0.3e}, Standard deviation = "
                                   f"{float(s):0.3e}")
             report.append(f"\nfinal ELBO = {float(res.elbo[-1]):0.4e}, "
-                          f"converged = {bool(res.converged)}")
+                          f"converged = {bool(res.converged)}, "
+                          f"khat = {khat:0.3f} "
+                          f"({'reliable' if khat < 0.7 else 'UNRELIABLE'})")
             print("\n".join(report))
         return df
 

@@ -306,7 +306,7 @@ class JointFit:
 
     def fit_advi(self, steps=800, learning_rate=0.05, n_mc=8,
                  rank="full", draws=1000, use_priors=True,
-                 static_parameters=(), print_report=True,
+                 static_parameters=(), resample=False, print_report=True,
                  **solver_kw) -> pd.DataFrame:
         """Variational (ADVI) JOINT posterior: a Gaussian over the joint
         log-parameters fitted by ELBO ascent through all K experiments'
@@ -334,20 +334,33 @@ class JointFit:
             prior_logpdf=self._joint_prior_logpdf() if use_priors
             else None, use_priors=bool(use_priors),
             seed=int(self.random_seed))
+        from .samplers.advi import psis_weights, resample_indices
         df = self._df_from_thetas(np.asarray(res.theta))
         df["chi"] = np.asarray(res.chi)
-        df.attrs["advi"] = {
+        lw, khat = psis_weights(np.asarray(res.logw, float))
+        info = {
             "elbo": np.asarray(res.elbo),
             "mu": np.asarray(res.mu),
             "L": np.asarray(res.L),
             "free_idx": np.asarray(res.free_idx),
             "converged": bool(res.converged),
+            "khat": khat,
+            "psis_logw": lw,
         }
+        if resample:
+            df = df.iloc[resample_indices(lw, int(self.random_seed))]
+            df = df.reset_index(drop=True)
+        df.attrs["advi"] = info
         if not bool(res.converged):
             import warnings
             warnings.warn("joint ADVI did not converge; inspect "
                           "df.attrs['advi']['elbo'], lower learning_rate "
                           "or raise steps")
+        if khat > 0.7:
+            import warnings
+            warnings.warn(
+                f"joint ADVI khat = {khat:.2f} > 0.7: the Gaussian "
+                "approximation is unreliable — use MCMC")
         if print_report:
             report = ["\nJoint ADVI Report (variational posterior)\n"
                       "========================================="]
@@ -369,7 +382,9 @@ class JointFit:
                                   f"{float(m):0.3e}, Standard deviation "
                                   f"= {float(s):0.3e}")
             report.append(f"\nfinal ELBO = {float(res.elbo[-1]):0.4e}, "
-                          f"converged = {bool(res.converged)}")
+                          f"converged = {bool(res.converged)}, "
+                          f"khat = {khat:0.3f} "
+                          f"({'reliable' if khat < 0.7 else 'UNRELIABLE'})")
             print("\n".join(report))
         return df
 

@@ -1,4 +1,5 @@
-from .advi import ADVIResult, advi, advi_custom
+from .advi import (ADVIResult, advi, advi_custom, psis_weights,
+                   resample_indices)
 from .amh import adaptive_metropolis
 from .ensemble import ensemble_mh
 from .joint import JointOutput, joint_metropolis_hastings, joint_survey
@@ -15,4 +16,5 @@ __all__ = ["lhs_unit", "sample_lhs", "MHOutput", "metropolis_hastings",
            "parallel_tempering", "map_fit", "MAPResult", "ensemble_mh",
            "smc_sample", "SMCOutput", "adaptive_metropolis",
            "joint_metropolis_hastings", "joint_survey", "JointOutput",
-           "advi", "advi_custom", "ADVIResult", "map_fit_custom"]
+           "advi", "advi_custom", "ADVIResult", "map_fit_custom",
+           "psis_weights", "resample_indices"]

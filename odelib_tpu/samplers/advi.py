@@ -49,6 +49,9 @@ class ADVIResult(NamedTuple):
     aic: Any         # (draws,)
     free_idx: Any    # (F,) flat-theta indices of the free dims
     converged: Any   # bool: best ELBO finite and tail-stable
+    logw: Any        # (draws,) unnormalized log importance weights
+                     # log p(z) - log q(z): PSIS-smooth to diagnose
+                     # (khat) and correct the Gaussian approximation
 
 
 @partial(jax.jit, static_argnames=(
@@ -71,9 +74,10 @@ def _advi_impl(spec, obs, times, y0_base, z0_full, free_idx, key, *,
             lp = lp + prior_logpdf(theta)
         return lp
 
-    return _advi_core(logp_of, metrics_of, z0_full, free_idx, key, F=F,
-                      steps=steps, learning_rate=learning_rate, n_mc=n_mc,
-                      full_rank=full_rank, draws=draws)
+    prior_of = prior_logpdf if use_priors else None
+    return _advi_core(logp_of, metrics_of, prior_of, z0_full, free_idx,
+                      key, F=F, steps=steps, learning_rate=learning_rate,
+                      n_mc=n_mc, full_rank=full_rank, draws=draws)
 
 
 @partial(jax.jit, static_argnames=(
@@ -96,15 +100,17 @@ def _advi_custom_impl(chi_fn, z0_full, free_idx, key, *, F, steps,
             lp = lp + prior_logpdf(theta)
         return lp
 
-    return _advi_core(logp_of, metrics_of, z0_full, free_idx, key, F=F,
-                      steps=steps, learning_rate=learning_rate, n_mc=n_mc,
-                      full_rank=full_rank, draws=draws)
+    prior_of = prior_logpdf if use_priors else None
+    return _advi_core(logp_of, metrics_of, prior_of, z0_full, free_idx,
+                      key, F=F, steps=steps, learning_rate=learning_rate,
+                      n_mc=n_mc, full_rank=full_rank, draws=draws)
 
 
-def _advi_core(logp_of, metrics_of, z0_full, free_idx, key, *, F, steps,
-               learning_rate, n_mc, full_rank, draws):
+def _advi_core(logp_of, metrics_of, prior_of, z0_full, free_idx, key, *,
+               F, steps, learning_rate, n_mc, full_rank, draws):
     """Shared ELBO-ascent core (runs inside an enclosing jit).
-    ``logp_of``/``metrics_of`` take theta in LINEAR space."""
+    ``logp_of``/``metrics_of``/``prior_of`` take theta in LINEAR space
+    (``prior_of`` may be None)."""
     dtype = z0_full.dtype
 
     def logp_free(z_free):
@@ -190,19 +196,26 @@ def _advi_core(logp_of, metrics_of, z0_full, free_idx, key, *, F, steps,
                                      | ~jnp.isfinite(e_best))
     lam_star = jnp.where(use_avg, lam_avg, best_lam)
     best_e = jnp.where(use_avg, e_avg, e_best)
-    mu, L, _ = unpack(lam_star)
+    mu, L, logdet_star = unpack(lam_star)
 
-    # posterior draws from the fitted q + per-draw fit metrics
+    # posterior draws from the fitted q + per-draw fit metrics and log
+    # importance weights log p(z) - log q(z): since z = mu + L eps,
+    # log q(z) = -||eps||^2/2 - logdet - F/2 log 2pi comes free from eps
     eps = jax.random.normal(jax.random.fold_in(key, steps + 1),
                             (draws, F), dtype)
     z_free = mu[None, :] + eps @ L.T
 
-    def one_draw(zf):
+    def one_draw(zf, eps_row):
         theta = jnp.exp(z0_full.at[free_idx].set(zf))
         chi, rsq, aic = metrics_of(theta)
-        return theta, chi, rsq, aic
+        lp = -chi
+        if prior_of is not None:
+            lp = lp + prior_of(theta)
+        logq = (-0.5 * jnp.sum(eps_row * eps_row) - logdet_star
+                - 0.5 * F * jnp.log(2.0 * jnp.pi))
+        return theta, chi, rsq, aic, lp - logq
 
-    theta_d, chi_d, rsq_d, aic_d = jax.vmap(one_draw)(z_free)
+    theta_d, chi_d, rsq_d, aic_d, logw = jax.vmap(one_draw)(z_free, eps)
     # converged = the ELBO stopped climbing: compare the two halves of
     # the tail window against the MC noise floor (a merely *stable* tail
     # std can coexist with a slow steady climb — seen on the demo
@@ -212,7 +225,7 @@ def _advi_core(logp_of, metrics_of, z0_full, free_idx, key, *, F, steps,
     se = jnp.std(elbos[-2 * q:]) / jnp.sqrt(1.0 * q) + 1e-9
     drift = jnp.mean(h2) - jnp.mean(h1)
     converged = jnp.isfinite(best_e) & (drift < 4.0 * se + 0.1)
-    return mu, L, elbos, theta_d, chi_d, rsq_d, aic_d, converged
+    return mu, L, elbos, theta_d, chi_d, rsq_d, aic_d, converged, logw
 
 
 def advi(spec: ModelSpec, obs: ObsData, times, y0_base, theta_init, *,
@@ -244,7 +257,7 @@ def advi(spec: ModelSpec, obs: ObsData, times, y0_base, theta_init, *,
                          "integrator: 'fixed_dopri5' or 'rk4'")
     num_params = int(np.count_nonzero(np.asarray(theta_init)))
     dtype = jnp.result_type(float)
-    mu, L, elbos, theta_d, chi_d, rsq_d, aic_d, conv = _advi_impl(
+    mu, L, elbos, theta_d, chi_d, rsq_d, aic_d, conv, logw = _advi_impl(
         spec, obs, jnp.asarray(times, dtype), jnp.asarray(y0_base, dtype),
         jnp.log(jnp.asarray(theta_init, dtype)),
         jnp.asarray(free_idx), jax.random.PRNGKey(seed),
@@ -256,7 +269,37 @@ def advi(spec: ModelSpec, obs: ObsData, times, y0_base, theta_init, *,
         draws=int(draws))
     return ADVIResult(mu=mu, L=L, elbo=elbos, theta=theta_d, chi=chi_d,
                       rsquared=rsq_d, aic=aic_d,
-                      free_idx=jnp.asarray(free_idx), converged=conv)
+                      free_idx=jnp.asarray(free_idx), converged=conv,
+                      logw=logw)
+
+
+def psis_weights(logw):
+    """Pareto-smooth the draws' raw log importance weights.
+
+    Returns ``(normalized log-weights, khat)`` — the PSIS diagnostic of
+    Yao et al. 2018 ("Yes, but did it work?: Evaluating variational
+    inference"): khat < 0.7 means the smoothed weights reliably correct
+    q toward the true posterior; above it the approximation failed."""
+    from ..utils.model_comparison import _psis_smooth_lw
+
+    logw = np.asarray(logw, float)
+    finite = np.isfinite(logw)
+    if not finite.any():
+        return np.full_like(logw, -np.inf), float("inf")
+    safe = np.where(finite, logw, logw[finite].min() - 50.0)
+    return _psis_smooth_lw(safe)
+
+
+def resample_indices(logw_norm, seed: int = 0):
+    """Systematic resampling indices by normalized log-weights —
+    turns weighted q-draws into unweighted draws from the corrected
+    posterior."""
+    w = np.exp(logw_norm - np.max(logw_norm))
+    w = w / w.sum()
+    n = len(w)
+    rng = np.random.default_rng(seed)
+    positions = (np.arange(n) + rng.uniform()) / n
+    return np.searchsorted(np.cumsum(w), positions)
 
 
 def advi_custom(chi_fn, theta_init, *, steps: int = 800,
@@ -281,7 +324,8 @@ def advi_custom(chi_fn, theta_init, *, steps: int = 800,
     if use_priors and prior_logpdf is None:
         raise ValueError("use_priors=True requires prior_logpdf")
     dtype = jnp.result_type(float)
-    mu, L, elbos, theta_d, chi_d, rsq_d, aic_d, conv = _advi_custom_impl(
+    (mu, L, elbos, theta_d, chi_d, rsq_d, aic_d, conv,
+     logw) = _advi_custom_impl(
         chi_fn, jnp.log(jnp.asarray(theta_init, dtype)),
         jnp.asarray(free_idx), jax.random.PRNGKey(seed),
         F=F, steps=int(steps), learning_rate=float(learning_rate),
@@ -290,4 +334,5 @@ def advi_custom(chi_fn, theta_init, *, steps: int = 800,
         draws=int(draws))
     return ADVIResult(mu=mu, L=L, elbo=elbos, theta=theta_d, chi=chi_d,
                       rsquared=rsq_d, aic=aic_d,
-                      free_idx=jnp.asarray(free_idx), converged=conv)
+                      free_idx=jnp.asarray(free_idx), converged=conv,
+                      logw=logw)

@@ -133,3 +133,50 @@ def test_advi_array_param():
     assert (cells[:, 1] == 0.0).all()
     med = np.median(cells[:, 0])
     assert abs(np.log(med / mu_true[0])) < 0.3, med
+
+
+def test_advi_psis_khat_and_resample():
+    """The PSIS diagnostic certifies the near-Gaussian fit (khat < 0.7)
+    and resample=True returns importance-corrected draws."""
+    fw = _decay_fw(seed=11)
+    post = fw.fit_advi(steps=400, draws=1500, print_report=False)
+    info = post.attrs["advi"]
+    assert np.isfinite(info["khat"]) and info["khat"] < 0.7, info["khat"]
+    lw = info["psis_logw"]
+    assert lw.shape == (1500,)
+    np.testing.assert_allclose(np.exp(lw).sum(), 1.0, rtol=1e-6)
+
+    post_r = fw.fit_advi(steps=400, draws=1500, resample=True,
+                         print_report=False)
+    assert len(post_r) == 1500
+    # resampled values are a subset of the q draws (with replacement)
+    assert set(np.round(post_r["k"], 12)) <= set(np.round(post["k"], 12))
+    # corrected posterior still centred right
+    assert abs(np.log(post_r["k"]).mean()) < 0.1
+
+
+def test_psis_correction_tightens_toward_truth():
+    """Deliberately UNDERDISPERSED q (too few steps from a far start):
+    importance weights must be informative (khat finite), and the
+    PSIS-weighted mean must be at least as close to the quadrature-true
+    mean as the raw q mean."""
+    from odelib_tpu.samplers import psis_weights
+
+    fw = _decay_fw(seed=13)
+    # short run: mean not yet converged -> weights do real work
+    post = fw.fit_advi(steps=120, draws=2000, print_report=False)
+    info = post.attrs["advi"]
+    lw = info["psis_logw"]
+    logk = np.log(post["k"].to_numpy(float))
+    w = np.exp(lw)
+    raw_mean = logk.mean()
+    corrected_mean = float((w * logk).sum())
+    # truth for this dataset/prior: prior-aware posterior mean; get it
+    # from a long MCMC run
+    mc = fw.MCMC(chain_inits=16, iterations_per_chain=800,
+                 fitsurvey_samples=128, use_priors=True,
+                 print_report=False)
+    true_mean = np.log(mc["k"]).mean()
+    assert (abs(corrected_mean - true_mean)
+            <= abs(raw_mean - true_mean) + 0.01), \
+        (raw_mean, corrected_mean, true_mean)
