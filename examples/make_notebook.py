@@ -491,7 +491,7 @@ chains — and (b) **sharded over a TPU pod slice**: chains are pure data
 parallelism over a 1-D `jax.sharding.Mesh`, RNG streams are keyed on global
 chain index so results are bitwise-identical to the single-chip run. See
 `docs/DESIGN.md` and `bench/suite.py`; `BASELINE.md` records the measured
-speedups vs the reference (26×–94,000× depending on workload)."""),
+speedups vs the reference (16×–120,000× depending on workload)."""),
 ]
 
 
