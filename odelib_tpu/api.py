@@ -2521,6 +2521,51 @@ class ModelFramework:
         f.tight_layout()
         return f, axes
 
+    def plot_trace(self, posterior, parameters=None, logspace=True,
+                   max_chains=32, alpha=0.6):
+        """Per-chain trace plot of an MCMC posterior: one subplot per
+        parameter (plus chi), one line per chain over the recorded
+        iterations — the mixing picture the reference demo assembles by
+        hand per chain (demo cells 36-38). Returns (figure, axes array).
+
+        ``logspace`` plots log10 of each parameter (the sampling space);
+        ``max_chains`` caps the number of chains drawn so 10k-chain
+        posteriors stay plottable.
+        """
+        import matplotlib.pyplot as plt
+
+        if parameters is None:
+            parameters = [p for p in self.get_pnames()
+                          if p in posterior and posterior[p].nunique() > 1]
+        cols = list(parameters) + (["chi"] if "chi" in posterior else [])
+        if not cols:
+            raise ValueError("no varying parameters to plot")
+        chains = posterior["chain#"].unique() if "chain#" in posterior \
+            else [None]
+        if len(chains) > max_chains:
+            rng = np.random.default_rng(self.random_seed)
+            chains = rng.choice(chains, max_chains, replace=False)
+        n = len(cols)
+        f, axes = plt.subplots(n, 1, figsize=(8, 1.8 * n), sharex=True,
+                               squeeze=False)
+        axes = axes[:, 0]
+        for ax, col in zip(axes, cols):
+            for c in chains:
+                sub = posterior if c is None \
+                    else posterior[posterior["chain#"] == c]
+                x = sub["iteration"] if "iteration" in sub \
+                    else np.arange(len(sub))
+                y = sub[col].to_numpy(float)
+                if logspace and col != "chi":
+                    with np.errstate(divide="ignore"):
+                        y = np.log10(np.maximum(y, 1e-300))
+                ax.plot(x, y, lw=0.7, alpha=alpha)
+            ax.set_ylabel(f"log10({col})" if logspace and col != "chi"
+                          else col)
+        axes[-1].set_xlabel("iteration")
+        f.tight_layout()
+        return f, axes
+
     def plot(self, states=None, overlay=None):
         import matplotlib.pyplot as plt
         overlay = overlay or {}

@@ -3,8 +3,13 @@
 ``JointFit`` ties named parameters across several ``ModelFramework``
 instances (same or different models, each with its own data) and samples
 the joint posterior with all experiments fused into one device program.
-No reference counterpart: ``ODElib`` binds one DataFrame per framework
-and its only cross-dataset tool is averaging replicate columns
+Three pooling modes per parameter: complete pooling (``shared`` — one
+value for all experiments), no pooling (the default — independent
+per-experiment values), and PARTIAL pooling (``hierarchical`` — each
+experiment draws its own value from a lognormal population distribution
+whose median and log-spread are themselves sampled). No reference
+counterpart: ``ODElib`` binds one DataFrame per framework and its only
+cross-dataset tool is averaging replicate columns
 (``/root/reference/ODElib/Framework.py:287-298``).
 """
 from __future__ import annotations
@@ -30,10 +35,28 @@ class JointFit:
         ``exp0``, ``exp1``, ...). Each must carry its own data.
     shared : parameter names tied across ALL frameworks (each must exist
         in every framework). Remaining parameters are per-experiment.
+    hierarchical : scalar parameter names PARTIALLY pooled across
+        experiments: experiment ``nm`` keeps its own ``<nm>:<p>`` value,
+        and the values are tied through a lognormal population law
+        ``log theta_{nm,p} ~ Normal(log <p>:pop_median, <p>:pop_sigma)``
+        whose two hyperparameters are sampled alongside everything else
+        (columns ``<p>:pop_median``, ``<p>:pop_sigma``). The pooling
+        density is exact over ``z = log theta`` (the space the chains
+        walk), so small ``pop_sigma`` shrinks the per-experiment values
+        toward the population median. Must not overlap ``shared``.
+    hyperpriors : optional dict ``p -> (median_dist, sigma_dist)`` of
+        hyperprior distributions for a hierarchical parameter's
+        population median and log-spread (odelib_tpu ``Distribution``
+        objects or scipy frozen distributions). Defaults: the FIRST
+        framework's prior for ``p`` on the median, and a weakly
+        informative ``LogNormal(s=1, scale=0.3)`` on the spread. The
+        sigma hyperprior is always applied (it regularizes the
+        ``pop_sigma -> 0`` funnel); ``use_priors`` toggles only the
+        ordinary per-slot priors.
 
     Joint layout: ``[shared..., <name>:<p> for each experiment's free
-    parameters...]``; posterior columns use the same naming. Priors for
-    shared parameters come from the FIRST framework.
+    parameters..., hyperparameters...]``; posterior columns use the same
+    naming. Priors for shared parameters come from the FIRST framework.
 
     Array-valued parameters are supported throughout: each contributes
     one FLAT joint slot per entry (the joint theta mirrors
@@ -43,21 +66,28 @@ class JointFit:
     parameters must have the same shape in every experiment.
     """
 
-    def __init__(self, frameworks, shared, random_seed=0):
+    def __init__(self, frameworks, shared=(), hierarchical=(),
+                 hyperpriors=None, random_seed=0):
         if not isinstance(frameworks, dict):
             frameworks = {f"exp{i}": f for i, f in enumerate(frameworks)}
         if len(frameworks) < 2:
             raise ValueError("JointFit needs at least two experiments")
         self.frameworks = dict(frameworks)
         self.shared = list(shared)
+        self.hierarchical = list(hierarchical)
         self.random_seed = random_seed
         names = list(self.frameworks)
+        overlap = set(self.shared) & set(self.hierarchical)
+        if overlap:
+            raise ValueError(f"parameter(s) {sorted(overlap)} cannot be "
+                             f"both shared and hierarchical")
         for nm, fw in self.frameworks.items():
             if fw.df is None:
                 raise ValueError(f"experiment {nm!r} has no data")
-            missing = [p for p in self.shared if p not in fw._pnames]
+            missing = [p for p in self.shared + self.hierarchical
+                       if p not in fw._pnames]
             if missing:
-                raise ValueError(f"experiment {nm!r} lacks shared "
+                raise ValueError(f"experiment {nm!r} lacks tied "
                                  f"parameter(s) {missing}")
         first = next(iter(self.frameworks.values()))
 
@@ -107,6 +137,56 @@ class JointFit:
                 idx.extend(range(off, off + n))
             self._idx_maps[nm] = tuple(idx)
 
+        # partial pooling: two hyperparameter slots per hierarchical
+        # parameter, appended after every experiment slot (they are not
+        # in any _idx_maps entry, so they never reach an ODE solve)
+        self._hyper_vals = {}      # hyper label -> current value
+        self._hyper_priors = {}    # hyper label -> Distribution or None
+        self._hyper_cols = {}      # p -> (median label, sigma label)
+        from .distributions import LogNormal as _LN
+        hyperpriors = dict(hyperpriors or {})
+        unknown = set(hyperpriors) - set(self.hierarchical)
+        if unknown:
+            raise ValueError(f"hyperpriors given for non-hierarchical "
+                             f"parameter(s) {sorted(unknown)}")
+        for p in self.hierarchical:
+            if pshape(first, p):
+                raise ValueError(
+                    f"hierarchical parameter {p!r} must be scalar "
+                    f"(shape {pshape(first, p)}); array-valued parameters "
+                    f"can be tied with shared= instead")
+            lab_m, lab_t = f"{p}:pop_median", f"{p}:pop_sigma"
+            add_column(lab_m, (), None, p)
+            add_column(lab_t, (), None, p)
+            self._hyper_cols[p] = (lab_m, lab_t)
+            # init: geometric mean / log-spread of the current values
+            vals = []
+            for fw in self.frameworks.values():
+                par = fw.parameters[p]
+                if par is not None and np.all(np.asarray(par.val) > 0):
+                    vals.append(float(np.asarray(par.val)))
+            logs = np.log(vals) if vals else np.zeros(1)
+            self._hyper_vals[lab_m] = float(np.exp(logs.mean()))
+            self._hyper_vals[lab_t] = float(max(logs.std(), 0.1))
+            m_d, t_d = hyperpriors.get(p, (None, None))
+            if m_d is None:
+                par = first.parameters[p]
+                m_d = par.jdist if (par is not None
+                                    and par.has_distribution()) else None
+            if t_d is None:
+                t_d = _LN(s=1.0, loc=0.0, scale=0.3)
+            self._hyper_priors[lab_m] = self._as_jdist(m_d)
+            self._hyper_priors[lab_t] = self._as_jdist(t_d)
+
+    @staticmethod
+    def _as_jdist(d):
+        """Accept odelib_tpu Distribution objects or scipy frozen/gen
+        distributions for hyperpriors."""
+        if d is None:
+            return None
+        from .distributions import from_scipy
+        return from_scipy(d)
+
     def _template(self, lab):
         """Flat current-value template of an array column (None for
         scalars). Zero entries never walk and never draw in LHS —
@@ -125,6 +205,9 @@ class JointFit:
         out = [None] * self.dim
         for lab in self.columns:
             fw, p = self._col_params[lab]
+            if fw is None:                       # hyperparameter slot
+                out[self._col_offsets[lab]] = self._hyper_priors[lab]
+                continue
             par = fw.parameters[p]
             d = par.jdist if (par is not None
                               and par.has_distribution()) else None
@@ -141,6 +224,9 @@ class JointFit:
         th = np.zeros(self.dim)
         for lab in self.columns:
             fw, p = self._col_params[lab]
+            if fw is None:                       # hyperparameter slot
+                th[self._col_offsets[lab]] = self._hyper_vals[lab]
+                continue
             par = fw.parameters[p]
             if par is None:
                 continue
@@ -265,6 +351,59 @@ class JointFit:
             self._prior_fn = fn
         return fn
 
+    def _effective_prior(self, use_priors):
+        """(prior_logpdf, use_priors) as the samplers should see them.
+
+        Without hierarchical parameters this is the per-slot prior sum
+        gated by ``use_priors``. With them, the returned closure is
+        always active: the lognormal pooling density ``sum_k N(log
+        theta_k | log pop_median, pop_sigma)`` — exact over ``z = log
+        theta``, the space the chains walk — plus the hyperpriors on
+        ``pop_median``/``pop_sigma`` (the sigma hyperprior regularizes
+        the funnel at ``pop_sigma -> 0``, so it cannot be switched off),
+        plus the ordinary per-slot priors when ``use_priors``. Cached
+        per flag: the consumers hash it as a static jit argument by
+        identity."""
+        use_priors = bool(use_priors)
+        if not self.hierarchical:
+            return ((self._joint_prior_logpdf(), True) if use_priors
+                    else (None, False))
+        cache = getattr(self, "_eff_prior_cache", None)
+        if cache is None:
+            cache = self._eff_prior_cache = {}
+        if use_priors in cache:
+            return cache[use_priors], True
+        table = []          # (median slot, sigma slot, experiment slots)
+        hyper_slots = set()
+        for p in self.hierarchical:
+            lab_m, lab_t = self._hyper_cols[p]
+            ms, ts = self._col_offsets[lab_m], self._col_offsets[lab_t]
+            hyper_slots.update((ms, ts))
+            exps = tuple(self._col_offsets[f"{nm}:{p}"]
+                         for nm in self.frameworks)
+            table.append((ms, ts, exps))
+        dists = self._dists()
+        slot_priors = tuple(
+            (j, d) for j, d in enumerate(dists)
+            if d is not None and (use_priors or j in hyper_slots))
+        half_log_2pi = 0.5 * float(np.log(2.0 * np.pi))
+
+        def fn(theta):
+            tot = 0.0
+            for j, d in slot_priors:
+                tot = tot + d.logpdf(theta[j])
+            for ms, ts, exps in table:
+                mu = jnp.log(theta[ms])
+                tau = theta[ts]
+                for es in exps:
+                    zk = jnp.log(theta[es])
+                    tot = tot - 0.5 * ((zk - mu) / tau) ** 2 \
+                        - jnp.log(tau) - half_log_2pi
+            return tot
+
+        cache[use_priors] = fn
+        return fn, True
+
     def fit_map(self, starts=64, steps=500, learning_rate=0.05,
                 use_priors=False, static_parameters=(), set_best=True,
                 **solver_kw) -> pd.DataFrame:
@@ -288,13 +427,13 @@ class JointFit:
             thetas[:, draw_dims] = lhs
         thetas = np.concatenate([thetas, cur[None]])
         dtype = jnp.result_type(float)
+        prior_fn, use_eff = self._effective_prior(use_priors)
         res = map_fit_custom(
             self._joint_chi_fn(solver_kw), jnp.asarray(thetas, dtype),
             steps=int(steps), learning_rate=float(learning_rate),
             walk_mask=jnp.asarray(self._walk_mask(static_parameters),
                                   dtype),
-            prior_logpdf=self._joint_prior_logpdf() if use_priors
-            else None, use_priors=bool(use_priors))
+            prior_logpdf=prior_fn, use_priors=use_eff)
         df = self._df_from_thetas(np.asarray(res.theta))
         df["chi"] = np.asarray(res.chi)
         df["loss"] = np.asarray(res.loss)
@@ -326,13 +465,13 @@ class JointFit:
             raise ValueError(
                 "fit_advi needs positive current values on every free "
                 "joint dimension; run fit_map (or set parameters) first")
+        prior_fn, use_eff = self._effective_prior(use_priors)
         res = advi_custom(
             self._joint_chi_fn(solver_kw), cur, steps=int(steps),
             learning_rate=float(learning_rate), n_mc=int(n_mc),
             full_rank=(rank == "full"), draws=int(draws),
             walk_mask=mask,
-            prior_logpdf=self._joint_prior_logpdf() if use_priors
-            else None, use_priors=bool(use_priors),
+            prior_logpdf=prior_fn, use_priors=use_eff,
             seed=int(self.random_seed))
         from .samplers.advi import psis_weights, resample_indices
         df = self._df_from_thetas(np.asarray(res.theta))
@@ -449,17 +588,24 @@ class JointFit:
         rng = np.random.default_rng(self.random_seed)
         rows = top.iloc[rng.integers(0, len(top), n_chains)]
         theta0 = self._thetas_from_df(rows)
+        if self.hierarchical:
+            # seed each chain's hyperparameters from its own per-
+            # experiment draws (the survey's hyper draws are independent
+            # of the per-experiment values, so they would start far from
+            # the pooling term's bulk)
+            for p in self.hierarchical:
+                lab_m, lab_t = self._hyper_cols[p]
+                exps = [self._col_offsets[f"{nm}:{p}"]
+                        for nm in self.frameworks]
+                logs = np.log(theta0[:, exps])
+                theta0[:, self._col_offsets[lab_m]] = np.exp(
+                    logs.mean(axis=1))
+                theta0[:, self._col_offsets[lab_t]] = np.maximum(
+                    logs.std(axis=1), 0.1)
         mask = self._walk_mask(static_parameters)
 
         dists = self._dists()
-        prior_logpdf = None
-        if use_priors:
-            def prior_logpdf(theta):
-                tot = 0.0
-                for j, d in enumerate(dists):
-                    if d is not None:
-                        tot = tot + d.logpdf(theta[j])
-                return tot
+        prior_logpdf, use_priors_eff = self._effective_prior(use_priors)
 
         specs, idxs, obs, times, y0s, method, subs = \
             self._device_args(solver_kw)
@@ -467,6 +613,15 @@ class JointFit:
         if backend not in ("auto", "pallas", "xla"):
             raise ValueError(f"backend must be 'auto', 'pallas' or 'xla', "
                              f"got {backend!r}")
+        if self.hierarchical:
+            # the pooling density couples slots; the fused kernel only
+            # evaluates independent per-slot priors
+            if backend == "pallas":
+                raise ValueError(
+                    "backend='pallas' does not support hierarchical "
+                    "parameters (the pooling prior couples joint slots); "
+                    "use backend='xla' or 'auto'")
+            backend = "xla"
         if backend == "auto":
             from .ops.pallas_mh import (kernel_priors_supported,
                                         mosaic_supported,
@@ -538,7 +693,7 @@ class JointFit:
                 nits=nits, burnin=int(burnin),
                 walk_mask=jnp.asarray(mask, dtype),
                 rwalk_std=float(rwalk_std), prior_logpdf=prior_logpdf,
-                use_priors=bool(use_priors), method=method,
+                use_priors=use_priors_eff, method=method,
                 substeps_list=subs)
 
         theta = np.asarray(out.theta)[:n_chains]   # (C, R, D)
@@ -596,8 +751,12 @@ class JointFit:
         return posterior
 
     def set_best_params(self, posterior):
-        """Push the min-chi joint sample back into every framework."""
+        """Push the min-chi joint sample back into every framework (and
+        remember the best hyperparameter values)."""
         best = posterior.loc[posterior["chi"].idxmin()]
+        for lab in self._hyper_vals:
+            if lab in best:
+                self._hyper_vals[lab] = float(best[lab])
         for nm, fw in self.frameworks.items():
             vals = {}
             for i, p in enumerate(fw._pnames):

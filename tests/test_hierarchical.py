@@ -1,0 +1,177 @@
+"""Hierarchical (partial-pooling) multi-experiment fitting
+(odelib_tpu.joint.JointFit(hierarchical=...)): layout, the pooling
+density, shrinkage toward the population median, hyperparameter
+recovery, and the gradient consumers (fit_map / fit_advi).
+
+No reference counterpart: ``ODElib`` has no cross-experiment structure
+at all (``/root/reference/ODElib/Framework.py:168-263`` binds exactly
+one DataFrame per framework).
+"""
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import odelib_tpu  # noqa: E402
+from odelib_tpu import JointFit  # noqa: E402
+from odelib_tpu.distributions import LogNormal  # noqa: E402
+
+
+def _decay_df(k, y0=1e6, sig=0.15, seed=0, n=10):
+    rng = np.random.default_rng(seed)
+    tobs = np.linspace(0.0, 3.0, n)
+    return pd.DataFrame(
+        [{"organism": "y", "time": t,
+          "abundance": y0 * np.exp(-k * t) * np.exp(rng.normal(0, sig)),
+          "log_sigma": sig} for t in tobs])
+
+
+def _decay_fw(df, seed=0, prior_s=0.7):
+    def rhs(t, y, ps):
+        (k,) = ps
+        return jnp.stack([-k * y[0]])
+
+    return odelib_tpu.ModelFramework(
+        ODE=rhs, parameter_names=["k"], state_names=["y"], dataframe=df,
+        t_steps=32, ode_style="jax", random_seed=seed,
+        k=odelib_tpu.parameter(stats_gen=LogNormal(s=prior_s, scale=1.0),
+                               hyperparameters={}, random_seed=seed))
+
+
+def _three_experiments(ks=(0.8, 1.0, 1.25), sig=0.15, n=10):
+    return {f"e{i}": _decay_fw(_decay_df(k, sig=sig, seed=10 + i, n=n),
+                               seed=10 + i)
+            for i, k in enumerate(ks)}
+
+
+def test_layout_and_validation():
+    jf = JointFit(_three_experiments(), hierarchical=["k"], random_seed=1)
+    assert jf.columns == ["e0:k", "e1:k", "e2:k",
+                          "k:pop_median", "k:pop_sigma"]
+    assert jf.dim == 5
+    # hypers walk by default; static pinning works on hyper labels
+    assert np.all(jf._walk_mask() == 1.0)
+    m = jf._walk_mask(static_parameters=["k:pop_sigma"])
+    assert m[jf._col_offsets["k:pop_sigma"]] == 0.0
+    # hyper slots never reach a solve
+    hyper = {jf._col_offsets["k:pop_median"],
+             jf._col_offsets["k:pop_sigma"]}
+    for idx in jf._idx_maps.values():
+        assert hyper.isdisjoint(idx)
+    # initial hypers: geometric mean / log-spread of the current values
+    th = jf._current_joint_theta()
+    logs = np.log(th[:3])
+    np.testing.assert_allclose(th[3], np.exp(logs.mean()), rtol=1e-12)
+    np.testing.assert_allclose(th[4], max(logs.std(), 0.1), rtol=1e-12)
+
+    with pytest.raises(ValueError, match="both shared and hierarchical"):
+        JointFit(_three_experiments(), shared=["k"], hierarchical=["k"])
+    with pytest.raises(ValueError, match="non-hierarchical"):
+        JointFit(_three_experiments(), hierarchical=["k"],
+                 hyperpriors={"zz": (None, None)})
+    with pytest.raises(ValueError, match="lacks tied"):
+        JointFit(_three_experiments(), hierarchical=["nope"])
+
+
+def test_pooling_density_matches_numpy():
+    """The effective prior is the exact lognormal-population density over
+    z = log theta plus the sigma/median hyperpriors."""
+    jf = JointFit(_three_experiments(), hierarchical=["k"], random_seed=2)
+    fn, on = jf._effective_prior(False)
+    assert on
+    th = np.array([0.9, 1.1, 1.3, 1.05, 0.25])
+    got = float(fn(jnp.asarray(th)))
+    mu, tau = np.log(th[3]), th[4]
+    z = np.log(th[:3])
+    want = np.sum(-0.5 * ((z - mu) / tau) ** 2 - np.log(tau)
+                  - 0.5 * np.log(2 * np.pi))
+    # default hyperpriors: first framework's k prior on the median,
+    # LogNormal(s=1, scale=0.3) on the spread
+    want += float(LogNormal(s=0.7, scale=1.0).logpdf(th[3]))
+    want += float(LogNormal(s=1.0, scale=0.3).logpdf(th[4]))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # use_priors=True adds the ordinary per-experiment slot priors
+    fn2, _ = jf._effective_prior(True)
+    got2 = float(fn2(jnp.asarray(th)))
+    want2 = want + sum(float(LogNormal(s=0.7, scale=1.0).logpdf(v))
+                       for v in th[:3])
+    np.testing.assert_allclose(got2, want2, rtol=1e-6)
+
+
+def test_backend_pallas_rejected():
+    jf = JointFit(_three_experiments(), hierarchical=["k"])
+    with pytest.raises(ValueError, match="hierarchical"):
+        jf.MCMC(backend="pallas", chain_inits=4, iterations_per_chain=50,
+                fitsurvey_samples=32, print_report=False)
+
+
+def test_shrinkage_and_hyper_recovery():
+    """Equal true rates, noisy data: partial pooling pulls the per-
+    experiment posterior medians toward each other (vs. independent
+    fitting) and the population median recovers the truth."""
+    ks = (1.0, 1.0, 1.0)
+    fws_h = _three_experiments(ks, sig=0.45, n=6)
+    fws_i = _three_experiments(ks, sig=0.45, n=6)
+
+    jf_h = JointFit(fws_h, hierarchical=["k"], random_seed=3)
+    post_h = jf_h.MCMC(chain_inits=16, iterations_per_chain=800,
+                       fitsurvey_samples=256, print_report=False)
+    jf_i = JointFit(fws_i, random_seed=3)   # no pooling at all
+    post_i = jf_i.MCMC(chain_inits=16, iterations_per_chain=800,
+                       fitsurvey_samples=256, print_report=False)
+
+    med_h = np.array([post_h[f"e{i}:k"].median() for i in range(3)])
+    med_i = np.array([post_i[f"e{i}:k"].median() for i in range(3)])
+    spread_h = np.log(med_h).std()
+    spread_i = np.log(med_i).std()
+    assert spread_h < spread_i * 0.9, (spread_h, spread_i)
+    # population median centred on the true rate
+    assert abs(np.log(post_h["k:pop_median"].median())) < 0.25
+    # hyper columns are genuinely sampled, not frozen
+    assert post_h["k:pop_sigma"].std() > 0
+    # best-sample push-back records the winning hypers
+    jf_h.set_best_params(post_h)
+    best = post_h.loc[post_h["chi"].idxmin()]
+    assert jf_h._hyper_vals["k:pop_median"] == float(best["k:pop_median"])
+
+
+def test_gradient_consumers_run_hierarchical():
+    """fit_map and fit_advi optimize the pooled posterior (the pooling
+    term is always on) and report the hyper columns."""
+    jf = JointFit(_three_experiments(), hierarchical=["k"], random_seed=4)
+    dfm = jf.fit_map(starts=8, steps=200)
+    assert {"k:pop_median", "k:pop_sigma", "chi"} <= set(dfm.columns)
+    assert np.isfinite(dfm["chi"].iloc[0])
+    # a MAP under pooling keeps the hypers near the per-experiment bulk
+    best = dfm.iloc[0]
+    logs = np.log([best[f"e{i}:k"] for i in range(3)])
+    assert abs(np.log(best["k:pop_median"]) - logs.mean()) < 0.5
+
+    dfa = jf.fit_advi(steps=300, draws=256, print_report=False)
+    assert {"k:pop_median", "k:pop_sigma", "chi"} <= set(dfa.columns)
+    assert np.isfinite(dfa["chi"]).all()
+    # variational spread on the hypers is nonzero
+    assert dfa["k:pop_sigma"].std() > 0
+
+
+def test_custom_hyperpriors_scipy_accepted():
+    import scipy.stats as st
+    jf = JointFit(
+        _three_experiments(), hierarchical=["k"],
+        hyperpriors={"k": (st.lognorm(0.5, scale=2.0),
+                           LogNormal(s=0.5, scale=0.2))})
+    fn, _ = jf._effective_prior(False)
+    th = jf._current_joint_theta()
+    v = float(fn(jnp.asarray(th)))
+    assert np.isfinite(v)
+    # the median hyperprior moved: evaluating far from scale=2.0 drops
+    th2 = th.copy()
+    th2[jf._col_offsets["k:pop_median"]] = 50.0
+    assert float(fn(jnp.asarray(th2))) < v

@@ -69,3 +69,33 @@ def test_plot_corner(model):
                               "beta": [3.0] * 5})
     with pytest.raises(ValueError, match="varying"):
         model.plot_corner(allstatic)
+
+
+def test_plot_trace(model):
+    rng = np.random.default_rng(1)
+    frames = []
+    for c in range(4):
+        n = 50
+        frames.append(pd.DataFrame({
+            "mu": np.exp(rng.normal(-0.5, 0.3, n)),
+            "phi": np.exp(rng.normal(-17.5, 0.2, n)),
+            "beta": np.exp(rng.normal(3.2, 0.25, n)),
+            "chi": rng.uniform(5, 20, n),
+            "iteration": np.arange(500, 500 + n),
+            "chain#": c}))
+    post = pd.concat(frames, ignore_index=True)
+    f, axes = model.plot_trace(post)
+    assert len(axes) == 4                       # 3 params + chi
+    assert len(axes[0].lines) == 4              # one line per chain
+    assert axes[-1].get_xlabel() == "iteration"
+    assert axes[0].get_ylabel() == "log10(mu)"
+    # chain subsampling caps the line count
+    f2, axes2 = model.plot_trace(post, max_chains=2)
+    assert len(axes2[0].lines) == 2
+    # no chain# column: a single pooled trace
+    f3, axes3 = model.plot_trace(post.drop(columns=["chain#"]),
+                                 parameters=["mu"], logspace=False)
+    assert len(axes3[0].lines) == 1
+    assert axes3[0].get_ylabel() == "mu"
+    with pytest.raises(ValueError, match="varying"):
+        model.plot_trace(pd.DataFrame({"mu": [1.0] * 5}))
