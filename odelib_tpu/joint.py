@@ -750,6 +750,36 @@ class JointFit:
             print("\n".join(report))
         return posterior
 
+    def diagnostics(self, posterior) -> pd.DataFrame:
+        """Convergence diagnostics (mean/std/median/ess/ess_per_draw/
+        rhat) per joint column, incl. hyperparameters — same table as
+        :meth:`ModelFramework.diagnostics` over the joint posterior."""
+        from .utils.diagnostics import summarize
+        return summarize(posterior, list(self.columns))
+
+    def plot_corner(self, posterior, parameters=None, **kw):
+        """Corner plot of the joint posterior (delegates to the first
+        framework's :meth:`ModelFramework.plot_corner` with the joint
+        column names, hyperparameters included)."""
+        if parameters is None:
+            parameters = [c for c in self.columns
+                          if posterior[c].dtype != object
+                          and posterior[c].nunique() > 1]
+        first = next(iter(self.frameworks.values()))
+        return first.plot_corner(posterior, parameters=parameters, **kw)
+
+    def plot_trace(self, posterior, parameters=None, **kw):
+        """Per-chain trace plot of the joint posterior (delegates to the
+        first framework's :meth:`ModelFramework.plot_trace` with the
+        joint column names, hyperparameters included)."""
+        if parameters is None:
+            parameters = [c for c in self.columns
+                          if c in posterior
+                          and posterior[c].dtype != object
+                          and posterior[c].nunique() > 1]
+        first = next(iter(self.frameworks.values()))
+        return first.plot_trace(posterior, parameters=parameters, **kw)
+
     def set_best_params(self, posterior):
         """Push the min-chi joint sample back into every framework (and
         remember the best hyperparameter values)."""

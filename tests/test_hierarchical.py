@@ -175,3 +175,18 @@ def test_custom_hyperpriors_scipy_accepted():
     th2 = th.copy()
     th2[jf._col_offsets["k:pop_median"]] = 50.0
     assert float(fn(jnp.asarray(th2))) < v
+
+
+def test_joint_diagnostics_and_plots():
+    import matplotlib
+    matplotlib.use("Agg")
+    jf = JointFit(_three_experiments(), hierarchical=["k"], random_seed=5)
+    post = jf.MCMC(chain_inits=8, iterations_per_chain=200,
+                   fitsurvey_samples=64, print_report=False)
+    tab = jf.diagnostics(post)
+    assert {"ess", "rhat"} <= set(tab.columns)
+    assert "k:pop_median" in tab.index
+    f, axes = jf.plot_trace(post)
+    assert len(axes) >= 5                   # 5 joint columns (+ chi)
+    f2, axes2 = jf.plot_corner(post)
+    assert axes2.shape[0] >= 5
