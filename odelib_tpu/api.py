@@ -1363,6 +1363,29 @@ class ModelFramework:
         but never quantifies coverage.
         """
         logpred = self._posterior_logpred(posterior, n_draws, solver_kw)
+        return self._predictive_summary(logpred, ci, print_report,
+                                        "posterior predictive")
+
+    def prior_predictive(self, samples=200, ci=0.9, print_report=True,
+                         **solver_kw):
+        """Prior predictive check: simulate replicated observations from
+        ``samples`` LHS prior draws (vmapped solves + lognormal noise at
+        each point's ``log_sigma``) and compare the data against the
+        prior predictive distribution — the standard pre-fit sanity step
+        of the Bayesian workflow (coverage far below ``ci`` means the
+        priors cannot generate the data; near 1.0 with huge intervals
+        means they are uninformatively wide). Same return shape as
+        :meth:`posterior_predictive`. No reference counterpart — its
+        closest tool is eyeballing ``parameter.get_figure`` histograms
+        (``/root/reference/ODElib/Framework.py:141-153``)."""
+        draws = self._lhs_samples(int(samples))
+        logpred = self._posterior_logpred(draws, int(samples), solver_kw)
+        return self._predictive_summary(logpred, ci, print_report,
+                                        "prior predictive")
+
+    def _predictive_summary(self, logpred, ci, print_report, label):
+        """Shared coverage summary for prior/posterior predictive checks:
+        add observation noise, form per-point CIs, report coverage."""
         obs = self._obsdata_fit_host
         O = np.asarray(obs.log_abundance, float)
         Sg = np.asarray(obs.log_sigma, float)
@@ -1387,7 +1410,7 @@ class ModelFramework:
         }).loc[valid]
         coverage = float(covered[valid].mean())
         if print_report:
-            print(f"posterior predictive: {coverage:.1%} of observations "
+            print(f"{label}: {coverage:.1%} of observations "
                   f"inside the {int(ci * 100)}% interval "
                   f"({int(covered[valid].sum())}/{int(valid.sum())})")
         return {"summary": summary.reset_index(drop=True),

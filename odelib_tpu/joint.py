@@ -750,6 +750,42 @@ class JointFit:
             print("\n".join(report))
         return posterior
 
+    def _experiment_posterior(self, posterior, nm):
+        """Slice the joint posterior into experiment ``nm``'s own
+        parameter columns (renamed to its pnames)."""
+        fw = self.frameworks[nm]
+        sub = pd.DataFrame(index=posterior.index)
+        for p in fw._pnames:
+            lab = p if p in self.shared else f"{nm}:{p}"
+            sub[p] = posterior[lab]
+        return sub
+
+    def posterior_predictive(self, posterior, n_draws=200, ci=0.9,
+                             print_report=True, **solver_kw):
+        """Posterior predictive check per experiment: slice the joint
+        posterior into each framework's parameters and run its
+        :meth:`ModelFramework.posterior_predictive`. Returns a dict
+        ``experiment name -> per-experiment result`` plus an ``overall``
+        entry with the observation-weighted coverage."""
+        out, n_cov, n_obs = {}, 0.0, 0
+        for nm, fw in self.frameworks.items():
+            res = fw.posterior_predictive(
+                self._experiment_posterior(posterior, nm),
+                n_draws=n_draws, ci=ci, print_report=False, **solver_kw)
+            out[nm] = res
+            k = len(res["summary"])
+            n_cov += res["coverage"] * k
+            n_obs += k
+        coverage = n_cov / max(n_obs, 1)
+        out["overall"] = {"coverage": coverage, "n_observations": n_obs}
+        if print_report:
+            parts = ", ".join(f"{nm}: {out[nm]['coverage']:.1%}"
+                              for nm in self.frameworks)
+            print(f"joint posterior predictive: {coverage:.1%} of "
+                  f"{n_obs} observations inside the {int(ci * 100)}% "
+                  f"interval ({parts})")
+        return out
+
     def diagnostics(self, posterior) -> pd.DataFrame:
         """Convergence diagnostics (mean/std/median/ess/ess_per_draw/
         rhat) per joint column, incl. hyperparameters — same table as

@@ -190,3 +190,15 @@ def test_joint_diagnostics_and_plots():
     assert len(axes) >= 5                   # 5 joint columns (+ chi)
     f2, axes2 = jf.plot_corner(post)
     assert axes2.shape[0] >= 5
+
+
+def test_joint_posterior_predictive():
+    jf = JointFit(_three_experiments(), hierarchical=["k"], random_seed=6)
+    post = jf.MCMC(chain_inits=8, iterations_per_chain=200,
+                   fitsurvey_samples=64, print_report=False)
+    out = jf.posterior_predictive(post, n_draws=50, print_report=False)
+    assert set(out) == {"e0", "e1", "e2", "overall"}
+    for nm in ("e0", "e1", "e2"):
+        assert 0.0 <= out[nm]["coverage"] <= 1.0
+        assert len(out[nm]["summary"]) == 10      # n obs per experiment
+    assert out["overall"]["n_observations"] == 30

@@ -63,3 +63,20 @@ def test_ppc_flags_wrong_model(fitted):
     res_true_cov = 0.85  # calibrated model sits near nominal
     assert res2["coverage"] < res_true_cov - 0.2, (
         f"wrong model coverage {res2['coverage']:.2f} not flagged")
+
+def test_prior_predictive(fitted):
+    """Prior predictive runs pre-fit: wide priors should cover the data
+    (possibly all of it) and the summary mirrors the posterior check."""
+    mf, post = fitted
+    res = mf.prior_predictive(samples=150, ci=0.9, print_report=False)
+    assert 0.5 <= res["coverage"] <= 1.0
+    s = res["summary"]
+    assert {"organism", "time", "log_abundance", "pred_median",
+            "pred_lo", "pred_hi", "covered"} <= set(s.columns)
+    # prior intervals are wider than the fitted posterior's
+    post_res = mf.posterior_predictive(post, n_draws=150, ci=0.9,
+                                       print_report=False)
+    prior_w = (s["pred_hi"] - s["pred_lo"]).median()
+    post_w = (post_res["summary"]["pred_hi"]
+              - post_res["summary"]["pred_lo"]).median()
+    assert prior_w > post_w
