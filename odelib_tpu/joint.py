@@ -786,6 +786,46 @@ class JointFit:
                   f"interval ({parts})")
         return out
 
+    def information_criteria(self, posterior, n_draws=400,
+                             print_report=True, **solver_kw):
+        """WAIC / PSIS-LOO per experiment plus pooled totals — the
+        predictive yardstick for choosing a pooling mode: fit the same
+        experiments with ``shared=``, ``hierarchical=`` and neither,
+        and prefer the variant with the higher ``overall['elpd_loo']``.
+        Per-experiment entries are :meth:`ModelFramework.
+        information_criteria` results; ``overall`` sums elpd/p terms
+        (experiments are independent given parameters) and combines
+        standard errors in quadrature."""
+        out, tot = {}, {"elpd_waic": 0.0, "elpd_loo": 0.0,
+                        "p_waic": 0.0, "p_loo": 0.0,
+                        "se2_waic": 0.0, "se2_loo": 0.0, "n_bad_khat": 0}
+        for nm, fw in self.frameworks.items():
+            res = fw.information_criteria(
+                self._experiment_posterior(posterior, nm),
+                n_draws=n_draws, print_report=False, **solver_kw)
+            out[nm] = res
+            tot["elpd_waic"] += res["waic"]["elpd_waic"]
+            tot["p_waic"] += res["waic"]["p_waic"]
+            tot["se2_waic"] += res["waic"]["se_elpd_waic"] ** 2
+            tot["elpd_loo"] += res["loo"]["elpd_loo"]
+            tot["p_loo"] += res["loo"]["p_loo"]
+            tot["se2_loo"] += res["loo"]["se_elpd_loo"] ** 2
+            tot["n_bad_khat"] += res["loo"]["n_bad_khat"]
+        overall = {
+            "elpd_waic": tot["elpd_waic"], "p_waic": tot["p_waic"],
+            "se_elpd_waic": float(np.sqrt(tot["se2_waic"])),
+            "elpd_loo": tot["elpd_loo"], "p_loo": tot["p_loo"],
+            "se_elpd_loo": float(np.sqrt(tot["se2_loo"])),
+            "n_bad_khat": tot["n_bad_khat"]}
+        out["overall"] = overall
+        if print_report:
+            print(f"joint WAIC: elpd = {overall['elpd_waic']:.2f} "
+                  f"(se {overall['se_elpd_waic']:.2f}); joint PSIS-LOO: "
+                  f"elpd = {overall['elpd_loo']:.2f} "
+                  f"(se {overall['se_elpd_loo']:.2f}), bad khat: "
+                  f"{overall['n_bad_khat']}")
+        return out
+
     def diagnostics(self, posterior) -> pd.DataFrame:
         """Convergence diagnostics (mean/std/median/ess/ess_per_draw/
         rhat) per joint column, incl. hyperparameters — same table as

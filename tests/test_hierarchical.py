@@ -202,3 +202,30 @@ def test_joint_posterior_predictive():
         assert 0.0 <= out[nm]["coverage"] <= 1.0
         assert len(out[nm]["summary"]) == 10      # n obs per experiment
     assert out["overall"]["n_observations"] == 30
+
+
+def test_information_criteria_prefer_partial_pooling():
+    """Unequal true rates: complete pooling (shared k) misfits, partial
+    pooling tracks each experiment — joint elpd_loo must prefer the
+    hierarchical variant. The pooled totals also must sum the
+    per-experiment terms."""
+    ks = (0.6, 1.0, 1.6)
+    jf_s = JointFit(_three_experiments(ks), shared=["k"], random_seed=8)
+    post_s = jf_s.MCMC(chain_inits=12, iterations_per_chain=500,
+                       fitsurvey_samples=128, print_report=False)
+    ic_s = jf_s.information_criteria(post_s, n_draws=150,
+                                     print_report=False)
+
+    jf_h = JointFit(_three_experiments(ks), hierarchical=["k"],
+                    random_seed=8)
+    post_h = jf_h.MCMC(chain_inits=12, iterations_per_chain=500,
+                       fitsurvey_samples=128, print_report=False)
+    ic_h = jf_h.information_criteria(post_h, n_draws=150,
+                                     print_report=False)
+
+    assert ic_h["overall"]["elpd_loo"] > ic_s["overall"]["elpd_loo"], (
+        ic_h["overall"], ic_s["overall"])
+    # totals are the sum of per-experiment terms
+    want = sum(ic_h[nm]["loo"]["elpd_loo"] for nm in ("e0", "e1", "e2"))
+    np.testing.assert_allclose(ic_h["overall"]["elpd_loo"], want,
+                               rtol=1e-12)
