@@ -52,7 +52,9 @@ class JointFit:
         informative ``LogNormal(s=1, scale=0.3)`` on the spread. The
         sigma hyperprior is always applied (it regularizes the
         ``pop_sigma -> 0`` funnel); ``use_priors`` toggles only the
-        ordinary per-slot priors.
+        ordinary per-slot priors of non-pooled parameters (a pooled
+        value's prior IS the population law; its individual prior still
+        seeds the LHS survey).
 
     Joint layout: ``[shared..., <name>:<p> for each experiment's free
     parameters..., hyperparameters...]``; posterior columns use the same
@@ -361,8 +363,10 @@ class JointFit:
         theta``, the space the chains walk — plus the hyperpriors on
         ``pop_median``/``pop_sigma`` (the sigma hyperprior regularizes
         the funnel at ``pop_sigma -> 0``, so it cannot be switched off),
-        plus the ordinary per-slot priors when ``use_priors``. Cached
-        per flag: the consumers hash it as a static jit argument by
+        plus — when ``use_priors`` — the ordinary per-slot priors of the
+        NON-pooled slots (a pooled slot's prior is the population law;
+        its individual prior only seeds the LHS survey). Cached per
+        flag: the consumers hash it as a static jit argument by
         identity."""
         use_priors = bool(use_priors)
         if not self.hierarchical:
@@ -374,18 +378,23 @@ class JointFit:
         if use_priors in cache:
             return cache[use_priors], True
         table = []          # (median slot, sigma slot, experiment slots)
-        hyper_slots = set()
+        hyper_slots, pooled_slots = set(), set()
         for p in self.hierarchical:
             lab_m, lab_t = self._hyper_cols[p]
             ms, ts = self._col_offsets[lab_m], self._col_offsets[lab_t]
             hyper_slots.update((ms, ts))
             exps = tuple(self._col_offsets[f"{nm}:{p}"]
                          for nm in self.frameworks)
+            pooled_slots.update(exps)
             table.append((ms, ts, exps))
         dists = self._dists()
+        # pooled slots' individual priors are REPLACED by the population
+        # law (they still seed the LHS survey); hyperpriors always apply
         slot_priors = tuple(
             (j, d) for j, d in enumerate(dists)
-            if d is not None and (use_priors or j in hyper_slots))
+            if d is not None
+            and (j in hyper_slots
+                 or (use_priors and j not in pooled_slots)))
         half_log_2pi = 0.5 * float(np.log(2.0 * np.pi))
 
         def fn(theta):

@@ -97,12 +97,12 @@ def test_pooling_density_matches_numpy():
     want += float(LogNormal(s=1.0, scale=0.3).logpdf(th[4]))
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
-    # use_priors=True adds the ordinary per-experiment slot priors
+    # use_priors=True does NOT re-apply the pooled slots' individual
+    # priors — the population law replaces them (here every non-hyper
+    # slot is pooled, so the density is unchanged)
     fn2, _ = jf._effective_prior(True)
     got2 = float(fn2(jnp.asarray(th)))
-    want2 = want + sum(float(LogNormal(s=0.7, scale=1.0).logpdf(v))
-                       for v in th[:3])
-    np.testing.assert_allclose(got2, want2, rtol=1e-6)
+    np.testing.assert_allclose(got2, want, rtol=1e-6)
 
 
 def test_backend_pallas_rejected():
@@ -229,3 +229,33 @@ def test_information_criteria_prefer_partial_pooling():
     want = sum(ic_h[nm]["loo"]["elpd_loo"] for nm in ("e0", "e1", "e2"))
     np.testing.assert_allclose(ic_h["overall"]["elpd_loo"], want,
                                rtol=1e-12)
+
+
+def test_mixed_priors_nonpooled_kept():
+    """With use_priors=True the non-pooled parameters keep their own
+    priors while pooled slots get only the population law."""
+    def rhs(t, y, ps):
+        k, s = ps
+        return jnp.stack([-(k * s) * y[0]])
+
+    def fw(df, seed):
+        return odelib_tpu.ModelFramework(
+            ODE=rhs, parameter_names=["k", "s"], state_names=["y"],
+            dataframe=df, t_steps=32, ode_style="jax", random_seed=seed,
+            k=odelib_tpu.parameter(stats_gen=LogNormal(s=0.5, scale=1.0),
+                                   hyperparameters={}, random_seed=seed),
+            s=odelib_tpu.parameter(stats_gen=LogNormal(s=0.4, scale=2.0),
+                                   hyperparameters={}, random_seed=seed + 1))
+
+    jf = JointFit({"a": fw(_decay_df(0.9, seed=20), 20),
+                   "b": fw(_decay_df(1.1, seed=21), 21)},
+                  hierarchical=["k"], random_seed=22)
+    assert jf.columns == ["a:k", "a:s", "b:k", "b:s",
+                          "k:pop_median", "k:pop_sigma"]
+    th = jf._current_joint_theta()
+    f0, _ = jf._effective_prior(False)
+    f1, _ = jf._effective_prior(True)
+    diff = float(f1(jnp.asarray(th))) - float(f0(jnp.asarray(th)))
+    want = sum(float(LogNormal(s=0.4, scale=2.0).logpdf(v))
+               for v in (th[1], th[3]))       # only the s slots
+    np.testing.assert_allclose(diff, want, rtol=1e-6)
