@@ -582,8 +582,10 @@ class JointFit:
           ops/pallas_joint.py); 'xla' forces the scan+vmap sampler (any
           prior family); chains shard over the device mesh on both paths;
         * ``checkpoint_every=N`` + ``checkpoint_path``: periodic
-          persistence with bit-exact resume via ``resume_from`` (fused
-          backend).
+          persistence with bit-exact resume via ``resume_from`` — on
+          BOTH backends (the XLA path chunks its scan exactly like the
+          single-experiment sampler, so hierarchical runs checkpoint
+          too).
         """
         nits = int(iterations_per_chain)
         if burnin is None:
@@ -644,11 +646,11 @@ class JointFit:
                 and all(rhs_supports_tiles(fw._spec)
                         for fw in self.frameworks.values())
             ) else "xla"
-        if checkpoint_every is not None and backend != "pallas":
-            import warnings
-            warnings.warn("checkpoint_every on JointFit is supported on "
-                          "the fused (pallas) backend; running without "
-                          "periodic checkpoints")
+        if checkpoint_every is not None and checkpoint_path is None \
+                and resume_from is None:
+            raise ValueError(
+                "checkpoint_every requires checkpoint_path (chain state "
+                "is persisted to <checkpoint_path>.progress)")
 
         if backend == "pallas":
             from .parallel import chain_mesh
@@ -697,13 +699,26 @@ class JointFit:
                 jnp.arange(n_padded))
             margs = shard_chain_batch(
                 (jnp.asarray(th0, dtype), keys), mesh)
-            out = joint_metropolis_hastings(
-                specs, idxs, obs, times, y0s, margs[0], margs[1],
-                nits=nits, burnin=int(burnin),
-                walk_mask=jnp.asarray(mask, dtype),
-                rwalk_std=float(rwalk_std), prior_logpdf=prior_logpdf,
-                use_priors=use_priors_eff, method=method,
-                substeps_list=subs)
+            mh_kw = dict(nits=nits, burnin=int(burnin),
+                         walk_mask=jnp.asarray(mask, dtype),
+                         rwalk_std=float(rwalk_std),
+                         prior_logpdf=prior_logpdf,
+                         use_priors=use_priors_eff, method=method,
+                         substeps_list=subs)
+            if checkpoint_every is not None:
+                from .samplers.joint import \
+                    joint_metropolis_hastings_checkpointed
+                progress = (checkpoint_path + ".progress"
+                            if checkpoint_path else None)
+                out = joint_metropolis_hastings_checkpointed(
+                    specs, idxs, obs, times, y0s, margs[0], margs[1],
+                    checkpoint_every=int(checkpoint_every),
+                    checkpoint_path=progress, resume_from=resume_from,
+                    **mh_kw)
+            else:
+                out = joint_metropolis_hastings(
+                    specs, idxs, obs, times, y0s, margs[0], margs[1],
+                    **mh_kw)
 
         theta = np.asarray(out.theta)[:n_chains]   # (C, R, D)
         C, R, D = theta.shape

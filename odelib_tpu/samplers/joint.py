@@ -25,6 +25,7 @@ from typing import Any, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..model import chi_of_theta
 
@@ -45,12 +46,8 @@ class _Carry(NamedTuple):
     key: Any
 
 
-@partial(jax.jit, static_argnames=(
-    "specs", "idx_maps", "nits", "burnin", "rwalk_std", "prior_logpdf",
-    "use_priors", "method", "substeps_list"))
-def _joint_impl(specs, idx_maps, obs_list, times_list, y0_list, theta0,
-                keys, walk_mask, *, nits, burnin, rwalk_std, prior_logpdf,
-                use_priors, method, substeps_list):
+def _total_chi_fn(specs, idx_maps, obs_list, times_list, y0_list,
+                  method, substeps_list):
     K = len(specs)
 
     def total_chi(theta_joint):
@@ -63,6 +60,13 @@ def _joint_impl(specs, idx_maps, obs_list, times_list, y0_list, theta0,
         parts = jnp.stack(parts)
         return jnp.sum(parts), parts
 
+    return total_chi
+
+
+def _joint_step_fn(total_chi, walk_mask, rwalk_std, prior_logpdf,
+                   use_priors):
+    """The shared per-iteration MH step over the joint theta (used by the
+    one-shot and the checkpointed drivers)."""
     def step(carry: _Carry, it):
         key, k_eps, k_u = jax.random.split(carry.key, 3)
         eps = rwalk_std * jax.random.normal(
@@ -84,6 +88,20 @@ def _joint_impl(specs, idx_maps, obs_list, times_list, y0_list, theta0,
         rec = (jnp.exp(new.log_theta), new.chi, new.parts, new.acc / it)
         return new, rec
 
+    return step
+
+
+@partial(jax.jit, static_argnames=(
+    "specs", "idx_maps", "nits", "burnin", "rwalk_std", "prior_logpdf",
+    "use_priors", "method", "substeps_list"))
+def _joint_impl(specs, idx_maps, obs_list, times_list, y0_list, theta0,
+                keys, walk_mask, *, nits, burnin, rwalk_std, prior_logpdf,
+                use_priors, method, substeps_list):
+    total_chi = _total_chi_fn(specs, idx_maps, obs_list, times_list,
+                              y0_list, method, substeps_list)
+    step = _joint_step_fn(total_chi, walk_mask, rwalk_std, prior_logpdf,
+                          use_priors)
+
     def one_chain(th0, key):
         chi0, parts0 = total_chi(th0)
         carry = _Carry(log_theta=jnp.log(th0), chi=chi0, parts=parts0,
@@ -95,6 +113,153 @@ def _joint_impl(specs, idx_maps, obs_list, times_list, y0_list, theta0,
         return recs
 
     return jax.vmap(one_chain)(theta0, keys)
+
+
+@partial(jax.jit, static_argnames=(
+    "specs", "idx_maps", "method", "substeps_list"))
+def _joint_init_state(specs, idx_maps, obs_list, times_list, y0_list,
+                      theta0, *, method, substeps_list):
+    total_chi = _total_chi_fn(specs, idx_maps, obs_list, times_list,
+                              y0_list, method, substeps_list)
+
+    def one(th0):
+        chi0, parts0 = total_chi(th0)
+        return (jnp.log(th0), chi0, parts0,
+                jnp.asarray(0.0, th0.dtype))
+
+    return jax.vmap(one)(theta0)
+
+
+@partial(jax.jit, static_argnames=(
+    "specs", "idx_maps", "it_start", "length", "rwalk_std",
+    "prior_logpdf", "use_priors", "method", "substeps_list"))
+def _joint_chunk_impl(specs, idx_maps, obs_list, times_list, y0_list,
+                      state, keys, walk_mask, *, it_start, length,
+                      rwalk_std, prior_logpdf, use_priors, method,
+                      substeps_list):
+    """One checkpoint chunk of the joint XLA scan, iterations
+    [it_start, it_start + length), recording every iteration. The carry
+    (incl. the per-chain PRNG key) rides the checkpoint, so chunk
+    boundaries are bitwise-invisible."""
+    total_chi = _total_chi_fn(specs, idx_maps, obs_list, times_list,
+                              y0_list, method, substeps_list)
+    step = _joint_step_fn(total_chi, walk_mask, rwalk_std, prior_logpdf,
+                          use_priors)
+
+    def one_chain(st, key):
+        lt, chi, parts, acc = st
+        carry = _Carry(log_theta=lt, chi=chi, parts=parts, acc=acc,
+                       key=key)
+        its = it_start + jnp.arange(length, dtype=lt.dtype)
+        carry, recs = jax.lax.scan(step, carry, its)
+        return ((carry.log_theta, carry.chi, carry.parts, carry.acc),
+                carry.key, recs)
+
+    return jax.vmap(one_chain)(state, keys)
+
+
+def joint_metropolis_hastings_checkpointed(
+        specs, idx_maps, obs_list, times_list, y0_list, theta0, keys, *,
+        nits: int = 1000, burnin: Optional[int] = None, walk_mask=None,
+        rwalk_std: float = 0.05, prior_logpdf=None,
+        use_priors: bool = False, method: str = "fixed_dopri5",
+        substeps=4, substeps_list=None, checkpoint_every: int = 100,
+        checkpoint_path: Optional[str] = None,
+        resume_from: Optional[str] = None,
+        _stop_after_chunks: Optional[int] = None) -> Optional[JointOutput]:
+    """Periodically-checkpointed joint XLA MH: the scan splits into
+    chunks of ``checkpoint_every`` proposals, persisting chain state +
+    records (npz) after each so a killed run resumes via ``resume_from``
+    BITWISE identically to :func:`joint_metropolis_hastings` — this is
+    the checkpointing path for posteriors the fused kernel cannot score
+    (hierarchical pooling densities, exotic priors).
+
+    ``_stop_after_chunks``: test hook simulating a mid-run kill."""
+    import os
+
+    if burnin is None:
+        burnin = int(nits / 2)
+    if nits - 1 <= burnin:
+        raise ValueError(f"nits={nits} leaves no recorded iterations after "
+                         f"burnin={burnin}")
+    E = int(checkpoint_every)
+    if E < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    theta0 = jnp.atleast_2d(theta0)
+    D = theta0.shape[-1]
+    if walk_mask is None:
+        walk_mask = jnp.ones((D,), theta0.dtype)
+    walk_mask = jnp.asarray(walk_mask, theta0.dtype)
+    if use_priors and prior_logpdf is None:
+        raise ValueError("use_priors=True requires prior_logpdf")
+    specs = tuple(specs)
+    idx_maps = _normalize_idx_maps(specs, idx_maps, D)
+    substeps_list = _normalize_substeps_list(substeps, substeps_list,
+                                             len(specs))
+    obs_list, times_list, y0_list = (tuple(obs_list), tuple(times_list),
+                                     tuple(y0_list))
+    skw = dict(method=method, substeps_list=substeps_list)
+
+    R = nits - 1
+    n_chunks = -(-R // E)
+    sig = repr(("xla-joint", tuple(s.pnames for s in specs),
+                idx_maps, D, int(theta0.shape[0]), nits,
+                float(rwalk_std),
+                tuple(float(w) for w in np.asarray(walk_mask)),
+                bool(use_priors), method, substeps_list))
+
+    k0, state, recs = 0, None, []
+    if resume_from:
+        with np.load(resume_from, allow_pickle=False) as z:
+            saved_sig = bytes(z["sig"]).decode()
+            if saved_sig != sig:
+                raise ValueError(
+                    "checkpoint was written by a different joint MCMC "
+                    f"configuration:\n  saved: {saved_sig}\n  this:  {sig}")
+            k0 = int(z["next_chunk"])
+            state = tuple(jnp.asarray(z[f"state{i}"]) for i in range(4))
+            keys = jax.random.wrap_key_data(jnp.asarray(z["key_data"]))
+            if k0 > 0:
+                recs = [tuple(z[f"rec{i}"] for i in range(4))]
+    if state is None:
+        state = _joint_init_state(specs, idx_maps, obs_list, times_list,
+                                  y0_list, theta0, **skw)
+
+    for k in range(k0, n_chunks):
+        it_start = 1 + k * E
+        length = min(E, R - k * E)
+        state, keys, out = _joint_chunk_impl(
+            specs, idx_maps, obs_list, times_list, y0_list, state, keys,
+            walk_mask, it_start=it_start, length=length,
+            rwalk_std=float(rwalk_std), prior_logpdf=prior_logpdf,
+            use_priors=bool(use_priors), **skw)
+        recs.append(tuple(np.asarray(o) for o in out))
+        if checkpoint_path:
+            merged = tuple(np.concatenate([r[i] for r in recs], axis=1)
+                           for i in range(4))
+            recs = [merged]
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez_compressed(
+                    f, sig=np.frombuffer(sig.encode(), np.uint8),
+                    next_chunk=np.asarray(k + 1),
+                    key_data=np.asarray(jax.random.key_data(keys)),
+                    **{f"state{i}": np.asarray(state[i])
+                       for i in range(4)},
+                    **{f"rec{i}": merged[i] for i in range(4)})
+            os.replace(tmp, checkpoint_path)
+        if (_stop_after_chunks is not None
+                and k + 1 - k0 >= _stop_after_chunks and k + 1 < n_chunks):
+            return None
+
+    th, chi, parts, ar = (np.concatenate([r[i] for r in recs], axis=1)
+                          for i in range(4))
+    iterations = jnp.arange(1, nits)[burnin:]
+    return JointOutput(theta=jnp.asarray(th[:, burnin:]),
+                       chi=jnp.asarray(chi[:, burnin:]),
+                       chi_parts=jnp.asarray(parts[:, burnin:]),
+                       acceptance_ratio=jnp.asarray(ar[:, burnin:]),
+                       iteration=iterations)
 
 
 def _normalize_idx_maps(specs, idx_maps, D):

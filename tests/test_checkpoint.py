@@ -201,3 +201,97 @@ def test_api_checkpoint_every_on_hmc_sampler(model, tmp_path):
     assert os.path.exists(p + ".progress")
     assert {"mu", "phi", "beta", "chi", "chain#"} <= set(post.columns)
     assert len(post) > 0
+
+
+# ---- joint XLA checkpointing (hierarchical runs are forced onto XLA) ----
+
+def _joint_fixture():
+    import jax.numpy as jnp
+    from odelib_tpu import JointFit
+    from odelib_tpu.distributions import LogNormal
+
+    def rhs(t, y, ps):
+        (k,) = ps
+        return jnp.stack([-k * y[0]])
+
+    def decay_df(k, seed):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame(
+            [{"organism": "y", "time": t,
+              "abundance": 1e6 * np.exp(-k * t) * np.exp(rng.normal(0, .15)),
+              "log_sigma": 0.15} for t in np.linspace(0, 3, 8)])
+
+    def fw(k, seed):
+        return ModelFramework(
+            ODE=rhs, parameter_names=["k"], state_names=["y"],
+            dataframe=decay_df(k, seed), t_steps=24, ode_style="jax",
+            random_seed=seed,
+            k=parameter(stats_gen=LogNormal(s=0.7, scale=1.0),
+                        hyperparameters={}, random_seed=seed))
+
+    jf = JointFit({"a": fw(0.9, 30), "b": fw(1.1, 31)},
+                  hierarchical=["k"], random_seed=32)
+    specs, idxs, obs, times, y0s, method, subs = jf._device_args(
+        {"method": "fixed_dopri5", "substeps": 2})
+    th0 = np.tile(jf._current_joint_theta(), (3, 1)) \
+        * np.array([[0.9], [1.0], [1.1]])
+    import jax
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(5), i))(
+        np.arange(3))
+    prior = jf._effective_prior(False)[0]
+    args = (specs, idxs, obs, times, y0s,
+            np.asarray(th0, np.float64), keys)
+    kw = dict(nits=24, burnin=12, method=method, substeps_list=subs,
+              prior_logpdf=prior, use_priors=True, rwalk_std=0.08)
+    return jf, args, kw
+
+
+def test_joint_checkpointed_bitwise_equals_plain(tmp_path):
+    from odelib_tpu.samplers.joint import (
+        joint_metropolis_hastings, joint_metropolis_hastings_checkpointed)
+
+    _, args, kw = _joint_fixture()
+    plain = joint_metropolis_hastings(*args, **kw)
+    chunked = joint_metropolis_hastings_checkpointed(
+        *args, checkpoint_every=5,
+        checkpoint_path=str(tmp_path / "joint.progress"), **kw)
+    for a, b in zip(plain, chunked):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_joint_checkpoint_kill_and_resume(tmp_path):
+    from odelib_tpu.samplers.joint import (
+        joint_metropolis_hastings, joint_metropolis_hastings_checkpointed)
+
+    _, args, kw = _joint_fixture()
+    p = str(tmp_path / "joint.progress")
+    killed = joint_metropolis_hastings_checkpointed(
+        *args, checkpoint_every=5, checkpoint_path=p,
+        _stop_after_chunks=1, **kw)
+    assert killed is None and os.path.exists(p)
+    resumed = joint_metropolis_hastings_checkpointed(
+        *args, checkpoint_every=5, checkpoint_path=p, resume_from=p, **kw)
+    plain = joint_metropolis_hastings(*args, **kw)
+    for a, b in zip(plain, resumed):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # config mismatch rejected
+    kw2 = dict(kw, rwalk_std=0.1)
+    with pytest.raises(ValueError, match="different joint MCMC"):
+        joint_metropolis_hastings_checkpointed(
+            *args, checkpoint_every=5, checkpoint_path=p,
+            resume_from=p, **kw2)
+
+
+def test_api_checkpoint_every_on_joint_xla(tmp_path):
+    """JointFit.MCMC(checkpoint_every=...) persists progress on the XLA
+    backend — hierarchical (XLA-only) long runs survive kills too."""
+    jf, _, _ = _joint_fixture()
+    p = str(tmp_path / "joint_post.npz")
+    post = jf.MCMC(chain_inits=4, iterations_per_chain=30,
+                   fitsurvey_samples=32, backend="xla",
+                   checkpoint_every=8, checkpoint_path=p,
+                   print_report=False)
+    assert os.path.exists(p + ".progress")
+    assert len(post) == 4 * 14          # nits=30 -> records 16..29
+    assert np.isfinite(post["chi"]).all()
+    assert "k:pop_median" in post
