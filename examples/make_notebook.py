@@ -245,12 +245,8 @@ ax = posterior[posterior['chain#'] == 0].plot(
     title='phi trace, chain 0 (zeroI)')
 plt.show()"""),
     (C, """\
-fig, axs = plt.subplots(3, 1, figsize=(9, 6), sharex=True)
-for ax, p in zip(axs, ('mu', 'phi', 'beta')):
-    for c, g in posterior.groupby('chain#'):
-        ax.plot(g['iteration'], g[p], lw=0.7, alpha=0.8)
-    ax.set_ylabel(p); ax.set_yscale('log')
-axs[-1].set_xlabel('iteration')
+# ...or the one-call version (every parameter + chi, one line per chain):
+fig, axs = zeroI.plot_trace(posterior)
 plt.show()"""),
     (M, """\
 # Model comparison by AIC
@@ -273,6 +269,21 @@ checks — effective sample size and split-chain R-hat (values near 1.0 mean
 the chains agree) — as a one-call table. (The reference has no convergence
 tooling; you eyeball the traces above.)"""),
     (C, "zeroI.diagnostics(posterior)"),
+    (M, """\
+# Predictive checks
+
+Two coverage numbers bracket the fit. *Before* fitting,
+`prior_predictive` asks whether the priors can generate the data at all
+(coverage far below the nominal CI = priors exclude the data; ~100% with
+huge intervals = uninformative, which is fine). *After* fitting,
+`posterior_predictive` simulates replicated observations from posterior
+draws and checks the data sit inside the predictive intervals — coverage
+well below nominal flags model misfit or underestimated sigma. (The
+reference's closest tool is the visual `plot_uncertainty` envelope.)"""),
+    (C, """\
+pri = zeroI.prior_predictive(samples=256 if FAST else 1000)
+ppc = zeroI.posterior_predictive(posterior, n_draws=200)
+ppc['summary'].head()"""),
     (M, """\
 # The packaged model library
 
@@ -398,6 +409,25 @@ _pd.DataFrame({
     'phi std (joint)': [np.log(post_joint['phi']).std()],
     'beta std (single)': [np.log(posterior['beta']).std()],
     'beta std (joint)': [np.log(post_joint['beta']).std()]}).round(3)"""),
+    (M, """\
+# Partial pooling (hierarchical fitting)
+
+Between sharing a parameter completely and letting every arm float
+independently lies the hierarchical middle ground: `hierarchical=['mu']`
+gives each run its own `mu` but ties them through a sampled lognormal
+population law `log mu_k ~ Normal(log mu:pop_median, mu:pop_sigma)`.
+Noisy arms shrink toward the population median; the `pop_sigma`
+posterior *measures* the real between-run variability instead of
+assuming it is zero (shared) or infinite (independent). Compare pooling
+modes on predictive grounds with `jf.information_criteria` (higher
+`elpd_loo` wins)."""),
+    (C, """\
+jf_h = odelib_tpu.JointFit({'run1': zeroI, 'run2': zeroI2},
+                           shared=['phi', 'beta'], hierarchical=['mu'])
+post_hier = jf_h.MCMC(chain_inits=N_CHAINS, iterations_per_chain=N_ITERS,
+                      fitsurvey_samples=N_SURVEY, print_report=False)
+post_hier[['run1:mu', 'run2:mu', 'mu:pop_median',
+           'mu:pop_sigma']].describe().loc[['mean', '50%', 'std']].round(4)"""),
     (M, """\
 # HMC on the correlated one_i posterior
 
