@@ -562,7 +562,8 @@ class JointFit:
     def MCMC(self, chain_inits=32, iterations_per_chain=1000,
              fitsurvey_samples=1000, use_priors=False, rwalk_std=0.05,
              burnin=None, static_parameters=(), print_report=True,
-             backend="auto", checkpoint_every=None, checkpoint_path=None,
+             backend="auto", sampler="mh", n_leapfrog=4, step_size=0.02,
+             path_adapt=False, checkpoint_every=None, checkpoint_path=None,
              resume_from=None, pallas_tile_chains=None,
              pallas_interpret=False, **solver_kw) -> pd.DataFrame:
         """Joint MCMC posterior over all experiments.
@@ -585,7 +586,14 @@ class JointFit:
           persistence with bit-exact resume via ``resume_from`` — on
           BOTH backends (the XLA path chunks its scan exactly like the
           single-experiment sampler, so hierarchical runs checkpoint
-          too).
+          too);
+        * ``sampler='hmc'``: cross-chain-adapted HMC over the joint
+          posterior — gradients of the summed multi-experiment chi flow
+          through every experiment's solve; hierarchical pooling
+          densities (funnel-shaped, where the random walk stalls) come
+          free since the potential is an arbitrary closure. Knobs:
+          ``n_leapfrog``, ``step_size``, ``path_adapt`` (ChEES). No
+          per-experiment ``chi:<name>`` columns on this path.
         """
         nits = int(iterations_per_chain)
         if burnin is None:
@@ -624,6 +632,15 @@ class JointFit:
         if backend not in ("auto", "pallas", "xla"):
             raise ValueError(f"backend must be 'auto', 'pallas' or 'xla', "
                              f"got {backend!r}")
+        if sampler not in ("mh", "hmc"):
+            raise ValueError(f"sampler must be 'mh' or 'hmc', got "
+                             f"{sampler!r}")
+        if sampler == "hmc":
+            # gradient sampler: arbitrary differentiable potential, so
+            # hierarchical pooling comes free; XLA only
+            if backend == "pallas":
+                raise ValueError("sampler='hmc' runs on the XLA backend")
+            backend = "xla"
         if self.hierarchical:
             # the pooling density couples slots; the fused kernel only
             # evaluates independent per-slot priors
@@ -699,40 +716,60 @@ class JointFit:
                 jnp.arange(n_padded))
             margs = shard_chain_batch(
                 (jnp.asarray(th0, dtype), keys), mesh)
-            mh_kw = dict(nits=nits, burnin=int(burnin),
-                         walk_mask=jnp.asarray(mask, dtype),
-                         rwalk_std=float(rwalk_std),
-                         prior_logpdf=prior_logpdf,
-                         use_priors=use_priors_eff, method=method,
-                         substeps_list=subs)
-            if checkpoint_every is not None:
-                from .samplers.joint import \
-                    joint_metropolis_hastings_checkpointed
-                progress = (checkpoint_path + ".progress"
-                            if checkpoint_path else None)
-                out = joint_metropolis_hastings_checkpointed(
-                    specs, idxs, obs, times, y0s, margs[0], margs[1],
-                    checkpoint_every=int(checkpoint_every),
-                    checkpoint_path=progress, resume_from=resume_from,
-                    **mh_kw)
+            if sampler == "hmc":
+                from .samplers import hamiltonian_mc_custom
+                if checkpoint_every is not None:
+                    import warnings
+                    warnings.warn("checkpoint_every with sampler='hmc' on "
+                                  "JointFit is not supported; running "
+                                  "without periodic checkpoints")
+                out = hamiltonian_mc_custom(
+                    self._joint_chi_fn(solver_kw), margs[0], margs[1],
+                    nits=nits, burnin=int(burnin),
+                    n_leapfrog=int(n_leapfrog),
+                    step_size=float(step_size),
+                    path_adapt=bool(path_adapt),
+                    walk_mask=jnp.asarray(mask, dtype),
+                    prior_logpdf=prior_logpdf, use_priors=use_priors_eff)
             else:
-                out = joint_metropolis_hastings(
-                    specs, idxs, obs, times, y0s, margs[0], margs[1],
-                    **mh_kw)
+                mh_kw = dict(nits=nits, burnin=int(burnin),
+                             walk_mask=jnp.asarray(mask, dtype),
+                             rwalk_std=float(rwalk_std),
+                             prior_logpdf=prior_logpdf,
+                             use_priors=use_priors_eff, method=method,
+                             substeps_list=subs)
+                if checkpoint_every is not None:
+                    from .samplers.joint import \
+                        joint_metropolis_hastings_checkpointed
+                    progress = (checkpoint_path + ".progress"
+                                if checkpoint_path else None)
+                    out = joint_metropolis_hastings_checkpointed(
+                        specs, idxs, obs, times, y0s, margs[0], margs[1],
+                        checkpoint_every=int(checkpoint_every),
+                        checkpoint_path=progress, resume_from=resume_from,
+                        **mh_kw)
+                else:
+                    out = joint_metropolis_hastings(
+                        specs, idxs, obs, times, y0s, margs[0], margs[1],
+                        **mh_kw)
 
         theta = np.asarray(out.theta)[:n_chains]   # (C, R, D)
         C, R, D = theta.shape
         names = list(self.frameworks)
         chi_all = np.asarray(out.chi)[:n_chains]
-        parts_all = np.asarray(out.chi_parts)[:n_chains]
+        # the HMC potential is the summed chi only — no per-experiment
+        # parts (MHOutput); the MH paths record them
+        parts_all = (np.asarray(out.chi_parts)[:n_chains]
+                     if hasattr(out, "chi_parts") else None)
         ar_all = np.asarray(out.acceptance_ratio)[:n_chains]
         all_rejected = ar_all[:, -1] == 0.0 if R else np.zeros(C, bool)
         frames = []
         for c in range(C):
             df = self._df_from_thetas(theta[c])
             df["chi"] = chi_all[c]
-            for k, nm in enumerate(names):
-                df[f"chi:{nm}"] = parts_all[c, :, k]
+            if parts_all is not None:
+                for k, nm in enumerate(names):
+                    df[f"chi:{nm}"] = parts_all[c, :, k]
             df["iteration"] = np.asarray(out.iteration)
             df["acceptance_ratio"] = ar_all[c]
             df["chain#"] = c
@@ -767,10 +804,13 @@ class JointFit:
                                   f"deviation = {float(std):0.3e}")
             best = posterior.loc[posterior["chi"].idxmin()]
             report.append("\nBest joint sample:")
-            report.append("\tChi = {:0.3e} ({})".format(
-                best["chi"], ", ".join(
-                    f"chi:{nm} = {best[f'chi:{nm}']:0.3e}"
-                    for nm in names)))
+            if parts_all is not None:
+                report.append("\tChi = {:0.3e} ({})".format(
+                    best["chi"], ", ".join(
+                        f"chi:{nm} = {best[f'chi:{nm}']:0.3e}"
+                        for nm in names)))
+            else:
+                report.append("\tChi = {:0.3e}".format(best["chi"]))
             print("\n".join(report))
         return posterior
 

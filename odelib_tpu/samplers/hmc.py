@@ -157,6 +157,22 @@ def _make_vag_u(spec, obs, times, y0_base, *, use_priors, prior_logpdf,
     return jax.vmap(jax.value_and_grad(potential1, has_aux=True))
 
 
+def _make_vag_u_custom(chi_fn, *, use_priors, prior_logpdf):
+    """vag_u against an arbitrary differentiable ``chi_fn(theta)`` (e.g.
+    the summed multi-experiment chi of a JointFit — hashed by identity,
+    cache the closure). rsq/aic aux come back NaN."""
+    def potential1(z):
+        theta = jnp.exp(z)
+        chi = chi_fn(theta)
+        u = chi
+        if use_priors:
+            u = u - prior_logpdf(theta)
+        nan = jnp.full_like(chi, jnp.nan)
+        return u, (chi, nan, nan)
+
+    return jax.vmap(jax.value_and_grad(potential1, has_aux=True))
+
+
 def _make_step(vag_u, walk_mask, C, dtype, *, burnin, n_leapfrog,
                target_accept, mass_adapt, path_adapt, max_leapfrog,
                adam_lr):
@@ -306,16 +322,11 @@ _HMC_STATICS = ("spec", "burnin", "n_leapfrog", "target_accept",
                 "max_leapfrog", "adam_lr")
 
 
-@partial(jax.jit, static_argnames=_HMC_STATICS)
-def _hmc_init(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
-              burnin, n_leapfrog, target_accept, use_priors, prior_logpdf,
-              num_params, method, substeps, init_step_size, mass_adapt,
-              path_adapt, max_leapfrog, adam_lr):
+def _init_core(vag_u, theta0, keys, walk_mask, *, burnin, n_leapfrog,
+               target_accept, init_step_size, mass_adapt, path_adapt,
+               max_leapfrog, adam_lr):
     dtype = theta0.dtype
     C = theta0.shape[0]
-    vag_u = _make_vag_u(spec, obs, times, y0_base, use_priors=use_priors,
-                        prior_logpdf=prior_logpdf, num_params=num_params,
-                        ikw=dict(method=method, substeps=substeps))
     _, cross_chain_mass = _make_step(
         vag_u, walk_mask, C, dtype, burnin=burnin, n_leapfrog=n_leapfrog,
         target_accept=target_accept, mass_adapt=mass_adapt,
@@ -338,20 +349,10 @@ def _hmc_init(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
                   mass_inv=mass0, key=keys[0])
 
 
-@partial(jax.jit, static_argnames=_HMC_STATICS + ("record",))
-def _hmc_chunk(spec, obs, times, y0_base, carry, its, halton, walk_mask, *,
-               burnin, n_leapfrog, target_accept, use_priors, prior_logpdf,
-               num_params, method, substeps, init_step_size, mass_adapt,
-               path_adapt, max_leapfrog, adam_lr, record):
-    """One bounded device dispatch: scan ``its.shape[0]`` iterations and
-    hand the carry back to the host. Chunking bounds per-dispatch
-    wall-clock (long ChEES trajectories at large ``nits`` otherwise
-    exceed what remote-tunnel TPU runtimes tolerate in a single
-    execution) and is the unit of periodic checkpointing."""
+def _chunk_core(vag_u, carry, its, halton, walk_mask, *, burnin,
+                n_leapfrog, target_accept, mass_adapt, path_adapt,
+                max_leapfrog, adam_lr, record):
     C = carry.z.shape[0]
-    vag_u = _make_vag_u(spec, obs, times, y0_base, use_priors=use_priors,
-                        prior_logpdf=prior_logpdf, num_params=num_params,
-                        ikw=dict(method=method, substeps=substeps))
     step, _ = _make_step(
         vag_u, walk_mask, C, carry.z.dtype, burnin=burnin,
         n_leapfrog=n_leapfrog, target_accept=target_accept,
@@ -364,6 +365,133 @@ def _hmc_chunk(spec, obs, times, y0_base, carry, its, halton, walk_mask, *,
     carry, _ = jax.lax.scan(lambda c, xs: (step(c, xs)[0], None),
                             carry, (its, halton))
     return carry, None
+
+
+@partial(jax.jit, static_argnames=_HMC_STATICS)
+def _hmc_init(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
+              burnin, n_leapfrog, target_accept, use_priors, prior_logpdf,
+              num_params, method, substeps, init_step_size, mass_adapt,
+              path_adapt, max_leapfrog, adam_lr):
+    vag_u = _make_vag_u(spec, obs, times, y0_base, use_priors=use_priors,
+                        prior_logpdf=prior_logpdf, num_params=num_params,
+                        ikw=dict(method=method, substeps=substeps))
+    return _init_core(vag_u, theta0, keys, walk_mask, burnin=burnin,
+                      n_leapfrog=n_leapfrog, target_accept=target_accept,
+                      init_step_size=init_step_size, mass_adapt=mass_adapt,
+                      path_adapt=path_adapt, max_leapfrog=max_leapfrog,
+                      adam_lr=adam_lr)
+
+
+@partial(jax.jit, static_argnames=_HMC_STATICS + ("record",))
+def _hmc_chunk(spec, obs, times, y0_base, carry, its, halton, walk_mask, *,
+               burnin, n_leapfrog, target_accept, use_priors, prior_logpdf,
+               num_params, method, substeps, init_step_size, mass_adapt,
+               path_adapt, max_leapfrog, adam_lr, record):
+    """One bounded device dispatch: scan ``its.shape[0]`` iterations and
+    hand the carry back to the host. Chunking bounds per-dispatch
+    wall-clock (long ChEES trajectories at large ``nits`` otherwise
+    exceed what remote-tunnel TPU runtimes tolerate in a single
+    execution) and is the unit of periodic checkpointing."""
+    vag_u = _make_vag_u(spec, obs, times, y0_base, use_priors=use_priors,
+                        prior_logpdf=prior_logpdf, num_params=num_params,
+                        ikw=dict(method=method, substeps=substeps))
+    return _chunk_core(vag_u, carry, its, halton, walk_mask, burnin=burnin,
+                       n_leapfrog=n_leapfrog, target_accept=target_accept,
+                       mass_adapt=mass_adapt, path_adapt=path_adapt,
+                       max_leapfrog=max_leapfrog, adam_lr=adam_lr,
+                       record=record)
+
+
+_HMC_CUSTOM_STATICS = ("chi_fn", "burnin", "n_leapfrog", "target_accept",
+                       "use_priors", "prior_logpdf", "init_step_size",
+                       "mass_adapt", "path_adapt", "max_leapfrog",
+                       "adam_lr")
+
+
+@partial(jax.jit, static_argnames=_HMC_CUSTOM_STATICS)
+def _hmc_init_custom(chi_fn, theta0, keys, walk_mask, *, burnin,
+                     n_leapfrog, target_accept, use_priors, prior_logpdf,
+                     init_step_size, mass_adapt, path_adapt, max_leapfrog,
+                     adam_lr):
+    vag_u = _make_vag_u_custom(chi_fn, use_priors=use_priors,
+                               prior_logpdf=prior_logpdf)
+    return _init_core(vag_u, theta0, keys, walk_mask, burnin=burnin,
+                      n_leapfrog=n_leapfrog, target_accept=target_accept,
+                      init_step_size=init_step_size, mass_adapt=mass_adapt,
+                      path_adapt=path_adapt, max_leapfrog=max_leapfrog,
+                      adam_lr=adam_lr)
+
+
+@partial(jax.jit, static_argnames=_HMC_CUSTOM_STATICS + ("record",))
+def _hmc_chunk_custom(chi_fn, carry, its, halton, walk_mask, *, burnin,
+                      n_leapfrog, target_accept, use_priors, prior_logpdf,
+                      init_step_size, mass_adapt, path_adapt, max_leapfrog,
+                      adam_lr, record):
+    vag_u = _make_vag_u_custom(chi_fn, use_priors=use_priors,
+                               prior_logpdf=prior_logpdf)
+    return _chunk_core(vag_u, carry, its, halton, walk_mask, burnin=burnin,
+                       n_leapfrog=n_leapfrog, target_accept=target_accept,
+                       mass_adapt=mass_adapt, path_adapt=path_adapt,
+                       max_leapfrog=max_leapfrog, adam_lr=adam_lr,
+                       record=record)
+
+
+def hamiltonian_mc_custom(
+        chi_fn, theta0, keys, *, nits: int = 1000,
+        burnin: Optional[int] = None, n_leapfrog: int = 4,
+        step_size: float = 0.02, target_accept: float = 0.65,
+        walk_mask=None, prior_logpdf=None, use_priors: bool = False,
+        mass_adapt: bool = True, path_adapt: bool = False,
+        max_leapfrog: int = 256, adam_lr: float = 0.025,
+        chunk_iters: Optional[int] = None) -> MHOutput:
+    """Cross-chain-adapted HMC against an arbitrary differentiable
+    ``chi_fn(theta)`` — e.g. a JointFit's summed multi-experiment chi,
+    whose hierarchical pooling posteriors are funnel-shaped, exactly
+    where gradient-based proposals beat the random walk. Conventions of
+    :func:`hamiltonian_mc` (potential ``U(z) = chi(e^z) [- log
+    prior(e^z)]``, shared mass/step/ChEES warmup adaptation); ``chi_fn``
+    must be differentiable (fixed-step solves) and is hashed by IDENTITY
+    — cache the closure to reuse the compiled program. rsquared/aic
+    records come back NaN (no single-experiment metrics)."""
+    if burnin is None:
+        burnin = int(nits / 2)
+    if nits - 1 <= burnin:
+        raise ValueError(f"nits={nits} leaves no recorded iterations after "
+                         f"burnin={burnin}")
+    theta0 = jnp.atleast_2d(theta0)
+    D = theta0.shape[-1]
+    if walk_mask is None:
+        walk_mask = jnp.ones((D,), theta0.dtype)
+    walk_mask = jnp.asarray(walk_mask, theta0.dtype)
+    if use_priors and prior_logpdf is None:
+        raise ValueError("use_priors=True requires prior_logpdf")
+    dtype = theta0.dtype
+    skw = dict(burnin=int(burnin), n_leapfrog=int(n_leapfrog),
+               target_accept=float(target_accept),
+               use_priors=bool(use_priors), prior_logpdf=prior_logpdf,
+               init_step_size=float(step_size),
+               mass_adapt=bool(mass_adapt), path_adapt=bool(path_adapt),
+               max_leapfrog=int(max_leapfrog), adam_lr=float(adam_lr))
+    halton = jnp.asarray(_halton2(int(nits) - 1), dtype)
+    carry = _hmc_init_custom(chi_fn, theta0, keys, walk_mask, **skw)
+    its = jnp.arange(1, int(nits), dtype=dtype)
+    E = chunk_iters or (int(nits) - 1)
+    recs = []
+    for lo in range(0, int(nits) - 1, E):
+        hi = min(lo + E, int(nits) - 1)
+        for a, b in ((lo, min(hi, int(burnin))), (max(lo, int(burnin)), hi)):
+            if a >= b:
+                continue
+            carry, rec = _hmc_chunk_custom(
+                chi_fn, carry, its[a:b], halton[a:b], walk_mask,
+                record=(a >= int(burnin)), **skw)
+            if rec is not None:
+                recs.append(rec)
+    theta_s, chi_s, rsq_s, aic_s, ar_s = (
+        jnp.concatenate(parts, axis=1) for parts in zip(*recs))
+    iterations = jnp.arange(1, int(nits))[int(burnin):]
+    return MHOutput(theta=theta_s, chi=chi_s, rsquared=rsq_s, aic=aic_s,
+                    acceptance_ratio=ar_s, iteration=iterations)
 
 
 def _hmc_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, halton, *,

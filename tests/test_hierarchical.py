@@ -259,3 +259,28 @@ def test_mixed_priors_nonpooled_kept():
     want = sum(float(LogNormal(s=0.4, scale=2.0).logpdf(v))
                for v in (th[1], th[3]))       # only the s slots
     np.testing.assert_allclose(diff, want, rtol=1e-6)
+
+
+def test_joint_hmc_matches_mh():
+    """sampler='hmc' targets the same hierarchical posterior as the
+    random walk: per-experiment medians agree within MC error, and the
+    funnel hyperparameters are genuinely sampled."""
+    jf = JointFit(_three_experiments(), hierarchical=["k"], random_seed=16)
+    post_h = jf.MCMC(chain_inits=8, iterations_per_chain=400,
+                     fitsurvey_samples=128, sampler="hmc",
+                     n_leapfrog=4, step_size=0.05, print_report=False)
+    post_m = jf.MCMC(chain_inits=8, iterations_per_chain=800,
+                     fitsurvey_samples=128, print_report=False)
+    assert "chi:e0" not in post_h          # no parts on the HMC path
+    assert "chi:e0" in post_m
+    for c in ("e0:k", "e1:k", "e2:k"):
+        lh = np.log(post_h[c].median())
+        lm = np.log(post_m[c].median())
+        assert abs(lh - lm) < 0.15, (c, lh, lm)
+    assert post_h["k:pop_sigma"].std() > 0
+    acc = post_h["acceptance_ratio"].to_numpy()
+    assert 0.2 < acc[-1] < 0.99
+    with pytest.raises(ValueError, match="XLA backend"):
+        jf.MCMC(sampler="hmc", backend="pallas", chain_inits=4,
+                iterations_per_chain=50, fitsurvey_samples=32,
+                print_report=False)
