@@ -795,6 +795,113 @@ def config10_advi(base):
             "vs_baseline": None}
 
 
+def config11_hierarchical_funnel(base):
+    """Hierarchical (partial-pooling) joint posterior: 3 decay
+    experiments with per-experiment rates tied through a sampled
+    lognormal population law — 5 joint dims (3 rate slots + pop_median +
+    pop_sigma), funnel-shaped in pop_sigma. Measures min-over-dims
+    ESS/sec for the random-walk joint sampler vs gradient-based
+    hamiltonian_mc_custom on the identical posterior (both include the
+    pooling density + hyperpriors). Capability row: the reference has no
+    cross-experiment structure at all."""
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    import odelib_tpu
+    from odelib_tpu import JointFit
+    from odelib_tpu.distributions import LogNormal
+    from odelib_tpu.samplers import hamiltonian_mc_custom
+    from odelib_tpu.samplers.joint import joint_metropolis_hastings
+    from odelib_tpu.utils.diagnostics import effective_sample_size
+
+    def rhs(t, y, ps):
+        (k,) = ps
+        return jnp.stack([-k * y[0]])
+
+    def decay_fw(k, seed):
+        rng = np.random.default_rng(seed)
+        df = pd.DataFrame(
+            [{"organism": "y", "time": t,
+              "abundance": 1e6 * np.exp(-k * t)
+              * np.exp(rng.normal(0, 0.35)),
+              "log_sigma": 0.35} for t in np.linspace(0, 3, 8)])
+        return odelib_tpu.ModelFramework(
+            ODE=rhs, parameter_names=["k"], state_names=["y"],
+            dataframe=df, t_steps=32, ode_style="jax", random_seed=seed,
+            k=odelib_tpu.parameter(stats_gen=LogNormal(s=0.7, scale=1.0),
+                                   hyperparameters={}, random_seed=seed))
+
+    jf = JointFit({f"e{i}": decay_fw(k, 40 + i)
+                   for i, k in enumerate((0.8, 1.0, 1.25))},
+                  hierarchical=["k"], random_seed=41)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    C = 512 if on_tpu else 32
+    NITS_H, NITS_M = (4096, 65536) if on_tpu else (96, 768)
+    survey = jf.fit_survey(1024).dropna()
+    top = survey.nsmallest(64, "chi")
+    rng = np.random.default_rng(7)
+    th0 = jf._thetas_from_df(top.iloc[rng.integers(0, len(top), C)])
+    for p in jf.hierarchical:        # seed hypers from the drawn rates
+        lab_m, lab_t = jf._hyper_cols[p]
+        exps = [jf._col_offsets[f"{nm}:{p}"] for nm in jf.frameworks]
+        logs = np.log(th0[:, exps])
+        th0[:, jf._col_offsets[lab_m]] = np.exp(logs.mean(axis=1))
+        th0[:, jf._col_offsets[lab_t]] = np.maximum(logs.std(axis=1), 0.1)
+    th0 = jnp.asarray(th0, jnp.result_type(float))
+    keys = jax.random.split(jax.random.PRNGKey(3), C)
+    prior_fn, _ = jf._effective_prior(False)
+    chi_fn = jf._joint_chi_fn({"method": "fixed_dopri5", "substeps": 4})
+    specs, idxs, obs, times, y0s, method, subs = jf._device_args(
+        {"method": "fixed_dopri5", "substeps": 4})
+
+    def run_hmc():
+        out = hamiltonian_mc_custom(
+            chi_fn, th0, keys, nits=NITS_H, burnin=NITS_H // 4,
+            n_leapfrog=4, step_size=0.05, target_accept=0.65,
+            prior_logpdf=prior_fn, use_priors=True)
+        _sync(out.chi[-1:, -1:])
+        return out
+
+    def run_mh():
+        out = joint_metropolis_hastings(
+            specs, idxs, obs, times, y0s, th0, keys, nits=NITS_M,
+            burnin=NITS_M // 2, rwalk_std=0.05, prior_logpdf=prior_fn,
+            use_priors=True, method=method, substeps_list=subs)
+        _sync(out.chi[-1:, -1:])
+        return out
+
+    out_h = run_hmc()
+    t_h = _timed(run_hmc, reps=3)
+    out_m = run_mh()
+    t_m = _timed(run_mh, reps=3)
+
+    def min_ess(out):
+        th = np.log(np.asarray(out.theta))
+        return min(effective_sample_size(th[:, :, d])
+                   for d in range(th.shape[-1]))
+
+    ess_h, ess_m = min_ess(out_h), min_ess(out_m)
+    hmc_rate, mh_rate = ess_h / t_h, ess_m / t_m
+    return {"config": "11",
+            "metric": "hierarchical partial-pooling joint posterior "
+                      "(3 experiments, 5 joint dims incl. the pop_sigma "
+                      "funnel): min-over-dims effective samples/sec",
+            "value": round(hmc_rate, 1), "unit": "ESS/sec (HMC)",
+            "mh_ess_per_s": round(mh_rate, 1),
+            "hmc_over_mh": round(hmc_rate / mh_rate, 2) if mh_rate else None,
+            "hmc": {"chains": C, "nits": NITS_H,
+                    "elapsed_s": round(t_h, 3),
+                    "min_ess": round(ess_h, 1)},
+            "mh": {"chains": C, "nits": NITS_M,
+                   "elapsed_s": round(t_m, 3),
+                   "min_ess": round(ess_m, 1)},
+            "note": "capability row - the reference cannot express "
+                    "cross-experiment pooling at any speed; vs_baseline "
+                    "not defined",
+            "vs_baseline": None}
+
+
 def main():
     import bench as B
     spec, obs_host, times_fit, y0 = B.build_problem()
@@ -813,6 +920,7 @@ def main():
         config8_fused_ensemble(base),
         config9_joint_fused(base),
         config10_advi(base),
+        config11_hierarchical_funnel(base),
     ]
     for r in results:
         print(json.dumps(r))
