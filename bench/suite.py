@@ -841,13 +841,8 @@ def config11_hierarchical_funnel(base):
     survey = jf.fit_survey(1024).dropna()
     top = survey.nsmallest(64, "chi")
     rng = np.random.default_rng(7)
-    th0 = jf._thetas_from_df(top.iloc[rng.integers(0, len(top), C)])
-    for p in jf.hierarchical:        # seed hypers from the drawn rates
-        lab_m, lab_t = jf._hyper_cols[p]
-        exps = [jf._col_offsets[f"{nm}:{p}"] for nm in jf.frameworks]
-        logs = np.log(th0[:, exps])
-        th0[:, jf._col_offsets[lab_m]] = np.exp(logs.mean(axis=1))
-        th0[:, jf._col_offsets[lab_t]] = np.maximum(logs.std(axis=1), 0.1)
+    th0 = jf._seed_hyper_slots(
+        jf._thetas_from_df(top.iloc[rng.integers(0, len(top), C)]))
     th0 = jnp.asarray(th0, jnp.result_type(float))
     keys = jax.random.split(jax.random.PRNGKey(3), C)
     prior_fn, _ = jf._effective_prior(False)

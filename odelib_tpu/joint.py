@@ -353,6 +353,22 @@ class JointFit:
             self._prior_fn = fn
         return fn
 
+    def _seed_hyper_slots(self, theta0):
+        """Overwrite each chain's hyperparameter slots from its own
+        per-experiment values (log-mean / log-std floored at 0.1): survey
+        hyper draws are independent of the per-experiment draws, so
+        without this the chains would start far from the pooling term's
+        bulk. No-op without hierarchical parameters."""
+        for p in self.hierarchical:
+            lab_m, lab_t = self._hyper_cols[p]
+            exps = [self._col_offsets[f"{nm}:{p}"]
+                    for nm in self.frameworks]
+            logs = np.log(theta0[:, exps])
+            theta0[:, self._col_offsets[lab_m]] = np.exp(logs.mean(axis=1))
+            theta0[:, self._col_offsets[lab_t]] = np.maximum(
+                logs.std(axis=1), 0.1)
+        return theta0
+
     def _effective_prior(self, use_priors):
         """(prior_logpdf, use_priors) as the samplers should see them.
 
@@ -606,21 +622,7 @@ class JointFit:
         top = survey.nsmallest(max(n_chains, 8), "chi")
         rng = np.random.default_rng(self.random_seed)
         rows = top.iloc[rng.integers(0, len(top), n_chains)]
-        theta0 = self._thetas_from_df(rows)
-        if self.hierarchical:
-            # seed each chain's hyperparameters from its own per-
-            # experiment draws (the survey's hyper draws are independent
-            # of the per-experiment values, so they would start far from
-            # the pooling term's bulk)
-            for p in self.hierarchical:
-                lab_m, lab_t = self._hyper_cols[p]
-                exps = [self._col_offsets[f"{nm}:{p}"]
-                        for nm in self.frameworks]
-                logs = np.log(theta0[:, exps])
-                theta0[:, self._col_offsets[lab_m]] = np.exp(
-                    logs.mean(axis=1))
-                theta0[:, self._col_offsets[lab_t]] = np.maximum(
-                    logs.std(axis=1), 0.1)
+        theta0 = self._seed_hyper_slots(self._thetas_from_df(rows))
         mask = self._walk_mask(static_parameters)
 
         dists = self._dists()
@@ -663,8 +665,9 @@ class JointFit:
                 and all(rhs_supports_tiles(fw._spec)
                         for fw in self.frameworks.values())
             ) else "xla"
-        if checkpoint_every is not None and checkpoint_path is None \
-                and resume_from is None:
+        if checkpoint_every is not None and checkpoint_path is None:
+            # resume_from alone is not enough: without a path the resumed
+            # run would silently stop persisting
             raise ValueError(
                 "checkpoint_every requires checkpoint_path (chain state "
                 "is persisted to <checkpoint_path>.progress)")
@@ -903,7 +906,8 @@ class JointFit:
         column names, hyperparameters included)."""
         if parameters is None:
             parameters = [c for c in self.columns
-                          if posterior[c].dtype != object
+                          if c in posterior
+                          and posterior[c].dtype != object
                           and posterior[c].nunique() > 1]
         first = next(iter(self.frameworks.values()))
         return first.plot_corner(posterior, parameters=parameters, **kw)

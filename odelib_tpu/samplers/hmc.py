@@ -682,8 +682,12 @@ def hamiltonian_mc_checkpointed(
 
     R = nits - 1
     n_chunks = -(-R // E)
+    # checkpoint_every is part of the signature: next_chunk is
+    # denominated in chunks of E, so a different E on resume would
+    # silently skip or replay iterations
     sig = repr(("hmc", spec.pnames, spec.pshapes, P, int(theta0.shape[0]),
-                nits, burnin, skw["n_leapfrog"], skw["target_accept"],
+                nits, burnin, int(checkpoint_every),
+                skw["n_leapfrog"], skw["target_accept"],
                 skw["init_step_size"], skw["mass_adapt"],
                 skw["path_adapt"], skw["max_leapfrog"], skw["adam_lr"],
                 tuple(float(w) for w in np.asarray(walk_mask)),

@@ -131,14 +131,16 @@ def _joint_init_state(specs, idx_maps, obs_list, times_list, y0_list,
 
 
 @partial(jax.jit, static_argnames=(
-    "specs", "idx_maps", "it_start", "length", "rwalk_std",
-    "prior_logpdf", "use_priors", "method", "substeps_list"))
+    "specs", "idx_maps", "rwalk_std", "prior_logpdf", "use_priors",
+    "method", "substeps_list", "record"))
 def _joint_chunk_impl(specs, idx_maps, obs_list, times_list, y0_list,
-                      state, keys, walk_mask, *, it_start, length,
-                      rwalk_std, prior_logpdf, use_priors, method,
-                      substeps_list):
-    """One checkpoint chunk of the joint XLA scan, iterations
-    [it_start, it_start + length), recording every iteration. The carry
+                      state, keys, its, walk_mask, *, rwalk_std,
+                      prior_logpdf, use_priors, method, substeps_list,
+                      record):
+    """One checkpoint chunk of the joint XLA scan over the traced
+    iteration numbers ``its`` (traced, not static — distinct chunk
+    offsets reuse the same compiled program; at most the record/
+    no-record variants and a short final chunk compile). The carry
     (incl. the per-chain PRNG key) rides the checkpoint, so chunk
     boundaries are bitwise-invisible."""
     total_chi = _total_chi_fn(specs, idx_maps, obs_list, times_list,
@@ -150,8 +152,11 @@ def _joint_chunk_impl(specs, idx_maps, obs_list, times_list, y0_list,
         lt, chi, parts, acc = st
         carry = _Carry(log_theta=lt, chi=chi, parts=parts, acc=acc,
                        key=key)
-        its = it_start + jnp.arange(length, dtype=lt.dtype)
-        carry, recs = jax.lax.scan(step, carry, its)
+        if record:
+            carry, recs = jax.lax.scan(step, carry, its)
+        else:
+            carry, recs = jax.lax.scan(
+                lambda c, it: (step(c, it)[0], None), carry, its)
         return ((carry.log_theta, carry.chi, carry.parts, carry.acc),
                 carry.key, recs)
 
@@ -202,8 +207,11 @@ def joint_metropolis_hastings_checkpointed(
 
     R = nits - 1
     n_chunks = -(-R // E)
+    # E is part of the signature: next_chunk is denominated in chunks of
+    # E, so resuming under a different checkpoint_every would silently
+    # skip or replay iterations
     sig = repr(("xla-joint", tuple(s.pnames for s in specs),
-                idx_maps, D, int(theta0.shape[0]), nits,
+                idx_maps, D, int(theta0.shape[0]), nits, int(burnin), E,
                 float(rwalk_std),
                 tuple(float(w) for w in np.asarray(walk_mask)),
                 bool(use_priors), method, substeps_list))
@@ -219,34 +227,44 @@ def joint_metropolis_hastings_checkpointed(
             k0 = int(z["next_chunk"])
             state = tuple(jnp.asarray(z[f"state{i}"]) for i in range(4))
             keys = jax.random.wrap_key_data(jnp.asarray(z["key_data"]))
-            if k0 > 0:
+            if "rec0" in z:
                 recs = [tuple(z[f"rec{i}"] for i in range(4))]
     if state is None:
         state = _joint_init_state(specs, idx_maps, obs_list, times_list,
                                   y0_list, theta0, **skw)
 
+    dtype = theta0.dtype
     for k in range(k0, n_chunks):
-        it_start = 1 + k * E
-        length = min(E, R - k * E)
-        state, keys, out = _joint_chunk_impl(
-            specs, idx_maps, obs_list, times_list, y0_list, state, keys,
-            walk_mask, it_start=it_start, length=length,
-            rwalk_std=float(rwalk_std), prior_logpdf=prior_logpdf,
-            use_priors=bool(use_priors), **skw)
-        recs.append(tuple(np.asarray(o) for o in out))
+        lo, hi = 1 + k * E, 1 + min((k + 1) * E, R)
+        # a chunk straddling the burnin boundary is split: the warmup
+        # part runs the no-record program (its records would be sliced
+        # away anyway — persisting them is pure wasted I/O)
+        for a, b in ((lo, min(hi, burnin + 1)), (max(lo, burnin + 1), hi)):
+            if a >= b:
+                continue
+            its = jnp.arange(a, b, dtype=dtype)
+            state, keys, out = _joint_chunk_impl(
+                specs, idx_maps, obs_list, times_list, y0_list, state,
+                keys, its, walk_mask, rwalk_std=float(rwalk_std),
+                prior_logpdf=prior_logpdf, use_priors=bool(use_priors),
+                record=(a > burnin), **skw)
+            if out is not None:
+                recs.append(tuple(np.asarray(o) for o in out))
         if checkpoint_path:
-            merged = tuple(np.concatenate([r[i] for r in recs], axis=1)
-                           for i in range(4))
-            recs = [merged]
+            save = dict(sig=np.frombuffer(sig.encode(), np.uint8),
+                        next_chunk=np.asarray(k + 1),
+                        key_data=np.asarray(jax.random.key_data(keys)),
+                        **{f"state{i}": np.asarray(state[i])
+                           for i in range(4)})
+            if recs:
+                merged = tuple(
+                    np.concatenate([r[i] for r in recs], axis=1)
+                    for i in range(4))
+                recs = [merged]
+                save.update({f"rec{i}": merged[i] for i in range(4)})
             tmp = checkpoint_path + ".tmp"
             with open(tmp, "wb") as f:
-                np.savez_compressed(
-                    f, sig=np.frombuffer(sig.encode(), np.uint8),
-                    next_chunk=np.asarray(k + 1),
-                    key_data=np.asarray(jax.random.key_data(keys)),
-                    **{f"state{i}": np.asarray(state[i])
-                       for i in range(4)},
-                    **{f"rec{i}": merged[i] for i in range(4)})
+                np.savez_compressed(f, **save)
             os.replace(tmp, checkpoint_path)
         if (_stop_after_chunks is not None
                 and k + 1 - k0 >= _stop_after_chunks and k + 1 < n_chunks):
@@ -255,10 +273,10 @@ def joint_metropolis_hastings_checkpointed(
     th, chi, parts, ar = (np.concatenate([r[i] for r in recs], axis=1)
                           for i in range(4))
     iterations = jnp.arange(1, nits)[burnin:]
-    return JointOutput(theta=jnp.asarray(th[:, burnin:]),
-                       chi=jnp.asarray(chi[:, burnin:]),
-                       chi_parts=jnp.asarray(parts[:, burnin:]),
-                       acceptance_ratio=jnp.asarray(ar[:, burnin:]),
+    return JointOutput(theta=jnp.asarray(th),
+                       chi=jnp.asarray(chi),
+                       chi_parts=jnp.asarray(parts),
+                       acceptance_ratio=jnp.asarray(ar),
                        iteration=iterations)
 
 

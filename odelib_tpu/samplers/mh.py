@@ -192,16 +192,16 @@ def _mh_init_state(spec, obs, times, y0_base, theta0, *, num_params,
 
 
 @partial(jax.jit, static_argnames=(
-    "spec", "it_start", "length", "rwalk_std", "prior_logpdf",
-    "use_priors", "num_params", "method", "rtol", "atol", "max_steps",
-    "substeps"))
-def _mh_chunk_impl(spec, obs, times, y0_base, state, keys, walk_mask, *,
-                   it_start, length, rwalk_std, prior_logpdf, use_priors,
+    "spec", "rwalk_std", "prior_logpdf", "use_priors", "num_params",
+    "method", "rtol", "atol", "max_steps", "substeps"))
+def _mh_chunk_impl(spec, obs, times, y0_base, state, keys, its,
+                   walk_mask, *, rwalk_std, prior_logpdf, use_priors,
                    num_params, method, rtol, atol, max_steps, substeps):
-    """One checkpoint chunk of the XLA MH scan: iterations
-    [it_start, it_start + length), recording every iteration. Because
-    draws are counter-based on the global iteration (see _chain_step),
-    the chunk boundaries are bitwise-invisible."""
+    """One checkpoint chunk of the XLA MH scan over the traced iteration
+    numbers ``its`` (traced, not static — every equal-length chunk
+    reuses one compiled program instead of recompiling per offset).
+    Because draws are counter-based on the global iteration (see
+    _chain_step), the chunk boundaries are bitwise-invisible."""
     ikw = dict(method=method, rtol=rtol, atol=atol, max_steps=max_steps,
                substeps=substeps)
     step = partial(_chain_step, spec, obs, times, y0_base, walk_mask,
@@ -211,7 +211,6 @@ def _mh_chunk_impl(spec, obs, times, y0_base, state, keys, walk_mask, *,
         lt, chi, rsq, aic, acc = st
         carry = _Carry(log_theta=lt, chi=chi, rsq=rsq, aic=aic,
                        acc_count=acc, key=key)
-        its = it_start + jnp.arange(length, dtype=lt.dtype)
         carry, recs = jax.lax.scan(step, carry, its)
         return (carry.log_theta, carry.chi, carry.rsq, carry.aic,
                 carry.acc_count), recs
@@ -265,8 +264,11 @@ def metropolis_hastings_checkpointed(
 
     R = nits - 1
     n_chunks = -(-R // E)
+    # E is part of the signature: next_chunk is denominated in chunks of
+    # E, so a different checkpoint_every on resume would silently skip or
+    # replay iterations
     sig = repr(("xla-mh", spec.pnames, spec.pshapes, P,
-                int(theta0.shape[0]), nits, float(rwalk_std),
+                int(theta0.shape[0]), nits, E, float(rwalk_std),
                 tuple(float(w) for w in np.asarray(walk_mask)),
                 bool(use_priors), skw["method"], skw["rtol"], skw["atol"],
                 skw["max_steps"], skw["substeps"]))
@@ -288,12 +290,14 @@ def metropolis_hastings_checkpointed(
         state = _mh_init_state(spec, obs, times, y0_base, theta0,
                                num_params=num_params, **skw)
 
+    dtype = theta0.dtype
     for k in range(k0, n_chunks):
         it_start = 1 + k * E
         length = min(E, R - k * E)
+        its = jnp.arange(it_start, it_start + length, dtype=dtype)
         state, out = _mh_chunk_impl(
-            spec, obs, times, y0_base, state, keys, walk_mask,
-            it_start=it_start, length=length, rwalk_std=float(rwalk_std),
+            spec, obs, times, y0_base, state, keys, its, walk_mask,
+            rwalk_std=float(rwalk_std),
             prior_logpdf=prior_logpdf, use_priors=bool(use_priors),
             num_params=num_params, **skw)
         recs.append(tuple(np.asarray(o) for o in out))

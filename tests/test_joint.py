@@ -97,7 +97,7 @@ def test_joint_validation_and_helpers():
     fw2 = _decay_fw(_decay_df(1.0, seed=8), seed=8)
     with pytest.raises(ValueError, match="two experiments"):
         JointFit({"a": fw1}, shared=["k"])
-    with pytest.raises(ValueError, match="lacks shared"):
+    with pytest.raises(ValueError, match="lacks tied"):
         JointFit({"a": fw1, "b": fw2}, shared=["nope"])
 
     jf = JointFit([fw1, fw2], shared=["k"])
