@@ -897,6 +897,22 @@ def config11_hierarchical_funnel(base):
             "vs_baseline": None}
 
 
+def config12_roofline():
+    """VPU roofline of the headline kernel (bench/roofline.py): exact
+    per-iteration lane-op count from the kernel body's jaxpr, converted
+    to sustained ops/s at the measured end-to-end rate."""
+    import contextlib
+    import io
+
+    import roofline
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        row = roofline.main()
+    row["config"] = 12
+    return row
+
+
 def main():
     import bench as B
     spec, obs_host, times_fit, y0 = B.build_problem()
@@ -916,6 +932,7 @@ def main():
         config9_joint_fused(base),
         config10_advi(base),
         config11_hierarchical_funnel(base),
+        config12_roofline(),
     ]
     for r in results:
         print(json.dumps(r))
