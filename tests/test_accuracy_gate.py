@@ -84,6 +84,51 @@ def test_global_chi_error_distribution(chis):
         assert chi_oracle[both][bad].min() > 100 * SEED_THRESHOLD
 
 
+def test_auto_schedule_matches_uniform4_accuracy(chis):
+    """The headline bench (bench.py) runs the fused kernel on a CALIBRATED
+    per-interval substep schedule (ops/schedule.py) instead of uniform
+    substeps=4 — ~25% fewer RK steps. Gate: calibrated the same way the
+    bench does it (256 draws around the seed region, rtol 1e-5), the
+    schedule's chi error vs the adaptive full-grid oracle must match the
+    uniform-4 envelope in the region MCMC explores."""
+    from odelib_tpu.ops.schedule import calibrate_substeps
+
+    chi_oracle, _ = chis
+    df = format_dataframe(demo_df(), ("S", "V"))
+    times_full = np.linspace(0, df["time"].max(), 288)
+    spec = make_spec(zero_i, ("mu", "phi", "beta"), ("S", "V"))
+    obs_host, _ = build_obsdata_host(df, times_full, spec.post_snames)
+    times_fit, obs_fit_host = compact_observation_grid(obs_host, times_full)
+    y0 = np.array([df.loc["S"].iloc[0]["abundance"],
+                   df.loc["V"].iloc[0]["abundance"]])
+    rng = np.random.default_rng(0)
+    cal = np.asarray(np.array([0.9, 3.0e-8, 25.0])
+                     * np.exp(rng.normal(0, 0.3, (256, 3))), np.float32)
+    sched = calibrate_substeps(spec, y0, times_fit, cal,
+                               rtol=1e-5, atol=1e-2)
+    assert sum(sched) < 4 * len(sched)  # it actually saves steps
+
+    dists = (D.LogNormal(s=3.0, scale=1e-8), D.LogNormal(s=3.0, scale=1e-8),
+             D.LogNormal(s=1.0, scale=25.0))
+    thetas = np.asarray(sample_lhs(jax.random.PRNGKey(0), dists, N_DRAWS))
+    obs_fit = obsdata_to_device(obs_fit_host, jnp.float64)
+    chi_auto = np.asarray(survey(
+        spec, obs_fit, jnp.asarray(times_fit), jnp.asarray(y0, jnp.float64),
+        jnp.asarray(thetas, jnp.float64), method="fixed_dopri5",
+        substeps=sched))
+    near = np.isfinite(chi_oracle) & np.isfinite(chi_auto) & (
+        chi_oracle < 500.0)
+    assert near.sum() >= 50
+    rel = np.abs(chi_auto[near] - chi_oracle[near]) / np.maximum(
+        np.abs(chi_oracle[near]), 1.0)
+    assert rel.max() < 1e-4, f"auto-sched near-fit max rel err {rel.max():.2e}"
+    both = np.isfinite(chi_oracle) & np.isfinite(chi_auto)
+    relg = np.abs(chi_auto[both] - chi_oracle[both]) / np.maximum(
+        np.abs(chi_oracle[both]), 1.0)
+    assert np.median(relg) < 1e-5
+    assert np.quantile(relg, 0.95) < 1e-3
+
+
 def test_finiteness_disagreements_cannot_seed_chains(chis):
     """Fixed-step integration doesn't detect stiff blow-ups (no NaN) — it
     returns a huge chi instead. Verify every such draw is rejected by the
