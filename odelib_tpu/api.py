@@ -1224,21 +1224,30 @@ class ModelFramework:
                 f"model_evidence requires a prior on every free parameter; "
                 f"missing: {free_missing} (declare them static via "
                 f"static_parameters=... to hold them fixed)")
-        if any(s for s in self._spec.pshapes):
-            raise ValueError("model_evidence supports scalar parameters "
-                             "only")
         prior_logpdf = self._prior_logpdf_for(jdists)
 
-        mask = np.asarray([0.0 if d is None else 1.0 for d in jdists])
+        offsets = self._spec.theta_offsets
+        mask = np.zeros(self._spec.theta_size)
+        for i, (p, d) in enumerate(zip(self._pnames, jdists)):
+            shp = self._spec.pshapes[i]
+            n = int(np.prod(shp)) if shp else 1
+            if d is not None:
+                mask[offsets[i]:offsets[i] + n] = 1.0
+            if shp and self.parameters[p] is not None:
+                # zero-template entries of array parameters are pinned at 0
+                # (never walked, masked out of the prior) — Framework.py:
+                # 107-122 semantics
+                tmpl = np.ravel(np.asarray(self.parameters[p].val, float))
+                sl = slice(offsets[i], offsets[i] + tmpl.size)
+                mask[sl] = np.where(tmpl != 0, mask[sl], 0.0)
         ps = self._lhs_samples(particles)
         theta0 = np.array(self._theta_from_df(ps), float)  # writable copy
         # static parameters (and any dim without a prior) are CONDITIONED
         # on, not marginalized: pin them to the current values so the
         # returned evidence matches the docstring's "hold them fixed"
         cur = np.asarray(self._current_theta(), float)
-        for i, d in enumerate(jdists):
-            if d is None:
-                theta0[:, i] = cur[i]
+        pin = mask == 0.0
+        theta0[:, pin] = cur[pin]
         method, rtol, atol, max_steps, substeps = self._solver_args(
             solver_kw, len(self._times_fit) - 1)
         dtype = jnp.result_type(float)
@@ -1254,8 +1263,12 @@ class ModelFramework:
             method=method, rtol=rtol, atol=atol, max_steps=max_steps,
             substeps=substeps)
         theta = np.asarray(out.theta)
-        df = pd.DataFrame({p: theta[:, i]
-                           for i, p in enumerate(self._pnames)})
+        cols = {}
+        for p, off, shp in zip(self._pnames, offsets, self._spec.pshapes):
+            n = int(np.prod(shp)) if shp else 1
+            col = theta[:, off:off + n]
+            cols[p] = list(col.reshape((-1,) + shp)) if shp else col[:, 0]
+        df = pd.DataFrame(cols)
         df["chi"] = np.asarray(out.chi)
         df["rsquared"] = np.asarray(out.rsquared)
         df["aic"] = np.asarray(out.aic)

@@ -199,6 +199,17 @@ def test_fit_map_array_param(fw):
     assert np.all(best / TRUE_MU > 0.3) and np.all(best / TRUE_MU < 3.0)
 
 
+def test_model_evidence_array_param(fw):
+    out = fw.model_evidence(particles=128, n_moves=2, print_report=False)
+    assert np.isfinite(out["log_evidence"])
+    post = out["posterior"]
+    mu = np.stack(post["mu"].to_numpy())
+    assert mu.shape[1:] == (2,)
+    assert np.isfinite(post["chi"]).any()
+    # particles actually moved off the pinned start on every free slot
+    assert np.std(mu[:, 0]) > 0 and np.std(mu[:, 1]) > 0
+
+
 def test_sobol_array_param(fw):
     out = fw.sobol_sensitivity(samples=64, n_boot=20, print_report=False)
     # one row per flat dimension with a prior
