@@ -1614,14 +1614,14 @@ class ModelFramework:
                           **solver_kw):
         """Time-resolved local sensitivities d state / d (log) parameter
         along the current trajectory, by forward-mode AD through the
-        solve: ``{state_name: DataFrame(index=times, columns=pnames)}``.
-        (utils/sensitivity.py; scalar parameters only.)
+        solve: ``{state_name: DataFrame(index=times, columns=labels)}``.
+        Scalar parameters give one column each; array parameters one
+        column per non-zero template entry, labeled ``"<p>[k]"`` (the
+        reference's non-zero-entry convention, ``Samplers.py:31-32``).
+        (utils/sensitivity.py.)
         """
         from .utils import sensitivity as _sens
 
-        if any(s for s in self._spec.pshapes):
-            raise ValueError("local_sensitivity supports scalar "
-                             "parameters only")
         if parameters is None:
             theta = self._current_theta()
         else:
@@ -1637,8 +1637,23 @@ class ModelFramework:
             method="rk4" if method == "rk4" else "fixed_dopri5",
             rtol=rtol, atol=atol, max_steps=max_steps,
             substeps=substeps))
-        return {s: pd.DataFrame(J[:, i, :], index=self._times_fit,
-                                columns=list(self._pnames))
+        offsets = self._spec.theta_offsets
+        keep, labels = [], []
+        for i, p in enumerate(self._pnames):
+            shp = self._spec.pshapes[i]
+            if not shp:
+                keep.append(offsets[i])
+                labels.append(p)
+                continue
+            par = self.parameters[p]
+            tmpl = np.ravel(np.asarray(
+                par.val if par is not None else np.ones(shp), float))
+            for k in range(tmpl.size):
+                if tmpl[k] != 0:
+                    keep.append(offsets[i] + k)
+                    labels.append(f"{p}[{k}]")
+        return {s: pd.DataFrame(J[:, i, keep], index=self._times_fit,
+                                columns=labels)
                 for i, s in enumerate(self._spec.post_snames)}
 
     # ------------------------------------------------------------------

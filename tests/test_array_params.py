@@ -199,6 +199,16 @@ def test_fit_map_array_param(fw):
     assert np.all(best / TRUE_MU > 0.3) and np.all(best / TRUE_MU < 3.0)
 
 
+def test_local_sensitivity_array_param(fw):
+    out = fw.local_sensitivity()
+    assert set(out) == {"S", "V"}
+    df = out["S"]
+    assert list(df.columns) == ["mu[0]", "mu[1]", "phi", "beta"]
+    assert np.isfinite(df.to_numpy()).all()
+    # growth rate mu[0] must matter for S somewhere on the trajectory
+    assert np.abs(df["mu[0]"]).max() > 0
+
+
 def test_model_evidence_array_param(fw):
     out = fw.model_evidence(particles=128, n_moves=2, print_report=False)
     assert np.isfinite(out["log_evidence"])
