@@ -515,6 +515,33 @@ class ModelFramework:
                 else 0.0 for p in self._pnames]
         return self._spec.pack_theta(vals)
 
+    def _pin_zero_templates(self, mask):
+        """Zero out the flat-mask entries of array parameters whose
+        current template value is 0: the reference's rwalk leaves zeros
+        at zero and its LHS counts only non-zero entries
+        (``Framework.py:107-122``, ``Samplers.py:31-32``)."""
+        offsets = self._spec.theta_offsets
+        for i, p in enumerate(self._pnames):
+            shp = self._spec.pshapes[i]
+            if shp and self.parameters[p] is not None:
+                tmpl = np.ravel(np.asarray(self.parameters[p].val, float))
+                sl = slice(offsets[i], offsets[i] + tmpl.size)
+                mask[sl] = np.where(tmpl != 0, mask[sl], 0.0)
+        return mask
+
+    def _walk_mask(self, static_parameters=()):
+        """Flat walk mask: 1.0 for walked slots; 0.0 for static
+        parameters (``Samplers.py:75-80``) and zero-template entries of
+        array parameters."""
+        offsets = self._spec.theta_offsets
+        mask = np.ones(self._spec.theta_size)
+        for p in static_parameters:
+            i = self._pnames.index(p)
+            n = int(np.prod(self._spec.pshapes[i])) \
+                if self._spec.pshapes[i] else 1
+            mask[offsets[i]:offsets[i] + n] = 0.0
+        return self._pin_zero_templates(mask)
+
     def _theta_from_df(self, df: pd.DataFrame):
         """(N, P) thetas from a parameter dataframe, filling missing columns
         with current values (like ``_package_parameters``,
@@ -946,19 +973,7 @@ class ModelFramework:
         if rank not in ("full", "diag"):
             raise ValueError(f"rank must be 'full' or 'diag', got {rank!r}")
         theta0 = np.asarray(self._current_theta(), float)
-        offsets = self._spec.theta_offsets
-        mask = np.ones(self._spec.theta_size)
-        for p in static_parameters:
-            i = self._pnames.index(p)
-            n = int(np.prod(self._spec.pshapes[i])) \
-                if self._spec.pshapes[i] else 1
-            mask[offsets[i]:offsets[i] + n] = 0.0
-        for i, p in enumerate(self._pnames):
-            shp = self._spec.pshapes[i]
-            if shp and self.parameters[p] is not None:
-                tmpl = np.ravel(np.asarray(self.parameters[p].val, float))
-                sl = slice(offsets[i], offsets[i] + tmpl.size)
-                mask[sl] = np.where(tmpl != 0, mask[sl], 0.0)
+        mask = self._walk_mask(static_parameters)
         if np.any((theta0 <= 0) & (mask != 0)):
             raise ValueError(
                 "fit_advi needs positive current values on every free "
@@ -987,6 +1002,7 @@ class ModelFramework:
 
         theta = np.asarray(res.theta)
         out = {}
+        offsets = self._spec.theta_offsets
         for p, off, shp in zip(self._pnames, offsets, self._spec.pshapes):
             n = int(np.prod(shp)) if shp else 1
             col = theta[:, off:off + n]
@@ -1233,13 +1249,9 @@ class ModelFramework:
             n = int(np.prod(shp)) if shp else 1
             if d is not None:
                 mask[offsets[i]:offsets[i] + n] = 1.0
-            if shp and self.parameters[p] is not None:
-                # zero-template entries of array parameters are pinned at 0
-                # (never walked, masked out of the prior) — Framework.py:
-                # 107-122 semantics
-                tmpl = np.ravel(np.asarray(self.parameters[p].val, float))
-                sl = slice(offsets[i], offsets[i] + tmpl.size)
-                mask[sl] = np.where(tmpl != 0, mask[sl], 0.0)
+        # zero-template entries of array parameters are pinned at 0
+        # (never walked, masked out of the prior)
+        mask = self._pin_zero_templates(mask)
         ps = self._lhs_samples(particles)
         theta0 = np.array(self._theta_from_df(ps), float)  # writable copy
         # static parameters (and any dim without a prior) are CONDITIONED
@@ -2118,23 +2130,7 @@ class ModelFramework:
                 "steps/solve vs %d at uniform 4)", list(substeps),
                 schedule_cost(substeps), 4 * n_fit_intervals)
 
-        # walk mask: static parameters stay fixed (Samplers.py:75-80);
-        # zero-template entries of array parameters never walk either —
-        # the reference's rwalk leaves zeros at zero and its LHS counts
-        # only non-zero entries (Framework.py:107-122, Samplers.py:31-32)
-        offsets = self._spec.theta_offsets
-        mask = np.ones(self._spec.theta_size)
-        for p in static_parameters:
-            i = self._pnames.index(p)
-            n = int(np.prod(self._spec.pshapes[i])) \
-                if self._spec.pshapes[i] else 1
-            mask[offsets[i]:offsets[i] + n] = 0.0
-        for i, p in enumerate(self._pnames):
-            shp = self._spec.pshapes[i]
-            if shp and self.parameters[p] is not None:
-                tmpl = np.ravel(np.asarray(self.parameters[p].val, float))
-                sl = slice(offsets[i], offsets[i] + tmpl.size)
-                mask[sl] = np.where(tmpl != 0, mask[sl], 0.0)
+        mask = self._walk_mask(static_parameters)
 
         prior_logpdf = None
         if use_priors:
@@ -2366,7 +2362,7 @@ class ModelFramework:
         frames = []
         offsets = self._spec.theta_offsets
         iteration = np.asarray(out.iteration)
-        ar = np.asarray(out.acceptance_ratio)
+        ar = np.asarray(out.acceptance_ratio)[:n_chains]
         # All-rejected sentinel: a chain whose final acceptance count is 0
         # never moved off its seed, so its rows are fit-survey draws, not
         # posterior samples. The reference records those seed rows
@@ -2533,8 +2529,12 @@ class ModelFramework:
         import matplotlib.pyplot as plt
 
         if parameters is None:
+            # array-valued parameter columns hold ndarrays (object dtype):
+            # nunique() would raise on them and a scatter axis has no
+            # meaning — plot scalar parameters by default.
             parameters = [p for p in self.get_pnames()
-                          if posterior[p].nunique() > 1]
+                          if posterior[p].dtype != object
+                          and posterior[p].nunique() > 1]
         P = len(parameters)
         if P == 0:
             raise ValueError("no varying parameters to plot")
@@ -2587,7 +2587,9 @@ class ModelFramework:
 
         if parameters is None:
             parameters = [p for p in self.get_pnames()
-                          if p in posterior and posterior[p].nunique() > 1]
+                          if p in posterior
+                          and posterior[p].dtype != object
+                          and posterior[p].nunique() > 1]
         cols = list(parameters) + (["chi"] if "chi" in posterior else [])
         if not cols:
             raise ValueError("no varying parameters to plot")

@@ -309,14 +309,38 @@ class JointFit:
                 mask[sl] = np.where(tmpl != 0, mask[sl], 0.0)
         return mask
 
+    def _data_token(self):
+        """Hashable fingerprint of the per-experiment data a chi closure
+        bakes in (inits, time grid, observation arrays). Cache keys carry
+        it so mutating a member framework (``set_inits``,
+        ``reset_dataframe``) after a fit invalidates the cached closure
+        instead of silently reusing stale state."""
+        parts = []
+        for nm, fw in self.frameworks.items():
+            parts.append((
+                nm,
+                hash(np.asarray(fw.get_inits(), float).tobytes()),
+                hash(np.asarray(fw._times_fit, float).tobytes()),
+                tuple(hash(np.asarray(leaf).tobytes()) for leaf in
+                      jax.tree_util.tree_leaves(fw._obsdata_fit)),
+            ))
+        return tuple(parts)
+
+    def _prior_token(self):
+        """Hashable fingerprint of the per-slot priors (the distribution
+        dataclasses are frozen/eq) — changing a parameter's prior or an
+        array template after a fit invalidates the prior closures."""
+        return tuple(self._dists())
+
     def _joint_chi_fn(self, solver_kw):
         """Summed multi-experiment chi over the joint FLAT theta, cached
-        per (method, substeps) — the gradient consumers (fit_map,
-        fit_advi) pass it as a static jit argument hashed by identity, so
-        a fresh closure per call would recompile every time."""
+        per (method, substeps, data fingerprint) — the gradient consumers
+        (fit_map, fit_advi) pass it as a static jit argument hashed by
+        identity, so a fresh closure per call would recompile every
+        time."""
         specs, idxs, obs, times, y0s, method, subs = \
             self._device_args(solver_kw)
-        key = (method, subs)
+        key = (method, subs, self._data_token())
         cache = getattr(self, "_chi_fn_cache", None)
         if cache is None:
             cache = self._chi_fn_cache = {}
@@ -338,19 +362,22 @@ class JointFit:
         return chi_fn
 
     def _joint_prior_logpdf(self):
-        """Per-slot prior sum over the joint theta (cached closure)."""
-        fn = getattr(self, "_prior_fn", None)
-        if fn is None:
-            dists = self._dists()
+        """Per-slot prior sum over the joint theta (closure cached per
+        prior fingerprint)."""
+        dists = self._dists()
+        key = tuple(dists)
+        cached = getattr(self, "_prior_fn", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
 
-            def fn(theta):
-                tot = 0.0
-                for j, d in enumerate(dists):
-                    if d is not None:
-                        tot = tot + d.logpdf(theta[j])
-                return tot
+        def fn(theta):
+            tot = 0.0
+            for j, d in enumerate(dists):
+                if d is not None:
+                    tot = tot + d.logpdf(theta[j])
+            return tot
 
-            self._prior_fn = fn
+        self._prior_fn = (key, fn)
         return fn
 
     def _seed_hyper_slots(self, theta0):
@@ -382,8 +409,8 @@ class JointFit:
         plus — when ``use_priors`` — the ordinary per-slot priors of the
         NON-pooled slots (a pooled slot's prior is the population law;
         its individual prior only seeds the LHS survey). Cached per
-        flag: the consumers hash it as a static jit argument by
-        identity."""
+        (flag, prior fingerprint): the consumers hash it as a static jit
+        argument by identity."""
         use_priors = bool(use_priors)
         if not self.hierarchical:
             return ((self._joint_prior_logpdf(), True) if use_priors
@@ -391,8 +418,9 @@ class JointFit:
         cache = getattr(self, "_eff_prior_cache", None)
         if cache is None:
             cache = self._eff_prior_cache = {}
-        if use_priors in cache:
-            return cache[use_priors], True
+        key = (use_priors, self._prior_token())
+        if key in cache:
+            return cache[key], True
         table = []          # (median slot, sigma slot, experiment slots)
         hyper_slots, pooled_slots = set(), set()
         for p in self.hierarchical:
@@ -426,7 +454,7 @@ class JointFit:
                         - jnp.log(tau) - half_log_2pi
             return tot
 
-        cache[use_priors] = fn
+        cache[key] = fn
         return fn, True
 
     def fit_map(self, starts=64, steps=500, learning_rate=0.05,

@@ -281,7 +281,7 @@ def _joint_fused_chunked(specs, plans, y0_keys, idx_maps, D, K, tile, C,
         raise ValueError("checkpoint_every must be >= 1")
     n_chunks = -(-R // E)
     sig = repr(("joint", tuple(s.pnames for s in specs), idx_maps, D, K,
-                tile, C, nits, walk, rwalk_std, stepper, subs, C0,
+                tile, C, nits, E, walk, rwalk_std, stepper, subs, C0,
                 int(seed), priors,
                 None if mesh is None else int(mesh.devices.size)))
     seed_arr = jnp.asarray([seed], jnp.int32)

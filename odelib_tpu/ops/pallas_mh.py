@@ -698,7 +698,7 @@ def _mh_fused_chunked(spec, plan, y0_key, P, tile, C, nits, burnin, walk,
     if E < 1:
         raise ValueError("checkpoint_every must be >= 1")
     n_chunks = -(-R // E)
-    sig = repr((spec.pnames, P, tile, C, nits, walk, rwalk_std, num,
+    sig = repr((spec.pnames, P, tile, C, nits, E, walk, rwalk_std, num,
                 stepper, substeps, C0, int(seed), priors,
                 None if mesh is None else int(mesh.devices.size)))
     seed_arr = jnp.asarray([seed], jnp.int32)
@@ -1194,8 +1194,8 @@ def _ens_fused_chunked(spec, plan, y0_key, P, tile, W, nits, burnin, walk,
     if E < 1:
         raise ValueError("checkpoint_every must be >= 1")
     n_chunks = -(-R // E)
-    sig = repr(("ens", spec.pnames, P, tile, W, nits, walk, n_walked, a,
-                num, stepper, substeps, W0, int(seed), priors,
+    sig = repr(("ens", spec.pnames, P, tile, W, nits, E, walk, n_walked,
+                a, num, stepper, substeps, W0, int(seed), priors,
                 None if mesh is None else int(mesh.devices.size)))
     seed_arr = jnp.asarray([seed], jnp.int32)
 

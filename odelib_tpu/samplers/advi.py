@@ -299,7 +299,9 @@ def resample_indices(logw_norm, seed: int = 0):
     n = len(w)
     rng = np.random.default_rng(seed)
     positions = (np.arange(n) + rng.uniform()) / n
-    return np.searchsorted(np.cumsum(w), positions)
+    # cumsum(w)[-1] can land a float ulp below the largest position;
+    # clip so the returned indices are always valid row positions.
+    return np.minimum(np.searchsorted(np.cumsum(w), positions), n - 1)
 
 
 def advi_custom(chi_fn, theta_init, *, steps: int = 800,

@@ -541,9 +541,13 @@ def hamiltonian_mc(
     """Run C interacting-warmup HMC chains as one jitted device program.
 
     Same input/output contract as :func:`~odelib_tpu.samplers.mh.
-    metropolis_hastings` (theta0 (C, P), per-chain keys; returns
+    metropolis_hastings` (theta0 (C, P), a ``keys`` array; returns
     :class:`MHOutput`), so posteriors drop into the same DataFrame
-    pipeline. The integrator must be a fixed-step method — reverse-mode AD
+    pipeline. RNG caveat: the chains interact through warmup (shared
+    mass/step size), so the sampler runs ONE device program with ONE
+    stream seeded from ``keys[0]`` — per-chain draws are (C,)-shaped
+    splits of that stream. ``keys[1:]`` are accepted for signature
+    compatibility but do not enter; vary ``keys[0]`` to replicate. The integrator must be a fixed-step method — reverse-mode AD
     does not support the adaptive ``while_loop`` — which is exactly what
     the calibrated schedules from :mod:`odelib_tpu.ops.schedule` are for.
 

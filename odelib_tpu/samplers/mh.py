@@ -193,15 +193,19 @@ def _mh_init_state(spec, obs, times, y0_base, theta0, *, num_params,
 
 @partial(jax.jit, static_argnames=(
     "spec", "rwalk_std", "prior_logpdf", "use_priors", "num_params",
-    "method", "rtol", "atol", "max_steps", "substeps"))
+    "method", "rtol", "atol", "max_steps", "substeps", "record"))
 def _mh_chunk_impl(spec, obs, times, y0_base, state, keys, its,
                    walk_mask, *, rwalk_std, prior_logpdf, use_priors,
-                   num_params, method, rtol, atol, max_steps, substeps):
+                   num_params, method, rtol, atol, max_steps, substeps,
+                   record=True):
     """One checkpoint chunk of the XLA MH scan over the traced iteration
     numbers ``its`` (traced, not static — every equal-length chunk
     reuses one compiled program instead of recompiling per offset).
     Because draws are counter-based on the global iteration (see
-    _chain_step), the chunk boundaries are bitwise-invisible."""
+    _chain_step), the chunk boundaries are bitwise-invisible.
+    ``record=False`` runs the burn-in program: no record outputs, so
+    nothing is transferred to host or persisted for iterations the final
+    slice would discard anyway."""
     ikw = dict(method=method, rtol=rtol, atol=atol, max_steps=max_steps,
                substeps=substeps)
     step = partial(_chain_step, spec, obs, times, y0_base, walk_mask,
@@ -211,7 +215,11 @@ def _mh_chunk_impl(spec, obs, times, y0_base, state, keys, its,
         lt, chi, rsq, aic, acc = st
         carry = _Carry(log_theta=lt, chi=chi, rsq=rsq, aic=aic,
                        acc_count=acc, key=key)
-        carry, recs = jax.lax.scan(step, carry, its)
+        if record:
+            carry, recs = jax.lax.scan(step, carry, its)
+        else:
+            carry, recs = jax.lax.scan(
+                lambda c, it: (step(c, it)[0], None), carry, its)
         return (carry.log_theta, carry.chi, carry.rsq, carry.aic,
                 carry.acc_count), recs
 
@@ -268,7 +276,8 @@ def metropolis_hastings_checkpointed(
     # E, so a different checkpoint_every on resume would silently skip or
     # replay iterations
     sig = repr(("xla-mh", spec.pnames, spec.pshapes, P,
-                int(theta0.shape[0]), nits, E, float(rwalk_std),
+                int(theta0.shape[0]), nits, int(burnin), E,
+                float(rwalk_std),
                 tuple(float(w) for w in np.asarray(walk_mask)),
                 bool(use_priors), skw["method"], skw["rtol"], skw["atol"],
                 skw["max_steps"], skw["substeps"]))
@@ -284,7 +293,7 @@ def metropolis_hastings_checkpointed(
             k0 = int(z["next_chunk"])
             state = tuple(jnp.asarray(z[f"state{i}"]) for i in range(5))
             keys = jax.random.wrap_key_data(jnp.asarray(z["key_data"]))
-            if k0 > 0:
+            if "rec0" in z:
                 recs = [tuple(z[f"rec{i}"] for i in range(5))]
     if state is None:
         state = _mh_init_state(spec, obs, times, y0_base, theta0,
@@ -292,28 +301,36 @@ def metropolis_hastings_checkpointed(
 
     dtype = theta0.dtype
     for k in range(k0, n_chunks):
-        it_start = 1 + k * E
-        length = min(E, R - k * E)
-        its = jnp.arange(it_start, it_start + length, dtype=dtype)
-        state, out = _mh_chunk_impl(
-            spec, obs, times, y0_base, state, keys, its, walk_mask,
-            rwalk_std=float(rwalk_std),
-            prior_logpdf=prior_logpdf, use_priors=bool(use_priors),
-            num_params=num_params, **skw)
-        recs.append(tuple(np.asarray(o) for o in out))
+        lo, hi = 1 + k * E, 1 + min((k + 1) * E, R)
+        # a chunk straddling the burnin boundary is split: the warmup
+        # part runs the no-record program (its records would be sliced
+        # away anyway — persisting them is pure wasted I/O)
+        for a, b in ((lo, min(hi, burnin + 1)), (max(lo, burnin + 1), hi)):
+            if a >= b:
+                continue
+            its = jnp.arange(a, b, dtype=dtype)
+            state, out = _mh_chunk_impl(
+                spec, obs, times, y0_base, state, keys, its, walk_mask,
+                rwalk_std=float(rwalk_std),
+                prior_logpdf=prior_logpdf, use_priors=bool(use_priors),
+                num_params=num_params, record=(a > burnin), **skw)
+            if out is not None:
+                recs.append(tuple(np.asarray(o) for o in out))
         if checkpoint_path:
-            merged = tuple(np.concatenate([r[i] for r in recs], axis=1)
-                           for i in range(5))
-            recs = [merged]
+            save = dict(sig=np.frombuffer(sig.encode(), np.uint8),
+                        next_chunk=np.asarray(k + 1),
+                        key_data=np.asarray(jax.random.key_data(keys)),
+                        **{f"state{i}": np.asarray(state[i])
+                           for i in range(5)})
+            if recs:
+                merged = tuple(
+                    np.concatenate([r[i] for r in recs], axis=1)
+                    for i in range(5))
+                recs = [merged]
+                save.update({f"rec{i}": merged[i] for i in range(5)})
             tmp = checkpoint_path + ".tmp"
             with open(tmp, "wb") as f:
-                np.savez_compressed(
-                    f, sig=np.frombuffer(sig.encode(), np.uint8),
-                    next_chunk=np.asarray(k + 1),
-                    key_data=np.asarray(jax.random.key_data(keys)),
-                    **{f"state{i}": np.asarray(state[i])
-                       for i in range(5)},
-                    **{f"rec{i}": merged[i] for i in range(5)})
+                np.savez_compressed(f, **save)
             os.replace(tmp, checkpoint_path)
         if (_stop_after_chunks is not None
                 and k + 1 - k0 >= _stop_after_chunks and k + 1 < n_chunks):
@@ -322,11 +339,9 @@ def metropolis_hastings_checkpointed(
     th, chi, rsq, aic, ar = (np.concatenate([r[i] for r in recs], axis=1)
                              for i in range(5))
     iterations = jnp.arange(1, nits)[burnin:]
-    return MHOutput(theta=jnp.asarray(th[:, burnin:]),
-                    chi=jnp.asarray(chi[:, burnin:]),
-                    rsquared=jnp.asarray(rsq[:, burnin:]),
-                    aic=jnp.asarray(aic[:, burnin:]),
-                    acceptance_ratio=jnp.asarray(ar[:, burnin:]),
+    return MHOutput(theta=jnp.asarray(th), chi=jnp.asarray(chi),
+                    rsquared=jnp.asarray(rsq), aic=jnp.asarray(aic),
+                    acceptance_ratio=jnp.asarray(ar),
                     iteration=iterations)
 
 

@@ -295,3 +295,49 @@ def test_api_checkpoint_every_on_joint_xla(tmp_path):
     assert len(post) == 4 * 14          # nits=30 -> records 16..29
     assert np.isfinite(post["chi"]).all()
     assert "k:pop_median" in post
+
+
+def test_xla_checkpoint_every_and_burnin_in_signature(model, tmp_path):
+    """checkpoint_every defines how many iterations ``next_chunk`` already
+    covers and burnin selects which chunks persist records, so resuming
+    with either changed must be rejected, not silently skip/replay."""
+    from odelib_tpu.samplers.mh import metropolis_hastings_checkpointed
+
+    args = _mh_args(model)
+    p = str(tmp_path / "mh.progress")
+    metropolis_hastings_checkpointed(
+        *args, nits=30, burnin=10, method="fixed_dopri5", substeps=2,
+        checkpoint_every=7, checkpoint_path=p, _stop_after_chunks=2)
+    with pytest.raises(ValueError, match="different MCMC configuration"):
+        metropolis_hastings_checkpointed(
+            *args, nits=30, burnin=10, method="fixed_dopri5", substeps=2,
+            checkpoint_every=9, checkpoint_path=p, resume_from=p)
+    with pytest.raises(ValueError, match="different MCMC configuration"):
+        metropolis_hastings_checkpointed(
+            *args, nits=30, burnin=12, method="fixed_dopri5", substeps=2,
+            checkpoint_every=7, checkpoint_path=p, resume_from=p)
+
+
+def test_xla_resume_from_burnin_only_checkpoint(model, tmp_path):
+    """A checkpoint written before any post-burnin iteration holds no
+    record arrays (warmup chunks run the no-record program); resuming
+    from it must still reproduce the uninterrupted run bitwise."""
+    from odelib_tpu.samplers import metropolis_hastings
+    from odelib_tpu.samplers.mh import metropolis_hastings_checkpointed
+
+    args = _mh_args(model)
+    kw = dict(nits=30, burnin=10, method="fixed_dopri5", substeps=2)
+    p = str(tmp_path / "mh.progress")
+    ref = metropolis_hastings(*args, **kw)
+
+    killed = metropolis_hastings_checkpointed(
+        *args, checkpoint_every=7, checkpoint_path=p,
+        _stop_after_chunks=1, **kw)
+    assert killed is None
+    with np.load(p) as z:
+        assert "rec0" not in z  # iterations 1..7 are all warmup
+
+    resumed = metropolis_hastings_checkpointed(
+        *args, checkpoint_every=7, checkpoint_path=p, resume_from=p, **kw)
+    for a, b in zip(ref, resumed):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

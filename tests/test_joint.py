@@ -438,3 +438,43 @@ def test_joint_fit_advi_matches_joint_mcmc():
     with pytest.raises(ValueError, match="masked static"):
         jf.fit_advi(steps=50, draws=50, static_parameters=["k"],
                     print_report=False)
+
+
+def test_joint_chi_closure_refreshes_after_mutation():
+    """_joint_chi_fn bakes each experiment's inits/grid/observations into
+    a cached closure; mutating a member framework (set_inits) must
+    invalidate the cache instead of silently reusing stale state."""
+    fw1 = _decay_fw(_decay_df(1.0, seed=31), seed=31)
+    fw2 = _decay_fw(_decay_df(1.0, seed=32), seed=32)
+    jf = JointFit({"a": fw1, "b": fw2}, shared=["k"])
+
+    fn1 = jf._joint_chi_fn({})
+    assert jf._joint_chi_fn({}) is fn1         # cache hit while unchanged
+    th = jnp.asarray(jf._current_joint_theta())
+    chi1 = float(fn1(th))
+
+    fw1.set_inits(y=5e5)                       # halve experiment a's y0
+    fn2 = jf._joint_chi_fn({})
+    assert fn2 is not fn1
+    chi2 = float(fn2(th))
+    assert np.isfinite(chi1) and np.isfinite(chi2) and chi1 != chi2
+
+
+def test_joint_prior_closure_refreshes_after_prior_change():
+    """The cached per-slot prior closure must rebuild when a member
+    parameter's prior changes."""
+    fw1 = _decay_fw(_decay_df(1.0, seed=33), seed=33)
+    fw2 = _decay_fw(_decay_df(1.0, seed=34), seed=34)
+    jf = JointFit({"a": fw1, "b": fw2}, shared=["k"])
+
+    th = jnp.asarray(jf._current_joint_theta())
+    f1 = jf._joint_prior_logpdf()
+    assert jf._joint_prior_logpdf() is f1      # cache hit while unchanged
+    lp1 = float(f1(th))
+
+    fw1.set_parameters(k=odelib_tpu.parameter(
+        stats_gen=LogNormal(s=0.2, scale=3.0), hyperparameters={},
+        init_value=float(np.asarray(fw1.parameters["k"].val))))
+    f2 = jf._joint_prior_logpdf()
+    lp2 = float(f2(th))
+    assert np.isfinite(lp1) and np.isfinite(lp2) and lp1 != lp2

@@ -420,3 +420,21 @@ def test_fused_blowup_gives_nonfinite_chi(setup):
                                    interpret=True))
     assert not np.isfinite(chis[0])
     assert np.isfinite(chis[1])
+
+
+def test_resume_rejects_mismatched_checkpoint_every(setup, tmp_path):
+    """checkpoint_every is part of the resume signature: chunk boundaries
+    define how many iterations ``next_chunk`` already covers, so a
+    different E on resume would silently skip or replay iterations."""
+    spec, obs_host, times_fit, y0 = setup
+    th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
+    ckpt = str(tmp_path / "run.npz")
+    kw = dict(seed=1, nits=25, burnin=6, substeps=1, tile_chains=128,
+              interpret=True)
+    metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                              checkpoint_every=10, checkpoint_path=ckpt,
+                              _stop_after_chunks=1, **kw)
+    with pytest.raises(ValueError, match="different MCMC configuration"):
+        metropolis_hastings_fused(spec, obs_host, times_fit, y0, th0,
+                                  checkpoint_every=12, resume_from=ckpt,
+                                  **kw)

@@ -99,3 +99,39 @@ def test_plot_trace(model):
     assert axes3[0].get_ylabel() == "mu"
     with pytest.raises(ValueError, match="varying"):
         model.plot_trace(pd.DataFrame({"mu": [1.0] * 5}))
+
+
+def test_plot_corner_trace_skip_array_param_columns():
+    """Posterior columns of an array-valued parameter hold ndarray cells
+    (object dtype): the default parameter selection must skip them —
+    nunique() on them raises and a scatter axis has no meaning — instead
+    of crashing (round-3 review finding)."""
+    import jax.numpy as jnp
+
+    def rhs(t, y, ps):
+        k, s, b = ps
+        return jnp.stack([-(k[0] + k[1]) * s * y[0] + b])
+
+    df = pd.DataFrame([{"organism": "y", "time": t,
+                        "abundance": 1e6 * np.exp(-t), "log_sigma": 0.2}
+                       for t in np.linspace(0.0, 3.0, 8)])
+    fw = ModelFramework(ODE=rhs, parameter_names=["k", "s", "b"],
+                        state_names=["y"], dataframe=df, t_steps=16,
+                        ode_style="jax",
+                        k=parameter(init_value=np.array([0.5, 0.5])),
+                        s=1.0, b=0.1)
+    rng = np.random.default_rng(2)
+    n = 60
+    post = pd.DataFrame({
+        "k": [rng.lognormal(size=2) for _ in range(n)],   # object dtype
+        "s": np.exp(rng.normal(0, 0.3, n)),
+        "b": np.exp(rng.normal(-2.0, 0.3, n)),
+        "chi": rng.uniform(1, 5, n),
+        "iteration": np.arange(100, 100 + n),
+        "chain#": np.zeros(n, int)})
+    assert post["k"].dtype == object
+
+    f, axes = fw.plot_corner(post)      # scalars only: s, b
+    assert axes.shape == (2, 2)
+    f2, axes2 = fw.plot_trace(post)
+    assert len(axes2) == 3              # s, b + chi
