@@ -332,6 +332,24 @@ class JointFit:
         array template after a fit invalidates the prior closures."""
         return tuple(self._dists())
 
+    def _stable_config_token(self, method, subs):
+        """PROCESS-STABLE digest of the joint configuration a chi closure
+        bakes in (experiment order, joint columns, solver method/substeps,
+        inits, time grids, observation arrays). Used in persisted
+        checkpoint signatures, where :meth:`_data_token`'s ``hash()``
+        values (salted per process) could never match across a resume."""
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(repr((tuple(self.frameworks), tuple(self.columns),
+                       method, subs)).encode())
+        for fw in self.frameworks.values():
+            h.update(np.asarray(fw.get_inits(), float).tobytes())
+            h.update(np.asarray(fw._times_fit, float).tobytes())
+            for leaf in jax.tree_util.tree_leaves(fw._obsdata_fit):
+                h.update(np.asarray(leaf).tobytes())
+        return h.hexdigest()
+
     def _joint_chi_fn(self, solver_kw):
         """Summed multi-experiment chi over the joint FLAT theta, cached
         per (method, substeps, data fingerprint) — the gradient consumers
@@ -638,6 +656,8 @@ class JointFit:
           free since the potential is an arbitrary closure. Knobs:
           ``n_leapfrog``, ``step_size``, ``path_adapt`` (ChEES). No
           per-experiment ``chi:<name>`` columns on this path.
+          ``checkpoint_every`` works here too (the resume signature
+          carries a content digest of the joint data/solver config).
         """
         nits = int(iterations_per_chain)
         if burnin is None:
@@ -749,19 +769,29 @@ class JointFit:
                 (jnp.asarray(th0, dtype), keys), mesh)
             if sampler == "hmc":
                 from .samplers import hamiltonian_mc_custom
-                if checkpoint_every is not None:
-                    import warnings
-                    warnings.warn("checkpoint_every with sampler='hmc' on "
-                                  "JointFit is not supported; running "
-                                  "without periodic checkpoints")
-                out = hamiltonian_mc_custom(
-                    self._joint_chi_fn(solver_kw), margs[0], margs[1],
+                hmc_kw = dict(
                     nits=nits, burnin=int(burnin),
                     n_leapfrog=int(n_leapfrog),
                     step_size=float(step_size),
                     path_adapt=bool(path_adapt),
                     walk_mask=jnp.asarray(mask, dtype),
                     prior_logpdf=prior_logpdf, use_priors=use_priors_eff)
+                if checkpoint_every is not None:
+                    from .samplers.hmc import \
+                        hamiltonian_mc_custom_checkpointed
+                    progress = (checkpoint_path + ".progress"
+                                if checkpoint_path else None)
+                    out = hamiltonian_mc_custom_checkpointed(
+                        self._joint_chi_fn(solver_kw), margs[0], margs[1],
+                        config_token=self._stable_config_token(
+                            method, subs),
+                        checkpoint_every=int(checkpoint_every),
+                        checkpoint_path=progress, resume_from=resume_from,
+                        **hmc_kw)
+                else:
+                    out = hamiltonian_mc_custom(
+                        self._joint_chi_fn(solver_kw), margs[0], margs[1],
+                        **hmc_kw)
             else:
                 mh_kw = dict(nits=nits, burnin=int(burnin),
                              walk_mask=jnp.asarray(mask, dtype),

@@ -4,7 +4,8 @@ from .amh import adaptive_metropolis
 from .ensemble import ensemble_mh
 from .joint import JointOutput, joint_metropolis_hastings, joint_survey
 from .hmc import (hamiltonian_mc, hamiltonian_mc_checkpointed,
-                  hamiltonian_mc_custom)
+                  hamiltonian_mc_custom,
+                  hamiltonian_mc_custom_checkpointed)
 from .lhs import lhs_unit, sample_lhs
 from .mh import MHOutput, equilibriums, metropolis_hastings, survey
 from .optimize import MAPResult, map_fit, map_fit_custom
@@ -14,6 +15,7 @@ from .smc import SMCOutput, smc_sample
 __all__ = ["lhs_unit", "sample_lhs", "MHOutput", "metropolis_hastings",
            "survey", "equilibriums", "hamiltonian_mc",
            "hamiltonian_mc_checkpointed", "hamiltonian_mc_custom",
+           "hamiltonian_mc_custom_checkpointed",
            "parallel_tempering", "map_fit", "MAPResult", "ensemble_mh",
            "smc_sample", "SMCOutput", "adaptive_metropolis",
            "joint_metropolis_hastings", "joint_survey", "JointOutput",

@@ -646,8 +646,6 @@ def hamiltonian_mc_checkpointed(
 
     ``_stop_after_chunks``: test hook simulating a mid-run kill.
     """
-    import os
-
     import numpy as np
 
     if burnin is None:
@@ -684,8 +682,6 @@ def hamiltonian_mc_checkpointed(
                mass_adapt=bool(mass_adapt), path_adapt=bool(path_adapt),
                max_leapfrog=int(max_leapfrog), adam_lr=float(adam_lr))
 
-    R = nits - 1
-    n_chunks = -(-R // E)
     # checkpoint_every is part of the signature: next_chunk is
     # denominated in chunks of E, so a different E on resume would
     # silently skip or replay iterations
@@ -697,8 +693,106 @@ def hamiltonian_mc_checkpointed(
                 tuple(float(w) for w in np.asarray(walk_mask)),
                 bool(use_priors), method, skw["substeps"]))
 
+    def init_fn():
+        return _hmc_init(spec, obs, times, y0_base, theta0, keys,
+                         walk_mask, **skw)
+
+    def chunk_fn(carry, its_ab, halton_ab, record):
+        return _hmc_chunk(spec, obs, times, y0_base, carry, its_ab,
+                          halton_ab, walk_mask, record=record, **skw)
+
+    return _checkpointed_driver(
+        init_fn, chunk_fn, C=int(theta0.shape[0]), P=P, dtype=dtype,
+        nits=nits, burnin=burnin, E=E, sig=sig,
+        checkpoint_path=checkpoint_path, resume_from=resume_from,
+        _stop_after_chunks=_stop_after_chunks)
+
+
+def hamiltonian_mc_custom_checkpointed(
+        chi_fn, theta0, keys, *, nits: int = 1000,
+        burnin: Optional[int] = None, n_leapfrog: int = 4,
+        step_size: float = 0.02, target_accept: float = 0.65,
+        walk_mask=None, prior_logpdf=None, use_priors: bool = False,
+        mass_adapt: bool = True, path_adapt: bool = False,
+        max_leapfrog: int = 256, adam_lr: float = 0.025,
+        config_token: str = "", checkpoint_every: int = 100,
+        checkpoint_path: Optional[str] = None,
+        resume_from: Optional[str] = None,
+        _stop_after_chunks: Optional[int] = None) -> MHOutput:
+    """Periodically-checkpointed :func:`hamiltonian_mc_custom` — HMC over
+    an arbitrary differentiable ``chi_fn`` (e.g. a JointFit's summed
+    multi-experiment chi) with the persist/kill/resume semantics of
+    :func:`hamiltonian_mc_checkpointed` (bitwise identical to the
+    uninterrupted run).
+
+    The chi closure cannot be fingerprinted by the sampler, so callers
+    pass ``config_token`` — a PROCESS-STABLE string identifying the
+    model/data configuration behind ``chi_fn`` (use content digests, not
+    ``hash()``, whose str/bytes salt changes per process) — which is
+    baked into the resume signature alongside the sampler knobs.
+    """
+    import numpy as np
+
+    if burnin is None:
+        burnin = int(nits / 2)
+    nits, burnin = int(nits), int(burnin)
+    if nits - 1 <= burnin:
+        raise ValueError(f"nits={nits} leaves no recorded iterations after "
+                         f"burnin={burnin}")
+    E = int(checkpoint_every)
+    if E < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    theta0 = jnp.atleast_2d(theta0)
+    P = theta0.shape[-1]
+    dtype = theta0.dtype
+    if walk_mask is None:
+        walk_mask = jnp.ones((P,), dtype)
+    walk_mask = jnp.asarray(walk_mask, dtype)
+    if use_priors and prior_logpdf is None:
+        raise ValueError("use_priors=True requires prior_logpdf")
+    skw = dict(burnin=burnin, n_leapfrog=int(n_leapfrog),
+               target_accept=float(target_accept),
+               use_priors=bool(use_priors), prior_logpdf=prior_logpdf,
+               init_step_size=float(step_size),
+               mass_adapt=bool(mass_adapt), path_adapt=bool(path_adapt),
+               max_leapfrog=int(max_leapfrog), adam_lr=float(adam_lr))
+    sig = repr(("hmc-custom", str(config_token), P, int(theta0.shape[0]),
+                nits, burnin, E, skw["n_leapfrog"], skw["target_accept"],
+                skw["init_step_size"], skw["mass_adapt"],
+                skw["path_adapt"], skw["max_leapfrog"], skw["adam_lr"],
+                tuple(float(w) for w in np.asarray(walk_mask)),
+                bool(use_priors)))
+
+    def init_fn():
+        return _hmc_init_custom(chi_fn, theta0, keys, walk_mask, **skw)
+
+    def chunk_fn(carry, its_ab, halton_ab, record):
+        return _hmc_chunk_custom(chi_fn, carry, its_ab, halton_ab,
+                                 walk_mask, record=record, **skw)
+
+    return _checkpointed_driver(
+        init_fn, chunk_fn, C=int(theta0.shape[0]), P=P, dtype=dtype,
+        nits=nits, burnin=burnin, E=E, sig=sig,
+        checkpoint_path=checkpoint_path, resume_from=resume_from,
+        _stop_after_chunks=_stop_after_chunks)
+
+
+def _checkpointed_driver(init_fn, chunk_fn, *, C, P, dtype, nits, burnin,
+                         E, sig, checkpoint_path, resume_from,
+                         _stop_after_chunks):
+    """Shared chunk/persist/resume loop behind the checkpointed HMC
+    variants. ``init_fn()`` builds the initial carry; ``chunk_fn(carry,
+    its, halton, record)`` advances one jitted sub-chunk. State persists
+    as flattened _Carry leaves (npz, atomic rename) and is restored
+    against the treedef of :func:`_carry_skeleton`."""
+    import os
+
+    import numpy as np
+
     halton = jnp.asarray(_halton2(nits - 1), dtype)
     its = jnp.arange(1, nits, dtype=dtype)
+    R = nits - 1
+    n_chunks = -(-R // E)
 
     k0, carry, recs = 0, None, []
     if resume_from:
@@ -712,15 +806,14 @@ def hamiltonian_mc_checkpointed(
             n_leaves = int(z["n_leaves"])
             leaves = [jnp.asarray(z[f"leaf{i}"]) for i in range(n_leaves)]
             _, treedef = jax.tree_util.tree_flatten(
-                _carry_skeleton(theta0.shape[0], P, dtype))
+                _carry_skeleton(C, P, dtype))
             carry = jax.tree_util.tree_unflatten(treedef, leaves)
             carry = carry._replace(
                 key=jax.random.wrap_key_data(jnp.asarray(z["key_data"])))
             if "rec0" in z:
                 recs = [tuple(z[f"rec{i}"] for i in range(5))]
     if carry is None:
-        carry = _hmc_init(spec, obs, times, y0_base, theta0, keys,
-                          walk_mask, **skw)
+        carry = init_fn()
 
     for k in range(k0, n_chunks):
         lo, hi = k * E, min((k + 1) * E, R)
@@ -731,9 +824,8 @@ def hamiltonian_mc_checkpointed(
         for a, b in ((lo, min(hi, burnin)), (max(lo, burnin), hi)):
             if a >= b:
                 continue
-            carry, rec = _hmc_chunk(spec, obs, times, y0_base, carry,
-                                    its[a:b], halton[a:b], walk_mask,
-                                    record=(a >= burnin), **skw)
+            carry, rec = chunk_fn(carry, its[a:b], halton[a:b],
+                                  record=(a >= burnin))
             if rec is not None:
                 recs.append(tuple(np.asarray(r) for r in rec))
         if checkpoint_path:

@@ -341,3 +341,57 @@ def test_xla_resume_from_burnin_only_checkpoint(model, tmp_path):
         *args, checkpoint_every=7, checkpoint_path=p, resume_from=p, **kw)
     for a, b in zip(ref, resumed):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hmc_custom_checkpoint_kill_and_resume(tmp_path):
+    """Checkpointed HMC over an arbitrary chi closure (the JointFit
+    potential path): kill after 2 chunks, resume, bitwise equal to the
+    uninterrupted run; a different config token is rejected."""
+    import jax
+    import jax.numpy as jnp
+
+    from odelib_tpu.samplers import (hamiltonian_mc_custom,
+                                     hamiltonian_mc_custom_checkpointed)
+
+    def chi_fn(theta):
+        z = jnp.log(theta)
+        return jnp.sum(z ** 2) + 0.5 * (z[0] - z[1]) ** 2
+
+    rng = np.random.default_rng(5)
+    dtype = np.result_type(float)
+    theta0 = np.exp(rng.normal(0, 0.3, size=(3, 2))).astype(dtype)
+    keys = jax.random.split(jax.random.PRNGKey(11), 3)
+    kw = dict(nits=30, burnin=10, n_leapfrog=3, step_size=0.05)
+    ref = hamiltonian_mc_custom(chi_fn, theta0, keys, **kw)
+
+    p = str(tmp_path / "hmc-joint.progress")
+    killed = hamiltonian_mc_custom_checkpointed(
+        chi_fn, theta0, keys, config_token="tok", checkpoint_every=7,
+        checkpoint_path=p, _stop_after_chunks=2, **kw)
+    assert killed is None and os.path.exists(p)
+
+    resumed = hamiltonian_mc_custom_checkpointed(
+        chi_fn, theta0, keys, config_token="tok", checkpoint_every=7,
+        checkpoint_path=p, resume_from=p, **kw)
+    for a, b in zip(ref, resumed):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(ValueError, match="different HMC configuration"):
+        hamiltonian_mc_custom_checkpointed(
+            chi_fn, theta0, keys, config_token="other", checkpoint_every=7,
+            resume_from=p, **kw)
+
+
+def test_api_joint_hmc_checkpoint_every(tmp_path):
+    """JointFit.MCMC(sampler='hmc', checkpoint_every=...) persists
+    progress (closing the 'not supported' gap) and returns the usual
+    joint posterior shape."""
+    jf, _, _ = _joint_fixture()
+    p = str(tmp_path / "joint_hmc.npz")
+    post = jf.MCMC(chain_inits=4, iterations_per_chain=30,
+                   fitsurvey_samples=32, sampler="hmc",
+                   checkpoint_every=8, checkpoint_path=p,
+                   print_report=False)
+    assert os.path.exists(p + ".progress")
+    assert len(post) == 4 * 14          # nits=30 -> records 16..29
+    assert np.isfinite(post["chi"]).all()
