@@ -1883,7 +1883,7 @@ class ModelFramework:
              checkpoint_path=None, checkpoint_every=None, resume_from=None,
              backend="auto", burnin=None, sampler="mh", n_leapfrog=4,
              step_size=0.02, target_accept=0.65, mass_adapt=True,
-             path_adapt=False, max_leapfrog=256,
+             path_adapt=False, max_leapfrog=256, dense_mass=False,
              temperatures=(1.0, 2.0, 4.0, 8.0), swap_every=1,
              stretch_a=2.0, adapt_start=50,
              profile=False, pallas_interpret=False, pallas_tile_chains=None,
@@ -1946,7 +1946,10 @@ class ModelFramework:
           max length is Adam-tuned during warmup, each iteration runs a
           Halton-jittered fraction of it (same leapfrog count on every
           lane), capped at ``max_leapfrog`` steps; ``n_leapfrog`` then
-          only seeds the initial length;
+          only seeds the initial length. ``dense_mass=True`` upgrades
+          the adapted metric to the full cross-chain COVARIANCE
+          (Cholesky-factored per warmup refresh) — prefer it when
+          parameters are strongly correlated;
         * ``sampler='pt'``: replica-exchange (parallel tempering) MH for
           multimodal posteriors — each chain carries a ``temperatures``
           ladder of replicas with parity-alternating swap moves every
@@ -2223,6 +2226,7 @@ class ModelFramework:
                     n_leapfrog=n_leapfrog, step_size=step_size,
                     target_accept=target_accept, mass_adapt=mass_adapt,
                     path_adapt=path_adapt, max_leapfrog=max_leapfrog,
+                    dense_mass=dense_mass,
                     prior_logpdf=prior_logpdf, use_priors=use_priors,
                     method="rk4" if method == "rk4" else "fixed_dopri5",
                     substeps=substeps)

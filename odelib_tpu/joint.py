@@ -625,7 +625,8 @@ class JointFit:
              fitsurvey_samples=1000, use_priors=False, rwalk_std=0.05,
              burnin=None, static_parameters=(), print_report=True,
              backend="auto", sampler="mh", n_leapfrog=4, step_size=0.02,
-             path_adapt=False, checkpoint_every=None, checkpoint_path=None,
+             path_adapt=False, dense_mass=False,
+             checkpoint_every=None, checkpoint_path=None,
              resume_from=None, pallas_tile_chains=None,
              pallas_interpret=False, **solver_kw) -> pd.DataFrame:
         """Joint MCMC posterior over all experiments.
@@ -654,7 +655,9 @@ class JointFit:
           through every experiment's solve; hierarchical pooling
           densities (funnel-shaped, where the random walk stalls) come
           free since the potential is an arbitrary closure. Knobs:
-          ``n_leapfrog``, ``step_size``, ``path_adapt`` (ChEES). No
+          ``n_leapfrog``, ``step_size``, ``path_adapt`` (ChEES),
+          ``dense_mass`` (full-rank cross-chain metric — the natural
+          choice here: pooling couples the joint dims). No
           per-experiment ``chi:<name>`` columns on this path.
           ``checkpoint_every`` works here too (the resume signature
           carries a content digest of the joint data/solver config).
@@ -774,6 +777,7 @@ class JointFit:
                     n_leapfrog=int(n_leapfrog),
                     step_size=float(step_size),
                     path_adapt=bool(path_adapt),
+                    dense_mass=bool(dense_mass),
                     walk_mask=jnp.asarray(mask, dtype),
                     prior_logpdf=prior_logpdf, use_priors=use_priors_eff)
                 if checkpoint_every is not None:

@@ -107,10 +107,12 @@ def _halton2(n: int):
     return out
 
 
-def _leapfrog(vag_u, z, p, g, eps, n_steps, walk_mask, mass_inv):
-    """n_steps leapfrog steps of H = U(z) + p^T M^-1 p / 2 (diag M).
+def _leapfrog(vag_u, z, p, g, eps, n_steps, walk_mask, drift):
+    """n_steps leapfrog steps of H = U(z) + p^T M^-1 p / 2.
 
-    z, p, g: (C, P); eps: (C, 1) per-chain jittered step; mass_inv: (P,).
+    z, p, g: (C, P); eps: (C, 1) per-chain jittered step; ``drift(p)``
+    applies the inverse mass M^-1 (diagonal vector product, or
+    Sigma p = L (L^T p) for the dense metric).
     ``vag_u`` is value_and_grad WITH AUX, so the single gradient solve per
     step also yields the endpoint's potential and fit metrics — the
     textbook n+1-gradient-evaluations leapfrog (the incoming gradient ``g``
@@ -128,7 +130,7 @@ def _leapfrog(vag_u, z, p, g, eps, n_steps, walk_mask, mass_inv):
     def body(_, zpg):
         z, p, g, _u, _aux = zpg
         p = p - masked(0.5 * eps * g)
-        z = z + masked(eps * mass_inv * p)
+        z = z + masked(eps * drift(p))
         (u, aux), g = vag_u(z)
         p = p - masked(0.5 * eps * g)
         return z, p, g, u, aux
@@ -175,7 +177,7 @@ def _make_vag_u_custom(chi_fn, *, use_priors, prior_logpdf):
 
 def _make_step(vag_u, walk_mask, C, dtype, *, burnin, n_leapfrog,
                target_accept, mass_adapt, path_adapt, max_leapfrog,
-               adam_lr):
+               adam_lr, dense_mass=False):
     """Build the per-iteration transition shared by every dispatch
     strategy. All state (including the PRNG key and every adaptation
     statistic) lives in the ``_Carry``, so running the scan in chunks
@@ -185,11 +187,61 @@ def _make_step(vag_u, walk_mask, C, dtype, *, burnin, n_leapfrog,
     # dual-averaging constants (Stan defaults)
     gamma, t0, kappa = 0.05, 10.0, 0.75
     warm0 = min(10, max(burnin // 4, 1))  # mass refresh starts here
+    wm_free = walk_mask > 0
 
-    def cross_chain_mass(z, mass_inv):
-        var = jnp.var(z, axis=0)          # (P,) across the chain batch
-        ok = (var > 1e-10) & jnp.isfinite(var) & (walk_mask > 0)
-        return jnp.where(ok, var, mass_inv)
+    if dense_mass:
+        # DENSE metric: carry.mass_inv holds L = chol(Sigma_reg) where
+        # Sigma is the CROSS-CHAIN covariance of z (C chains >> P dims,
+        # so the estimate is informative from iteration one, like the
+        # diagonal recipe). Everything the sampler needs comes from L
+        # alone: momentum p = L^-T xi ~ N(0, Sigma^-1), kinetic
+        # p^T Sigma p / 2 = |L^T p|^2 / 2, drift M^-1 p = L (L^T p).
+        def cross_chain_mass(z, mass_L):
+            keep = wm_free.astype(z.dtype)
+            zm = jnp.where(wm_free, z - jnp.mean(z, axis=0), 0.0)
+            cov = zm.T @ zm / max(C - 1, 1)
+            # shrink toward the diagonal: well-conditioned during the
+            # first refreshes, vanishing bias once the batch spreads
+            cov = 0.9 * cov + 0.1 * jnp.diag(jnp.diagonal(cov))
+            cov = cov * keep[:, None] * keep[None, :]
+            var = jnp.diagonal(cov)
+            # masked dims get a unit diagonal (identity block — their
+            # momentum is zeroed by walk_mask anyway); free dims a
+            # relative jitter so chol never sees an exact zero pivot
+            cov = cov + jnp.diag(jnp.where(wm_free, 1e-8 * var + 1e-12,
+                                           1.0))
+            L = jnp.linalg.cholesky(cov)
+            ok = (jnp.all(jnp.where(wm_free,
+                                    (var > 1e-10) & jnp.isfinite(var),
+                                    True))
+                  & jnp.all(jnp.isfinite(L)))
+            return jnp.where(ok, L, mass_L)
+
+        def draw_momentum(k, mass_L):
+            xi = jax.random.normal(k, (C, walk_mask.shape[0]), dtype)
+            return jax.scipy.linalg.solve_triangular(
+                mass_L.T, xi.T, lower=False).T * walk_mask
+
+        def make_kin(mass_L):
+            return lambda p: 0.5 * jnp.sum((p @ mass_L) ** 2, axis=-1)
+
+        def make_drift(mass_L):
+            return lambda p: (p @ mass_L) @ mass_L.T
+    else:
+        def cross_chain_mass(z, mass_inv):
+            var = jnp.var(z, axis=0)      # (P,) across the chain batch
+            ok = (var > 1e-10) & jnp.isfinite(var) & wm_free
+            return jnp.where(ok, var, mass_inv)
+
+        def draw_momentum(k, mass_inv):
+            xi = jax.random.normal(k, (C, walk_mask.shape[0]), dtype)
+            return xi * jax.lax.rsqrt(mass_inv) * walk_mask
+
+        def make_kin(mass_inv):
+            return lambda p: 0.5 * jnp.sum(p * p * mass_inv, axis=-1)
+
+        def make_drift(mass_inv):
+            return lambda p: mass_inv * p
 
     def step(carry: _Carry, it_h):
         it, h_m = it_h
@@ -216,14 +268,13 @@ def _make_step(vag_u, walk_mask, C, dtype, *, burnin, n_leapfrog,
             # fixed count; jitter the step per chain +-50% instead
             n_steps = n_leapfrog
             eps_j = eps * (0.5 + jax.random.uniform(k_jit, (C, 1), dtype))
-        sigma_p = jax.lax.rsqrt(carry.mass_inv)
-        p0 = jax.random.normal(k_mom, carry.z.shape, dtype) \
-            * sigma_p * walk_mask
+        drift = make_drift(carry.mass_inv)
+        p0 = draw_momentum(k_mom, carry.mass_inv)
         z1, p1, g1, u1, (chi1, rsq1, aic1) = _leapfrog(
             vag_u, carry.z, p0, carry.g, eps_j, n_steps,
-            walk_mask, carry.mass_inv)
+            walk_mask, drift)
 
-        kin = lambda p: 0.5 * jnp.sum(p * p * carry.mass_inv, axis=-1)
+        kin = make_kin(carry.mass_inv)
         log_ratio = (carry.u_pot + kin(p0)) - (u1 + kin(p1))
         # NaN Hamiltonian -> alpha 0 -> rejected (failure model 5.3)
         alpha = jnp.where(jnp.isfinite(log_ratio),
@@ -277,7 +328,7 @@ def _make_step(vag_u, walk_mask, C, dtype, *, burnin, n_leapfrog,
             wm = walk_mask > 0
             dz0 = jnp.where(wm, carry.z - jnp.mean(carry.z, 0), 0.0)
             dz1 = jnp.where(wm, z1 - jnp.mean(z1, 0), 0.0)
-            v1 = jnp.where(wm, carry.mass_inv * p1, 0.0)
+            v1 = jnp.where(wm, drift(p1), 0.0)
             r_diff = jnp.sum(dz1 * dz1, -1) - jnp.sum(dz0 * dz0, -1)
             proj = jnp.sum(dz1 * v1, -1)
             # chain c ran trajectory time ~ h_m * u_c * tau, so its
@@ -319,18 +370,19 @@ def _make_step(vag_u, walk_mask, C, dtype, *, burnin, n_leapfrog,
 _HMC_STATICS = ("spec", "burnin", "n_leapfrog", "target_accept",
                 "use_priors", "prior_logpdf", "num_params", "method",
                 "substeps", "init_step_size", "mass_adapt", "path_adapt",
-                "max_leapfrog", "adam_lr")
+                "max_leapfrog", "adam_lr", "dense_mass")
 
 
 def _init_core(vag_u, theta0, keys, walk_mask, *, burnin, n_leapfrog,
                target_accept, init_step_size, mass_adapt, path_adapt,
-               max_leapfrog, adam_lr):
+               max_leapfrog, adam_lr, dense_mass=False):
     dtype = theta0.dtype
     C = theta0.shape[0]
     _, cross_chain_mass = _make_step(
         vag_u, walk_mask, C, dtype, burnin=burnin, n_leapfrog=n_leapfrog,
         target_accept=target_accept, mass_adapt=mass_adapt,
-        path_adapt=path_adapt, max_leapfrog=max_leapfrog, adam_lr=adam_lr)
+        path_adapt=path_adapt, max_leapfrog=max_leapfrog, adam_lr=adam_lr,
+        dense_mass=dense_mass)
     z0 = jnp.log(theta0)
     (u0, (chi0, rsq0, aic0)), g0 = vag_u(z0)
     g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
@@ -338,7 +390,8 @@ def _init_core(vag_u, theta0, keys, walk_mask, *, burnin, n_leapfrog,
     da0 = _DualAvg(log_eps=le0, log_eps_bar=le0,
                    h_bar=jnp.asarray(0.0, dtype),
                    mu=jnp.log(10.0 * jnp.asarray(init_step_size, dtype)))
-    mass0 = jnp.ones((theta0.shape[-1],), dtype)
+    P = theta0.shape[-1]
+    mass0 = jnp.eye(P, dtype=dtype) if dense_mass else jnp.ones((P,), dtype)
     if mass_adapt:
         mass0 = cross_chain_mass(z0, mass0)
     lt0 = jnp.log(jnp.asarray(n_leapfrog * init_step_size, dtype))
@@ -351,13 +404,13 @@ def _init_core(vag_u, theta0, keys, walk_mask, *, burnin, n_leapfrog,
 
 def _chunk_core(vag_u, carry, its, halton, walk_mask, *, burnin,
                 n_leapfrog, target_accept, mass_adapt, path_adapt,
-                max_leapfrog, adam_lr, record):
+                max_leapfrog, adam_lr, record, dense_mass=False):
     C = carry.z.shape[0]
     step, _ = _make_step(
         vag_u, walk_mask, C, carry.z.dtype, burnin=burnin,
         n_leapfrog=n_leapfrog, target_accept=target_accept,
         mass_adapt=mass_adapt, path_adapt=path_adapt,
-        max_leapfrog=max_leapfrog, adam_lr=adam_lr)
+        max_leapfrog=max_leapfrog, adam_lr=adam_lr, dense_mass=dense_mass)
     if record:
         carry, recs = jax.lax.scan(step, carry, (its, halton))
         # scan stacks on the leading axis: (R, C, ...) -> (C, R, ...)
@@ -371,7 +424,7 @@ def _chunk_core(vag_u, carry, its, halton, walk_mask, *, burnin,
 def _hmc_init(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
               burnin, n_leapfrog, target_accept, use_priors, prior_logpdf,
               num_params, method, substeps, init_step_size, mass_adapt,
-              path_adapt, max_leapfrog, adam_lr):
+              path_adapt, max_leapfrog, adam_lr, dense_mass=False):
     vag_u = _make_vag_u(spec, obs, times, y0_base, use_priors=use_priors,
                         prior_logpdf=prior_logpdf, num_params=num_params,
                         ikw=dict(method=method, substeps=substeps))
@@ -379,14 +432,15 @@ def _hmc_init(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
                       n_leapfrog=n_leapfrog, target_accept=target_accept,
                       init_step_size=init_step_size, mass_adapt=mass_adapt,
                       path_adapt=path_adapt, max_leapfrog=max_leapfrog,
-                      adam_lr=adam_lr)
+                      adam_lr=adam_lr, dense_mass=dense_mass)
 
 
 @partial(jax.jit, static_argnames=_HMC_STATICS + ("record",))
 def _hmc_chunk(spec, obs, times, y0_base, carry, its, halton, walk_mask, *,
                burnin, n_leapfrog, target_accept, use_priors, prior_logpdf,
                num_params, method, substeps, init_step_size, mass_adapt,
-               path_adapt, max_leapfrog, adam_lr, record):
+               path_adapt, max_leapfrog, adam_lr, record,
+               dense_mass=False):
     """One bounded device dispatch: scan ``its.shape[0]`` iterations and
     hand the carry back to the host. Chunking bounds per-dispatch
     wall-clock (long ChEES trajectories at large ``nits`` otherwise
@@ -399,41 +453,41 @@ def _hmc_chunk(spec, obs, times, y0_base, carry, its, halton, walk_mask, *,
                        n_leapfrog=n_leapfrog, target_accept=target_accept,
                        mass_adapt=mass_adapt, path_adapt=path_adapt,
                        max_leapfrog=max_leapfrog, adam_lr=adam_lr,
-                       record=record)
+                       record=record, dense_mass=dense_mass)
 
 
 _HMC_CUSTOM_STATICS = ("chi_fn", "burnin", "n_leapfrog", "target_accept",
                        "use_priors", "prior_logpdf", "init_step_size",
                        "mass_adapt", "path_adapt", "max_leapfrog",
-                       "adam_lr")
+                       "adam_lr", "dense_mass")
 
 
 @partial(jax.jit, static_argnames=_HMC_CUSTOM_STATICS)
 def _hmc_init_custom(chi_fn, theta0, keys, walk_mask, *, burnin,
                      n_leapfrog, target_accept, use_priors, prior_logpdf,
                      init_step_size, mass_adapt, path_adapt, max_leapfrog,
-                     adam_lr):
+                     adam_lr, dense_mass=False):
     vag_u = _make_vag_u_custom(chi_fn, use_priors=use_priors,
                                prior_logpdf=prior_logpdf)
     return _init_core(vag_u, theta0, keys, walk_mask, burnin=burnin,
                       n_leapfrog=n_leapfrog, target_accept=target_accept,
                       init_step_size=init_step_size, mass_adapt=mass_adapt,
                       path_adapt=path_adapt, max_leapfrog=max_leapfrog,
-                      adam_lr=adam_lr)
+                      adam_lr=adam_lr, dense_mass=dense_mass)
 
 
 @partial(jax.jit, static_argnames=_HMC_CUSTOM_STATICS + ("record",))
 def _hmc_chunk_custom(chi_fn, carry, its, halton, walk_mask, *, burnin,
                       n_leapfrog, target_accept, use_priors, prior_logpdf,
                       init_step_size, mass_adapt, path_adapt, max_leapfrog,
-                      adam_lr, record):
+                      adam_lr, record, dense_mass=False):
     vag_u = _make_vag_u_custom(chi_fn, use_priors=use_priors,
                                prior_logpdf=prior_logpdf)
     return _chunk_core(vag_u, carry, its, halton, walk_mask, burnin=burnin,
                        n_leapfrog=n_leapfrog, target_accept=target_accept,
                        mass_adapt=mass_adapt, path_adapt=path_adapt,
                        max_leapfrog=max_leapfrog, adam_lr=adam_lr,
-                       record=record)
+                       record=record, dense_mass=dense_mass)
 
 
 def hamiltonian_mc_custom(
@@ -443,6 +497,7 @@ def hamiltonian_mc_custom(
         walk_mask=None, prior_logpdf=None, use_priors: bool = False,
         mass_adapt: bool = True, path_adapt: bool = False,
         max_leapfrog: int = 256, adam_lr: float = 0.025,
+        dense_mass: bool = False,
         chunk_iters: Optional[int] = None) -> MHOutput:
     """Cross-chain-adapted HMC against an arbitrary differentiable
     ``chi_fn(theta)`` — e.g. a JointFit's summed multi-experiment chi,
@@ -471,7 +526,8 @@ def hamiltonian_mc_custom(
                use_priors=bool(use_priors), prior_logpdf=prior_logpdf,
                init_step_size=float(step_size),
                mass_adapt=bool(mass_adapt), path_adapt=bool(path_adapt),
-               max_leapfrog=int(max_leapfrog), adam_lr=float(adam_lr))
+               max_leapfrog=int(max_leapfrog), adam_lr=float(adam_lr),
+               dense_mass=bool(dense_mass))
     halton = jnp.asarray(_halton2(int(nits) - 1), dtype)
     carry = _hmc_init_custom(chi_fn, theta0, keys, walk_mask, **skw)
     its = jnp.arange(1, int(nits), dtype=dtype)
@@ -498,7 +554,7 @@ def _hmc_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, halton, *,
               nits, burnin, n_leapfrog, target_accept, use_priors,
               prior_logpdf, num_params, method, substeps, init_step_size,
               mass_adapt, path_adapt, max_leapfrog, adam_lr,
-              chunk_iters=None):
+              dense_mass=False, chunk_iters=None):
     dtype = theta0.dtype
     skw = dict(burnin=burnin, n_leapfrog=n_leapfrog,
                target_accept=target_accept, use_priors=use_priors,
@@ -506,7 +562,7 @@ def _hmc_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, halton, *,
                method=method, substeps=substeps,
                init_step_size=init_step_size, mass_adapt=mass_adapt,
                path_adapt=path_adapt, max_leapfrog=max_leapfrog,
-               adam_lr=adam_lr)
+               adam_lr=adam_lr, dense_mass=dense_mass)
     carry = _hmc_init(spec, obs, times, y0_base, theta0, keys, walk_mask,
                       **skw)
     its = jnp.arange(1, nits, dtype=dtype)
@@ -537,6 +593,7 @@ def hamiltonian_mc(
         method: str = "fixed_dopri5", substeps=4,
         mass_adapt: bool = True, path_adapt: bool = False,
         max_leapfrog: int = 256, adam_lr: float = 0.025,
+        dense_mass: bool = False,
         chunk_iters: Optional[int] = None) -> MHOutput:
     """Run C interacting-warmup HMC chains as one jitted device program.
 
@@ -558,6 +615,18 @@ def hamiltonian_mc(
     freeze at the end of burn-in, so recorded samples are exact MCMC.
     Seed the chains overdispersed (the MCMC() fit-survey seeding does)
     for a sound initial variance estimate.
+
+    ``dense_mass=True`` upgrades the metric from diagonal to FULL-RANK:
+    the inverse mass becomes the cross-chain COVARIANCE of z (shrunk 10%
+    toward its diagonal, Cholesky-factored once per warmup refresh — P
+    is tiny, so the O(P^3) factor and O(C P^2) products are noise next
+    to the ODE solves). A dense metric rotates the posterior's
+    correlation structure away: on correlated posteriors the diagonal
+    recipe must step along axis-aligned directions and pays for it in
+    trajectory length. Prefer it whenever parameters are strongly
+    correlated (e.g. jointly-identified rate constants); for nearly
+    independent posteriors the diagonal metric estimates faster and
+    wastes nothing.
 
     ``path_adapt=True`` (ChEES, Hoffman et al. 2021) additionally adapts
     the trajectory LENGTH during warmup: Adam ascends the ChEES criterion
@@ -613,7 +682,7 @@ def hamiltonian_mc(
         substeps=substeps if isinstance(substeps, tuple) else int(substeps),
         init_step_size=float(step_size), mass_adapt=bool(mass_adapt),
         path_adapt=bool(path_adapt), max_leapfrog=int(max_leapfrog),
-        adam_lr=float(adam_lr),
+        adam_lr=float(adam_lr), dense_mass=bool(dense_mass),
         chunk_iters=int(chunk_iters) if chunk_iters else None)
     iterations = jnp.arange(1, nits)[burnin:]
     return MHOutput(theta=theta_s, chi=chi_s, rsquared=rsq_s, aic=aic_s,
@@ -629,6 +698,7 @@ def hamiltonian_mc_checkpointed(
         method: str = "fixed_dopri5", substeps=4,
         mass_adapt: bool = True, path_adapt: bool = False,
         max_leapfrog: int = 256, adam_lr: float = 0.025,
+        dense_mass: bool = False,
         checkpoint_every: int = 100, checkpoint_path: Optional[str] = None,
         resume_from: Optional[str] = None,
         _stop_after_chunks: Optional[int] = None) -> MHOutput:
@@ -680,7 +750,8 @@ def hamiltonian_mc_checkpointed(
                else int(substeps),
                init_step_size=float(step_size),
                mass_adapt=bool(mass_adapt), path_adapt=bool(path_adapt),
-               max_leapfrog=int(max_leapfrog), adam_lr=float(adam_lr))
+               max_leapfrog=int(max_leapfrog), adam_lr=float(adam_lr),
+               dense_mass=bool(dense_mass))
 
     # checkpoint_every is part of the signature: next_chunk is
     # denominated in chunks of E, so a different E on resume would
@@ -691,7 +762,8 @@ def hamiltonian_mc_checkpointed(
                 skw["init_step_size"], skw["mass_adapt"],
                 skw["path_adapt"], skw["max_leapfrog"], skw["adam_lr"],
                 tuple(float(w) for w in np.asarray(walk_mask)),
-                bool(use_priors), method, skw["substeps"]))
+                bool(use_priors), method, skw["substeps"],
+                skw["dense_mass"]))
 
     def init_fn():
         return _hmc_init(spec, obs, times, y0_base, theta0, keys,
@@ -705,7 +777,8 @@ def hamiltonian_mc_checkpointed(
         init_fn, chunk_fn, C=int(theta0.shape[0]), P=P, dtype=dtype,
         nits=nits, burnin=burnin, E=E, sig=sig,
         checkpoint_path=checkpoint_path, resume_from=resume_from,
-        _stop_after_chunks=_stop_after_chunks)
+        _stop_after_chunks=_stop_after_chunks,
+        dense=bool(dense_mass))
 
 
 def hamiltonian_mc_custom_checkpointed(
@@ -715,6 +788,7 @@ def hamiltonian_mc_custom_checkpointed(
         walk_mask=None, prior_logpdf=None, use_priors: bool = False,
         mass_adapt: bool = True, path_adapt: bool = False,
         max_leapfrog: int = 256, adam_lr: float = 0.025,
+        dense_mass: bool = False,
         config_token: str = "", checkpoint_every: int = 100,
         checkpoint_path: Optional[str] = None,
         resume_from: Optional[str] = None,
@@ -755,13 +829,14 @@ def hamiltonian_mc_custom_checkpointed(
                use_priors=bool(use_priors), prior_logpdf=prior_logpdf,
                init_step_size=float(step_size),
                mass_adapt=bool(mass_adapt), path_adapt=bool(path_adapt),
-               max_leapfrog=int(max_leapfrog), adam_lr=float(adam_lr))
+               max_leapfrog=int(max_leapfrog), adam_lr=float(adam_lr),
+               dense_mass=bool(dense_mass))
     sig = repr(("hmc-custom", str(config_token), P, int(theta0.shape[0]),
                 nits, burnin, E, skw["n_leapfrog"], skw["target_accept"],
                 skw["init_step_size"], skw["mass_adapt"],
                 skw["path_adapt"], skw["max_leapfrog"], skw["adam_lr"],
                 tuple(float(w) for w in np.asarray(walk_mask)),
-                bool(use_priors)))
+                bool(use_priors), skw["dense_mass"]))
 
     def init_fn():
         return _hmc_init_custom(chi_fn, theta0, keys, walk_mask, **skw)
@@ -774,12 +849,13 @@ def hamiltonian_mc_custom_checkpointed(
         init_fn, chunk_fn, C=int(theta0.shape[0]), P=P, dtype=dtype,
         nits=nits, burnin=burnin, E=E, sig=sig,
         checkpoint_path=checkpoint_path, resume_from=resume_from,
-        _stop_after_chunks=_stop_after_chunks)
+        _stop_after_chunks=_stop_after_chunks,
+        dense=bool(dense_mass))
 
 
 def _checkpointed_driver(init_fn, chunk_fn, *, C, P, dtype, nits, burnin,
                          E, sig, checkpoint_path, resume_from,
-                         _stop_after_chunks):
+                         _stop_after_chunks, dense=False):
     """Shared chunk/persist/resume loop behind the checkpointed HMC
     variants. ``init_fn()`` builds the initial carry; ``chunk_fn(carry,
     its, halton, record)`` advances one jitted sub-chunk. State persists
@@ -806,7 +882,7 @@ def _checkpointed_driver(init_fn, chunk_fn, *, C, P, dtype, nits, burnin,
             n_leaves = int(z["n_leaves"])
             leaves = [jnp.asarray(z[f"leaf{i}"]) for i in range(n_leaves)]
             _, treedef = jax.tree_util.tree_flatten(
-                _carry_skeleton(C, P, dtype))
+                _carry_skeleton(C, P, dtype, dense))
             carry = jax.tree_util.tree_unflatten(treedef, leaves)
             carry = carry._replace(
                 key=jax.random.wrap_key_data(jnp.asarray(z["key_data"])))
@@ -862,7 +938,7 @@ def _checkpointed_driver(init_fn, chunk_fn, *, C, P, dtype, nits, burnin,
                     iteration=iterations)
 
 
-def _carry_skeleton(C, P, dtype):
+def _carry_skeleton(C, P, dtype, dense=False):
     """A _Carry with key=None and zero leaves, used only for its treedef
     when restoring a checkpoint (tree_unflatten needs the structure)."""
     z = jnp.zeros((C, P), dtype)
@@ -870,6 +946,6 @@ def _carry_skeleton(C, P, dtype):
     s = jnp.asarray(0.0, dtype)
     da = _DualAvg(log_eps=s, log_eps_bar=s, h_bar=s, mu=s)
     ch = _Chees(log_tau=s, log_tau_bar=s, m1=s, m2=s)
+    mass = jnp.zeros((P, P) if dense else (P,), dtype)
     return _Carry(z=z, u_pot=v, chi=v, rsq=v, aic=v, g=z, acc_count=v,
-                  da=da, chees=ch, mass_inv=jnp.zeros((P,), dtype),
-                  key=None)
+                  da=da, chees=ch, mass_inv=mass, key=None)

@@ -233,3 +233,105 @@ def test_chunked_dispatch_bitwise_identical(problem):
                                       np.asarray(ref.theta))
         np.testing.assert_array_equal(np.asarray(out.chi),
                                       np.asarray(ref.chi))
+
+
+def test_dense_mass_recovers_exact_gaussian_posterior(gaussian_problem):
+    """dense_mass=True targets the identical posterior through the
+    Cholesky-factored cross-chain covariance metric."""
+    spec, obs, times, y0, post_mean, post_std = gaussian_problem
+    C = 32
+    rng = np.random.default_rng(31)
+    th0 = np.exp(post_mean[None] + rng.normal(0, 0.2, (C, 2)))
+    keys = jax.random.split(jax.random.PRNGKey(31), C)
+    out = hamiltonian_mc(spec, obs, times, y0, jnp.asarray(th0), keys,
+                         nits=400, burnin=200, n_leapfrog=6, step_size=0.05,
+                         dense_mass=True)
+    z = np.log(np.asarray(out.theta)).reshape(-1, 2)
+    se = post_std / np.sqrt(C)
+    assert np.all(np.abs(z.mean(0) - post_mean) < 5 * se), (
+        f"mean {z.mean(0)} vs exact {post_mean} (5se={5 * se})")
+    np.testing.assert_allclose(z.std(0), post_std, rtol=0.35)
+
+
+def test_dense_mass_beats_diag_on_correlated_target():
+    """The dense metric's whole point: on a strongly correlated target
+    the diagonal recipe steps axis-aligned and pays in autocorrelation;
+    the full covariance metric decorrelates the dynamics. Measured gap
+    on this rho=0.98 4-dim Gaussian is >5x min-ESS — assert a safe 2x."""
+    from odelib_tpu.samplers.hmc import hamiltonian_mc_custom
+    from odelib_tpu.utils.diagnostics import effective_sample_size
+
+    P, rho = 4, 0.98
+    cov = np.full((P, P), rho)
+    np.fill_diagonal(cov, 1.0)
+    s = np.geomspace(0.2, 2.0, P)
+    cov = cov * np.outer(s, s)
+    A = jnp.asarray(np.linalg.inv(cov))
+
+    def chi_fn(theta):
+        z = jnp.log(theta)
+        return 0.5 * z @ A @ z
+
+    C = 128
+    key = jax.random.PRNGKey(3)
+    th0 = jnp.exp(0.5 * jax.random.normal(key, (C, P)))
+    keys = jax.random.split(key, C)
+    ess = {}
+    for dense in (False, True):
+        out = hamiltonian_mc_custom(chi_fn, th0, keys, nits=768, burnin=384,
+                                    n_leapfrog=8, dense_mass=dense)
+        z = np.log(np.asarray(out.theta))
+        ess[dense] = min(effective_sample_size(z[:, :, p])
+                         for p in range(P))
+    assert ess[True] > 2.0 * ess[False], (
+        f"dense min-ESS {ess[True]:.0f} vs diag {ess[False]:.0f}")
+
+
+def test_dense_mass_static_parameters_stay_fixed(problem):
+    """Masked dims ride the identity block of the dense metric: zero
+    momentum, zero drift, bit-frozen values."""
+    spec, obs, times, y0, theta_star = problem
+    th0, keys = _chains(theta_star, 4, 7)
+    mask = jnp.asarray([1.0, 0.0, 1.0])
+    out = hamiltonian_mc(spec, obs, times, y0, th0, keys,
+                         nits=60, burnin=30, n_leapfrog=4, walk_mask=mask,
+                         dense_mass=True)
+    th = np.asarray(out.theta)
+    expect = np.broadcast_to(np.asarray(th0)[:, None, 1], th[:, :, 1].shape)
+    np.testing.assert_allclose(th[:, :, 1], expect, rtol=1e-6)
+
+
+def test_dense_mass_chunked_bitwise_identical(problem):
+    spec, obs, times, y0, theta_star = problem
+    th0, keys = _chains(theta_star, 4, 13)
+    kw = dict(nits=48, burnin=16, n_leapfrog=3, step_size=0.02,
+              dense_mass=True)
+    ref = hamiltonian_mc(spec, obs, times, y0, th0, keys, **kw)
+    out = hamiltonian_mc(spec, obs, times, y0, th0, keys,
+                         chunk_iters=7, **kw)
+    np.testing.assert_array_equal(np.asarray(out.theta),
+                                  np.asarray(ref.theta))
+
+
+def test_dense_mass_checkpoint_kill_and_resume(problem, tmp_path):
+    """The (P, P) mass leaf persists and restores through the dense
+    carry skeleton; a killed run resumes bitwise."""
+    from odelib_tpu.samplers.hmc import hamiltonian_mc_checkpointed
+
+    spec, obs, times, y0, theta_star = problem
+    th0, keys = _chains(theta_star, 4, 17)
+    ckpt = str(tmp_path / "hmc_dense.npz")
+    kw = dict(nits=40, burnin=12, n_leapfrog=3, step_size=0.02,
+              dense_mass=True, checkpoint_every=9, checkpoint_path=ckpt)
+    plain = hamiltonian_mc(spec, obs, times, y0, th0, keys,
+                           nits=40, burnin=12, n_leapfrog=3,
+                           step_size=0.02, dense_mass=True)
+    killed = hamiltonian_mc_checkpointed(spec, obs, times, y0, th0, keys,
+                                         _stop_after_chunks=2, **kw)
+    assert killed is None
+    resumed = hamiltonian_mc_checkpointed(spec, obs, times, y0, th0, keys,
+                                          resume_from=ckpt, **kw)
+    np.testing.assert_array_equal(np.asarray(resumed.theta),
+                                  np.asarray(plain.theta))
+    np.testing.assert_array_equal(np.asarray(resumed.chi),
+                                  np.asarray(plain.chi))
