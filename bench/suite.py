@@ -504,10 +504,22 @@ def config7b_hmc_hard(base):
         _sync(out.chi[-1:, -1:])
         return out
 
+    def run_dense():
+        out = hamiltonian_mc(spec, obs, times_d, y0_d, th0, keys,
+                             nits=NITS_H, burnin=NITS_H // 4,
+                             n_leapfrog=4, step_size=0.02,
+                             target_accept=0.65, substeps=4,
+                             dense_mass=True,
+                             prior_logpdf=plp, use_priors=True)
+        _sync(out.chi[-1:, -1:])
+        return out
+
     out_h = run_hmc()
     t_h = _timed(run_hmc, reps=3)
     out_c = run_chees()
     t_c = _timed(run_chees, reps=3)
+    out_d = run_dense()
+    t_d = _timed(run_dense, reps=3)
     out_m = run_mh()
     t_m = _timed(run_mh, reps=3)
 
@@ -527,9 +539,11 @@ def config7b_hmc_hard(base):
 
     ess_h, rh_h = stats(out_h)
     ess_c, rh_c = stats(out_c)
+    ess_d, rh_d = stats(out_d)
     ess_m, rh_m = stats(out_m)
     hmc_rate, mh_rate = ess_h / t_h, ess_m / t_m
     chees_rate = ess_c / t_c
+    dense_rate = ess_d / t_d
     return {"config": "7b",
             "metric": "HMC vs random-walk MH on the HARD demo posterior "
                       "(one_i + summation + init-params, 7 correlated "
@@ -550,6 +564,16 @@ def config7b_hmc_hard(base):
                       if hmc_rate else None,
                       "note": "path_adapt=True - ChEES-adapted trajectory "
                               "length, no hand-tuned n_leapfrog"},
+            "dense": {"chains": C, "nits": NITS_H,
+                      "elapsed_s": round(t_d, 3),
+                      "min_ess": round(ess_d, 1),
+                      "max_rhat": round(rh_d, 3),
+                      "ess_per_s": round(dense_rate, 1),
+                      "over_diag_hmc": round(dense_rate / hmc_rate, 2)
+                      if hmc_rate else None,
+                      "note": "dense_mass=True - full cross-chain "
+                              "covariance metric (Cholesky per warmup "
+                              "refresh)"},
             "mh": {"chains": C, "nits": NITS_M, "elapsed_s": round(t_m, 3),
                    "min_ess": round(ess_m, 1), "max_rhat": round(rh_m, 3),
                    "rwalk_std": 0.05},

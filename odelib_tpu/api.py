@@ -1011,30 +1011,10 @@ class ModelFramework:
         df["chi"] = np.asarray(res.chi)
         df["rsquared"] = np.asarray(res.rsquared)
         df["aic"] = np.asarray(res.aic)
-        from .samplers.advi import psis_weights, resample_indices
-        lw, khat = psis_weights(np.asarray(res.logw, float))
-        info = {
-            "elbo": np.asarray(res.elbo),
-            "mu": np.asarray(res.mu),
-            "L": np.asarray(res.L),
-            "free_idx": np.asarray(res.free_idx),
-            "converged": bool(res.converged),
-            "khat": khat,
-            "psis_logw": lw,
-        }
-        if resample:
-            df = df.iloc[resample_indices(lw, int(self.random_seed))]
-            df = df.reset_index(drop=True)
-        df.attrs["advi"] = info
-        if not bool(res.converged):
-            warnings.warn("ADVI did not converge (non-finite or unstable "
-                          "ELBO tail); inspect df.attrs['advi']['elbo'], "
-                          "lower learning_rate or raise steps")
-        if khat > 0.7:
-            warnings.warn(
-                f"ADVI khat = {khat:.2f} > 0.7: the Gaussian approximation "
-                "is unreliable for this posterior even after importance "
-                "correction — use MCMC")
+        from .samplers.advi import attach_advi_diagnostics
+        df, khat = attach_advi_diagnostics(
+            df, res, seed=self.random_seed, resample=resample,
+            label="ADVI")
         if print_report:
             from .stats import rawstats as _rawstats
             report = ["\nADVI Report (variational posterior)\n"
@@ -1874,6 +1854,37 @@ class ModelFramework:
                 newmod.set_inits(**_is)
         return newmod
 
+    def _stable_config_token(self, method, substeps, include_priors=False):
+        """PROCESS-STABLE sha1 of everything the MCMC target density
+        bakes in: observation arrays, time grid, initial states, solver
+        method/substeps — plus the prior fingerprints when the run is
+        prior-aware. Baked into persisted checkpoint signatures so a
+        resume against edited data or priors fails loudly instead of
+        silently stitching samples from two different posteriors."""
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(repr((tuple(self._spec.pnames), str(method),
+                       substeps)).encode())
+        h.update(np.asarray(self.get_inits(), float).tobytes())
+        h.update(np.asarray(self._times_fit, float).tobytes())
+        for leaf in jax.tree_util.tree_leaves(self._obsdata_fit):
+            h.update(np.asarray(leaf).tobytes())
+        if include_priors:
+            for name in sorted(self.parameters):
+                par = self.parameters[name]
+                d = getattr(par, "dist", None)
+                if d is None:
+                    h.update(repr((name, None)).encode())
+                    continue
+                fam = getattr(d, "name", None) or type(d).__name__
+                hp = getattr(par, "hp", None) or {}
+                items = tuple(sorted(
+                    (str(k), repr(np.asarray(v, float).tolist()))
+                    for k, v in hp.items()))
+                h.update(repr((name, str(fam), items)).encode())
+        return h.hexdigest()
+
     # ------------------------------------------------------------------
     # MCMC (Framework.py:946-1061)
     # ------------------------------------------------------------------
@@ -1886,6 +1897,7 @@ class ModelFramework:
              path_adapt=False, max_leapfrog=256, dense_mass=False,
              temperatures=(1.0, 2.0, 4.0, 8.0), swap_every=1,
              stretch_a=2.0, adapt_start=50,
+             until_rhat=None, until_min_ess=None, max_extensions=8,
              profile=False, pallas_interpret=False, pallas_tile_chains=None,
              **solver_kw):
         """Markov Chain Monte Carlo over vmapped+mesh-sharded chains.
@@ -1925,7 +1937,13 @@ class ModelFramework:
           the global iteration counter and HMC carries its PRNG key plus
           every adaptation statistic in the persisted state, so a resumed
           run is bitwise identical to an uninterrupted one (the reference
-          has no persistence at all — SURVEY.md section 5.4);
+          has no persistence at all — SURVEY.md section 5.4). Resuming
+          requires restating ``checkpoint_every`` (the chunk layout is
+          part of the persisted signature), and the signature carries a
+          content digest of the observation data, time grid, inits and —
+          when ``use_priors=True`` — the prior hyperparameters, so a
+          resume against an edited dataset or prior fails loudly instead
+          of stitching samples from two different posteriors;
         * ``substeps='auto'`` (solver kwarg, here or at construction):
           calibrate a per-interval static step schedule from this run's
           seeding draws via the adaptive solver (ops/schedule.py) — the
@@ -1950,6 +1968,16 @@ class ModelFramework:
           the adapted metric to the full cross-chain COVARIANCE
           (Cholesky-factored per warmup refresh) — prefer it when
           parameters are strongly correlated;
+        * ``until_rhat`` / ``until_min_ess`` (sampler='mh'): run-length
+          extension until convergence — after the initial run the pooled
+          posterior's worst split-R-hat / min-ESS over walked parameters
+          is checked, and the chains restart from their final states
+          (fresh proposal stream; exact MCMC continuation) for another
+          ``iterations_per_chain`` proposals until both targets are met
+          or ``max_extensions`` whole-run extensions have been spent
+          (then a warning). The returned DataFrame carries exact global
+          running acceptance ratios and a continuing ``iteration``
+          column, as if one long run had been requested up front;
         * ``sampler='pt'``: replica-exchange (parallel tempering) MH for
           multimodal posteriors — each chain carries a ``temperatures``
           ladder of replicas with parity-alternating swap moves every
@@ -2154,6 +2182,22 @@ class ModelFramework:
                           "(pallas) backend and the XLA MH/HMC samplers; "
                           f"running sampler={sampler!r} without periodic "
                           "checkpoints")
+        if resume_from is not None and checkpoint_every is None:
+            # without this, the XLA paths would silently drop resume_from
+            # and rerun from scratch (the chunk layout E is part of the
+            # resume signature, so it must be restated)
+            raise ValueError(
+                "resume_from requires checkpoint_every (and "
+                "checkpoint_path) — restate the checkpointing "
+                "configuration the run was started with")
+        config_token = ""
+        if checkpoint_every is not None:
+            # fingerprint of data + solver config (+ priors when the
+            # acceptance is prior-aware), baked into the persisted resume
+            # signature: resuming against an edited dataframe or prior
+            # must fail loudly, not stitch two different posteriors
+            config_token = self._stable_config_token(
+                method, substeps, include_priors=use_priors)
         if backend == "pallas" and sampler == "ensemble":
             from .ops.pallas_mh import ensemble_fused
             progress_path = None
@@ -2177,7 +2221,7 @@ class ModelFramework:
                 interpret=bool(pallas_interpret),
                 checkpoint_every=checkpoint_every,
                 checkpoint_path=progress_path,
-                resume_from=resume_from,
+                resume_from=resume_from, config_token=config_token,
                 mesh=chain_mesh() if (jax.device_count() > 1
                                       and not pallas_interpret) else None)
         elif backend == "pallas":
@@ -2203,7 +2247,7 @@ class ModelFramework:
                 interpret=bool(pallas_interpret),
                 checkpoint_every=checkpoint_every,
                 checkpoint_path=progress_path,
-                resume_from=resume_from,
+                resume_from=resume_from, config_token=config_token,
                 mesh=chain_mesh() if (jax.device_count() > 1
                                       and not pallas_interpret) else None)
         else:
@@ -2244,7 +2288,8 @@ class ModelFramework:
                     out = hamiltonian_mc_checkpointed(
                         *hargs, checkpoint_every=int(checkpoint_every),
                         checkpoint_path=checkpoint_path + ".progress",
-                        resume_from=resume_from, **hkw)
+                        resume_from=resume_from,
+                        config_token=config_token, **hkw)
                 else:
                     from .samplers import hamiltonian_mc
                     out = hamiltonian_mc(*hargs, **hkw)
@@ -2317,7 +2362,7 @@ class ModelFramework:
                     atol=atol, max_steps=max_steps, substeps=substeps,
                     checkpoint_every=int(checkpoint_every),
                     checkpoint_path=checkpoint_path + ".progress",
-                    resume_from=resume_from)
+                    resume_from=resume_from, config_token=config_token)
             else:
                 out = metropolis_hastings(
                     self._spec, self._obsdata_fit,
@@ -2333,6 +2378,60 @@ class ModelFramework:
             jax.block_until_ready(out.theta)
             timer.times[f"chains[{backend}]"] = time.perf_counter() - _t0
             _t0 = time.perf_counter()
+
+        if until_rhat is not None or until_min_ess is not None:
+            if sampler != "mh" or backend not in ("pallas", "xla"):
+                raise ValueError(
+                    "until_rhat/until_min_ess run-length extension is "
+                    "supported for sampler='mh' (pallas or xla backend)")
+            if checkpoint_every is not None or resume_from is not None:
+                raise ValueError(
+                    "until_rhat/until_min_ess cannot be combined with "
+                    "checkpointing (the extension count is data-dependent)")
+            if backend == "pallas":
+                from .ops.pallas_mh import metropolis_hastings_fused
+
+                def run_more(th_last, salt):
+                    return metropolis_hastings_fused(
+                        self._spec, self._obsdata_fit_host, self._times_fit,
+                        self.get_inits(), np.asarray(th_last, np.float32),
+                        seed=int(self.random_seed) + 104729 * salt,
+                        nits=nits, burnin=0, walk_mask=mask,
+                        rwalk_std=rwalk_std,
+                        stepper=method if method in ("rk4", "kvaerno3")
+                            else "dopri5",
+                        substeps=substeps,
+                        priors=pallas_priors if use_priors else None,
+                        tile_chains=(None if pallas_tile_chains is None
+                                     else int(pallas_tile_chains)),
+                        interpret=bool(pallas_interpret),
+                        mesh=chain_mesh() if (jax.device_count() > 1
+                                              and not pallas_interpret)
+                        else None)
+            else:
+                mesh2 = chain_mesh()
+                bkey = jax.random.PRNGKey(self.random_seed)
+
+                def run_more(th_last, salt):
+                    C2 = th_last.shape[0]
+                    keys2 = jax.vmap(lambda i: jax.random.fold_in(
+                        bkey, salt * 1_000_003 + i))(jnp.arange(C2))
+                    m2 = shard_chain_batch(
+                        (jnp.asarray(th_last, dtype), keys2), mesh2)
+                    return metropolis_hastings(
+                        self._spec, self._obsdata_fit,
+                        jnp.asarray(self._times_fit, dtype),
+                        jnp.asarray(self.get_inits(), dtype), m2[0], m2[1],
+                        nits=nits, burnin=0,
+                        walk_mask=jnp.asarray(mask, dtype),
+                        rwalk_std=rwalk_std, prior_logpdf=prior_logpdf,
+                        use_priors=use_priors, method=method, rtol=rtol,
+                        atol=atol, max_steps=max_steps, substeps=substeps)
+
+            out = self._extend_until(
+                out, run_more, n_chains=n_chains, nits=nits, mask=mask,
+                until_rhat=until_rhat, until_min_ess=until_min_ess,
+                max_extensions=int(max_extensions))
 
         posterior = self._posterior_to_df(out, n_chains, static_parameters)
         if checkpoint_path:
@@ -2358,6 +2457,81 @@ class ModelFramework:
             timer.times["postprocess"] = time.perf_counter() - _t0
             timer.report()
         return posterior
+
+    def _extend_until(self, out, run_more, *, n_chains, nits, mask,
+                      until_rhat, until_min_ess, max_extensions):
+        """Extend a finished MH run in whole-run increments until the
+        pooled posterior meets the requested split-R-hat / min-ESS
+        targets (or ``max_extensions`` is hit). Each extension restarts
+        every chain from its final state with a fresh proposal stream —
+        a valid MCMC continuation by the Markov property (the random
+        walk carries no adaptation state) — and concatenates the
+        records with EXACT global running acceptance ratios and a
+        continuing ``iteration`` column, so the result is
+        indistinguishable in format from a single long run."""
+        from .utils.diagnostics import effective_sample_size, split_rhat
+        from .utils.profiling import get_logger
+
+        theta = np.asarray(out.theta)
+        chi = np.asarray(out.chi)
+        rsq = np.asarray(out.rsquared)
+        aic = np.asarray(out.aic)
+        ar = np.asarray(out.acceptance_ratio)
+        iteration = np.asarray(out.iteration)
+        total = int(iteration[-1])          # global proposals so far
+        counts = ar[:, -1] * total          # accepts incl. burn-in
+        mask_flat = np.ravel(np.asarray(mask, float))
+        walked = [j for j in range(theta.shape[-1]) if mask_flat[j] != 0]
+
+        def worst():
+            th = theta[:n_chains]
+            max_rh, min_ess = 0.0, float("inf")
+            for j in walked:
+                x = th[:, :, j].astype(float)
+                if np.allclose(x, x.flat[0]):   # pinned/degenerate slot
+                    continue
+                z = np.log(x) if np.all(x > 0) else x
+                max_rh = max(max_rh, float(split_rhat(z)))
+                min_ess = min(min_ess, float(effective_sample_size(z)))
+            return max_rh, min_ess
+
+        for ext in range(max_extensions + 1):
+            max_rh, min_ess = worst()
+            ok = ((until_rhat is None or max_rh <= until_rhat)
+                  and (until_min_ess is None or min_ess >= until_min_ess))
+            if ok:
+                if ext:
+                    get_logger().info(
+                        "converged after %d extension(s): max split-rhat "
+                        "%.4f, min ESS %.0f", ext, max_rh, min_ess)
+                break
+            if ext == max_extensions:
+                warnings.warn(
+                    f"run-length extension cap reached (max_extensions="
+                    f"{max_extensions}) without meeting the targets: max "
+                    f"split-rhat {max_rh:.4f} (target {until_rhat}), min "
+                    f"ESS {min_ess:.0f} (target {until_min_ess}) — the "
+                    "returned posterior holds everything sampled so far")
+                break
+            get_logger().info(
+                "extending run (%d/%d): max split-rhat %.4f, min ESS %.0f",
+                ext + 1, max_extensions, max_rh, min_ess)
+            more = run_more(theta[:, -1, :], ext + 1)
+            its = np.arange(1, nits)
+            m_ar = np.asarray(more.acceptance_ratio)
+            m_counts = m_ar * its[None, :]
+            ar = np.concatenate(
+                [ar, (counts[:, None] + m_counts) / (total + its)[None, :]],
+                axis=1)
+            theta = np.concatenate([theta, np.asarray(more.theta)], axis=1)
+            chi = np.concatenate([chi, np.asarray(more.chi)], axis=1)
+            rsq = np.concatenate([rsq, np.asarray(more.rsquared)], axis=1)
+            aic = np.concatenate([aic, np.asarray(more.aic)], axis=1)
+            iteration = np.concatenate([iteration, total + its])
+            counts = counts + m_counts[:, -1]
+            total += nits - 1
+        return _mh.MHOutput(theta=theta, chi=chi, rsquared=rsq, aic=aic,
+                            acceptance_ratio=ar, iteration=iteration)
 
     def _posterior_to_df(self, out: _mh.MHOutput, n_chains,
                          static_parameters):

@@ -152,11 +152,16 @@ class JointFit:
             raise ValueError(f"hyperpriors given for non-hierarchical "
                              f"parameter(s) {sorted(unknown)}")
         for p in self.hierarchical:
-            if pshape(first, p):
-                raise ValueError(
-                    f"hierarchical parameter {p!r} must be scalar "
-                    f"(shape {pshape(first, p)}); array-valued parameters "
-                    f"can be tied with shared= instead")
+            # every experiment's slot must be scalar, not just the
+            # first's — a later array-valued slot would otherwise surface
+            # as an opaque TypeError at the float() below
+            for nm, fw in self.frameworks.items():
+                if pshape(fw, p):
+                    raise ValueError(
+                        f"hierarchical parameter {p!r} must be scalar "
+                        f"(shape {pshape(fw, p)} in experiment {nm!r}); "
+                        f"array-valued parameters can be tied with "
+                        f"shared= instead")
             lab_m, lab_t = f"{p}:pop_median", f"{p}:pop_sigma"
             add_column(lab_m, (), None, p)
             add_column(lab_t, (), None, p)
@@ -332,22 +337,43 @@ class JointFit:
         array template after a fit invalidates the prior closures."""
         return tuple(self._dists())
 
-    def _stable_config_token(self, method, subs):
+    def _stable_config_token(self, method, subs, include_priors=False):
         """PROCESS-STABLE digest of the joint configuration a chi closure
         bakes in (experiment order, joint columns, solver method/substeps,
-        inits, time grids, observation arrays). Used in persisted
-        checkpoint signatures, where :meth:`_data_token`'s ``hash()``
-        values (salted per process) could never match across a resume."""
+        inits, time grids, observation arrays — plus prior fingerprints
+        and the pooling layout when the target is prior-aware). Used in
+        persisted checkpoint signatures, where :meth:`_data_token`'s
+        ``hash()`` values (salted per process) could never match across a
+        resume; a same-shaped data or prior edit must fail the resume
+        instead of stitching samples from two different posteriors."""
         import hashlib
 
         h = hashlib.sha1()
         h.update(repr((tuple(self.frameworks), tuple(self.columns),
-                       method, subs)).encode())
+                       method, subs,
+                       tuple(getattr(self, "hierarchical", ())))).encode())
         for fw in self.frameworks.values():
             h.update(np.asarray(fw.get_inits(), float).tobytes())
             h.update(np.asarray(fw._times_fit, float).tobytes())
             for leaf in jax.tree_util.tree_leaves(fw._obsdata_fit):
                 h.update(np.asarray(leaf).tobytes())
+        if include_priors:
+            for fw in self.frameworks.values():
+                for name in sorted(fw.parameters):
+                    par = fw.parameters[name]
+                    d = getattr(par, "dist", None)
+                    if d is None:
+                        h.update(repr((name, None)).encode())
+                        continue
+                    fam = getattr(d, "name", None) or type(d).__name__
+                    hp = getattr(par, "hp", None) or {}
+                    items = tuple(sorted(
+                        (str(k), repr(np.asarray(v, float).tolist()))
+                        for k, v in hp.items()))
+                    h.update(repr((name, str(fam), items)).encode())
+            for lab, hyp in sorted(getattr(self, "_hyper_priors",
+                                           {}).items()):
+                h.update(repr((lab, repr(hyp))).encode())
         return h.hexdigest()
 
     def _joint_chi_fn(self, solver_kw):
@@ -544,33 +570,12 @@ class JointFit:
             walk_mask=mask,
             prior_logpdf=prior_fn, use_priors=use_eff,
             seed=int(self.random_seed))
-        from .samplers.advi import psis_weights, resample_indices
+        from .samplers.advi import attach_advi_diagnostics
         df = self._df_from_thetas(np.asarray(res.theta))
         df["chi"] = np.asarray(res.chi)
-        lw, khat = psis_weights(np.asarray(res.logw, float))
-        info = {
-            "elbo": np.asarray(res.elbo),
-            "mu": np.asarray(res.mu),
-            "L": np.asarray(res.L),
-            "free_idx": np.asarray(res.free_idx),
-            "converged": bool(res.converged),
-            "khat": khat,
-            "psis_logw": lw,
-        }
-        if resample:
-            df = df.iloc[resample_indices(lw, int(self.random_seed))]
-            df = df.reset_index(drop=True)
-        df.attrs["advi"] = info
-        if not bool(res.converged):
-            import warnings
-            warnings.warn("joint ADVI did not converge; inspect "
-                          "df.attrs['advi']['elbo'], lower learning_rate "
-                          "or raise steps")
-        if khat > 0.7:
-            import warnings
-            warnings.warn(
-                f"joint ADVI khat = {khat:.2f} > 0.7: the Gaussian "
-                "approximation is unreliable — use MCMC")
+        df, khat = attach_advi_diagnostics(
+            df, res, seed=self.random_seed, resample=resample,
+            label="joint ADVI")
         if print_report:
             report = ["\nJoint ADVI Report (variational posterior)\n"
                       "========================================="]
@@ -722,17 +727,23 @@ class JointFit:
             raise ValueError(
                 "checkpoint_every requires checkpoint_path (chain state "
                 "is persisted to <checkpoint_path>.progress)")
+        if resume_from is not None and checkpoint_every is None:
+            raise ValueError(
+                "resume_from requires checkpoint_every (and "
+                "checkpoint_path) — restate the checkpointing "
+                "configuration the run was started with")
+        config_token = ""
+        if checkpoint_every is not None:
+            # data (+prior, when prior-aware) fingerprint baked into the
+            # persisted resume signature — see _stable_config_token
+            config_token = self._stable_config_token(
+                method, subs, include_priors=use_priors_eff)
 
         if backend == "pallas":
             from .parallel import chain_mesh
             from .ops.pallas_joint import joint_metropolis_hastings_fused
-            progress_path = None
-            if checkpoint_every is not None:
-                if checkpoint_path is None:
-                    raise ValueError(
-                        "checkpoint_every requires checkpoint_path (chain "
-                        "state is persisted to <checkpoint_path>.progress)")
-                progress_path = checkpoint_path + ".progress"
+            progress_path = (checkpoint_path + ".progress"
+                             if checkpoint_every is not None else None)
             priors = None
             if use_priors:
                 priors = tuple(dists)
@@ -754,6 +765,7 @@ class JointFit:
                 interpret=bool(pallas_interpret),
                 checkpoint_every=checkpoint_every,
                 checkpoint_path=progress_path, resume_from=resume_from,
+                config_token=config_token,
                 mesh=chain_mesh() if (jax.device_count() > 1
                                       and not pallas_interpret) else None)
         else:
@@ -787,8 +799,7 @@ class JointFit:
                                 if checkpoint_path else None)
                     out = hamiltonian_mc_custom_checkpointed(
                         self._joint_chi_fn(solver_kw), margs[0], margs[1],
-                        config_token=self._stable_config_token(
-                            method, subs),
+                        config_token=config_token,
                         checkpoint_every=int(checkpoint_every),
                         checkpoint_path=progress, resume_from=resume_from,
                         **hmc_kw)
@@ -810,6 +821,7 @@ class JointFit:
                                 if checkpoint_path else None)
                     out = joint_metropolis_hastings_checkpointed(
                         specs, idxs, obs, times, y0s, margs[0], margs[1],
+                        config_token=config_token,
                         checkpoint_every=int(checkpoint_every),
                         checkpoint_path=progress, resume_from=resume_from,
                         **mh_kw)

@@ -52,7 +52,7 @@ def joint_metropolis_hastings_fused(
         interpret: bool = False, mesh=None, priors=None,
         checkpoint_every: Optional[int] = None,
         checkpoint_path: Optional[str] = None,
-        resume_from: Optional[str] = None,
+        resume_from: Optional[str] = None, config_token: str = "",
         _stop_after_chunks: Optional[int] = None):
     """Run C joint chains over K experiments fully inside Pallas kernels.
 
@@ -145,7 +145,8 @@ def joint_metropolis_hastings_fused(
             walk, float(rwalk_std), stepper, subs, bool(interpret), C0,
             mesh, priors, theta_tiles, int(seed),
             checkpoint_every if checkpoint_every is not None else nits,
-            checkpoint_path, resume_from, _stop_after_chunks)
+            checkpoint_path, resume_from, _stop_after_chunks,
+            config_token=config_token)
 
     run = _cached_joint_run(specs, plans, y0_keys, idx_maps, D, K, tile, C,
                             L_SEG, n_segs, nits, walk, float(rwalk_std),
@@ -270,7 +271,7 @@ def _joint_fused_chunked(specs, plans, y0_keys, idx_maps, D, K, tile, C,
                          nits, burnin, walk, rwalk_std, stepper, subs,
                          interpret, C0, mesh, priors, theta_tiles, seed,
                          checkpoint_every, checkpoint_path, resume_from,
-                         _stop_after_chunks=None):
+                         _stop_after_chunks=None, config_token=""):
     """Checkpointed fused joint run — counter-based RNG on the global
     iteration + f32-exact state round-trip make a chunked/killed/resumed
     run bitwise identical to the single dispatch (same guarantees as
@@ -283,7 +284,8 @@ def _joint_fused_chunked(specs, plans, y0_keys, idx_maps, D, K, tile, C,
     sig = repr(("joint", tuple(s.pnames for s in specs), idx_maps, D, K,
                 tile, C, nits, E, walk, rwalk_std, stepper, subs, C0,
                 int(seed), priors,
-                None if mesh is None else int(mesh.devices.size)))
+                None if mesh is None else int(mesh.devices.size),
+                str(config_token)))
     seed_arr = jnp.asarray([seed], jnp.int32)
 
     k0, state, recs = 0, None, []

@@ -450,7 +450,7 @@ def metropolis_hastings_fused(
         tile_chains: Optional[int] = None, interpret: bool = False,
         mesh=None, priors=None, checkpoint_every: Optional[int] = None,
         checkpoint_path: Optional[str] = None,
-        resume_from: Optional[str] = None,
+        resume_from: Optional[str] = None, config_token: str = "",
         _stop_after_chunks: Optional[int] = None,
         _rec_cap: Optional[int] = None):
     """Run C chains of reference-semantics MH fully inside a Pallas kernel.
@@ -549,7 +549,8 @@ def metropolis_hastings_fused(
             float(rwalk_std), num, stepper, substeps, bool(interpret), C0,
             mesh, priors, theta_tiles, int(seed),
             checkpoint_every if checkpoint_every is not None else nits,
-            checkpoint_path, resume_from, _stop_after_chunks)
+            checkpoint_path, resume_from, _stop_after_chunks,
+            config_token=config_token)
 
     run = _cached_mh_run(spec, plan, y0_key, P, tile, C, L_SEG, n_segs,
                          nits, walk, float(rwalk_std), num, stepper,
@@ -682,7 +683,8 @@ def _cached_mh_run_chunk(spec, plan, y0_key, P, tile, C, L_SEG, n_segs,
 def _mh_fused_chunked(spec, plan, y0_key, P, tile, C, nits, burnin, walk,
                       rwalk_std, num, stepper, substeps, interpret, C0,
                       mesh, priors, theta_tiles, seed, checkpoint_every,
-                      checkpoint_path, resume_from, _stop_after_chunks=None):
+                      checkpoint_path, resume_from, _stop_after_chunks=None,
+                      config_token=""):
     """Checkpointed fused MH: the run is split into chunks of
     ``checkpoint_every`` proposals; after each chunk the chain state and the
     records so far are persisted (npz) so a killed run resumes bit-exact
@@ -698,9 +700,13 @@ def _mh_fused_chunked(spec, plan, y0_key, P, tile, C, nits, burnin, walk,
     if E < 1:
         raise ValueError("checkpoint_every must be >= 1")
     n_chunks = -(-R // E)
+    # config_token: process-stable digest of the observation data/prior
+    # hyperparameters from the caller — a same-shaped data or prior edit
+    # must fail the resume, not stitch two posteriors
     sig = repr((spec.pnames, P, tile, C, nits, E, walk, rwalk_std, num,
                 stepper, substeps, C0, int(seed), priors,
-                None if mesh is None else int(mesh.devices.size)))
+                None if mesh is None else int(mesh.devices.size),
+                str(config_token)))
     seed_arr = jnp.asarray([seed], jnp.int32)
 
     k0, state, recs = 0, None, []
@@ -961,7 +967,7 @@ def ensemble_fused(
         mesh=None, priors=None, init_jitter: float = 0.01,
         checkpoint_every: Optional[int] = None,
         checkpoint_path: Optional[str] = None,
-        resume_from: Optional[str] = None,
+        resume_from: Optional[str] = None, config_token: str = "",
         _stop_after_chunks: Optional[int] = None):
     """Affine-invariant ensemble sampler (Goodman-Weare stretch moves)
     fully inside one Pallas kernel — the fused counterpart of
@@ -1061,7 +1067,8 @@ def ensemble_fused(
             float(a), num, stepper, substeps, bool(interpret), W0, mesh,
             priors, theta_tiles, int(seed),
             checkpoint_every if checkpoint_every is not None else nits,
-            checkpoint_path, resume_from, _stop_after_chunks)
+            checkpoint_path, resume_from, _stop_after_chunks,
+            config_token=config_token)
 
     run = _cached_ens_run(spec, plan, y0_key, P, tile, W, L_SEG, n_segs,
                           nits, walk, n_walked, float(a), num, stepper,
@@ -1184,7 +1191,7 @@ def _ens_fused_chunked(spec, plan, y0_key, P, tile, W, nits, burnin, walk,
                        n_walked, a, num, stepper, substeps, interpret, W0,
                        mesh, priors, theta_tiles, seed, checkpoint_every,
                        checkpoint_path, resume_from,
-                       _stop_after_chunks=None):
+                       _stop_after_chunks=None, config_token=""):
     """Checkpointed fused ensemble run (mirror of
     :func:`_mh_fused_chunked`): counter-based RNG on the global iteration
     + f32-exact state round-trip make a chunked/killed/resumed run
@@ -1196,7 +1203,8 @@ def _ens_fused_chunked(spec, plan, y0_key, P, tile, W, nits, burnin, walk,
     n_chunks = -(-R // E)
     sig = repr(("ens", spec.pnames, P, tile, W, nits, E, walk, n_walked,
                 a, num, stepper, substeps, W0, int(seed), priors,
-                None if mesh is None else int(mesh.devices.size)))
+                None if mesh is None else int(mesh.devices.size),
+                str(config_token)))
     seed_arr = jnp.asarray([seed], jnp.int32)
 
     k0, state, recs = 0, None, []

@@ -290,6 +290,41 @@ def psis_weights(logw):
     return _psis_smooth_lw(safe)
 
 
+def attach_advi_diagnostics(df, res, *, seed, resample=False,
+                            label="ADVI"):
+    """Shared post-processing behind ``fit_advi`` (single-model and
+    joint): PSIS-smooth the draws' importance weights, attach the
+    ``df.attrs['advi']`` info dict, optionally importance-RESAMPLE the
+    rows, and emit the convergence/khat warnings. Returns
+    ``(df, khat)``."""
+    import warnings
+
+    lw, khat = psis_weights(np.asarray(res.logw, float))
+    info = {
+        "elbo": np.asarray(res.elbo),
+        "mu": np.asarray(res.mu),
+        "L": np.asarray(res.L),
+        "free_idx": np.asarray(res.free_idx),
+        "converged": bool(res.converged),
+        "khat": khat,
+        "psis_logw": lw,
+    }
+    if resample:
+        df = df.iloc[resample_indices(lw, int(seed))]
+        df = df.reset_index(drop=True)
+    df.attrs["advi"] = info
+    if not bool(res.converged):
+        warnings.warn(f"{label} did not converge (non-finite or unstable "
+                      "ELBO tail); inspect df.attrs['advi']['elbo'], "
+                      "lower learning_rate or raise steps")
+    if khat > 0.7:
+        warnings.warn(
+            f"{label} khat = {khat:.2f} > 0.7: the Gaussian approximation "
+            "is unreliable for this posterior even after importance "
+            "correction — use MCMC")
+    return df, khat
+
+
 def resample_indices(logw_norm, seed: int = 0):
     """Systematic resampling indices by normalized log-weights —
     turns weighted q-draws into unweighted draws from the corrected

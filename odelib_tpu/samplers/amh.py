@@ -111,7 +111,7 @@ def _amh_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
                 + accept.astype(carry.acc_count.dtype),
                 key=key, mean=mean, M2=M2, n=n)
             record = (jnp.exp(new.log_theta), new.chi, new.rsq, new.aic,
-                      new.acc_count / it)
+                      new.acc_count / it.astype(new.chi.dtype))
             return new, record
         return step
 
@@ -125,7 +125,7 @@ def _amh_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
                        mean=jnp.where(walk_mask > 0, z0, 0.0),
                        M2=jnp.zeros((P, P), th0.dtype),
                        n=jnp.asarray(0.0, th0.dtype))
-        its = jnp.arange(1, nits, dtype=th0.dtype)
+        its = jnp.arange(1, nits, dtype=jnp.int32)
         # adaptation runs only during burn-in; the recorded phase uses the
         # frozen covariance (exact Markov kernel)
         carry, _ = jax.lax.scan(

@@ -122,14 +122,14 @@ def _ensemble_impl(spec, obs, times, y0_base, theta0, key, walk_mask, *,
         carry = half_update(carry, k_b, H)
         carry = carry._replace(key=key)
         record = (jnp.exp(carry.log_theta), carry.chi, carry.rsq,
-                  carry.aic, carry.acc_count / it)
+                  carry.aic, carry.acc_count / it.astype(carry.chi.dtype))
         return carry, record
 
     z0 = jnp.log(theta0)
     chi0, rsq0, aic0, lp0 = batch_metrics(z0)
     carry = _Carry(log_theta=z0, chi=chi0, rsq=rsq0, aic=aic0, lp=lp0,
                    acc_count=jnp.zeros((W,), theta0.dtype), key=key)
-    its = jnp.arange(1, nits, dtype=theta0.dtype)
+    its = jnp.arange(1, nits, dtype=jnp.int32)
     carry, _ = jax.lax.scan(
         lambda c, it: (step(c, it)[0], None), carry, its[:burnin])
     _, recs = jax.lax.scan(step, carry, its[burnin:])

@@ -276,17 +276,23 @@ def _make_step(vag_u, walk_mask, C, dtype, *, burnin, n_leapfrog,
 
         kin = make_kin(carry.mass_inv)
         log_ratio = (carry.u_pot + kin(p0)) - (u1 + kin(p1))
-        # NaN Hamiltonian -> alpha 0 -> rejected (failure model 5.3)
-        alpha = jnp.where(jnp.isfinite(log_ratio),
+        # NaN Hamiltonian -> alpha 0 -> rejected (failure model 5.3).
+        # A non-finite endpoint GRADIENT on a free dim also rejects: the
+        # cached g seeds the next trajectory's first half-kick, and
+        # accepting such a move while substituting g=0 would silently
+        # break leapfrog reversibility (detailed balance) for every
+        # later sample of that chain. Masked dims are exempt — array
+        # params pinned at log(0) legitimately carry NaN gradients there
+        # and the leapfrog masks them out.
+        g1 = jnp.where(walk_mask > 0, g1, 0.0)
+        grad_ok = jnp.all(jnp.isfinite(g1), axis=-1)
+        alpha = jnp.where(jnp.isfinite(log_ratio) & grad_ok,
                           jnp.minimum(1.0, jnp.exp(log_ratio)), 0.0)
         accept = alpha > jax.random.uniform(k_u, (C,), dtype)
 
         acc_col = accept[:, None]
         z = jnp.where(acc_col, z1, carry.z)
-        # a NaN endpoint gradient must not leak into the cached g of a
-        # REJECTED move (the next trajectory starts from the old z)
-        g = jnp.where(acc_col, jnp.where(jnp.isfinite(g1), g1, 0.0),
-                      carry.g)
+        g = jnp.where(acc_col, g1, carry.g)
         u_pot = jnp.where(accept, u1, carry.u_pot)
         chi = jnp.where(accept, chi1, carry.chi)
         rsq = jnp.where(accept, rsq1, carry.rsq)
@@ -698,7 +704,7 @@ def hamiltonian_mc_checkpointed(
         method: str = "fixed_dopri5", substeps=4,
         mass_adapt: bool = True, path_adapt: bool = False,
         max_leapfrog: int = 256, adam_lr: float = 0.025,
-        dense_mass: bool = False,
+        dense_mass: bool = False, config_token: str = "",
         checkpoint_every: int = 100, checkpoint_path: Optional[str] = None,
         resume_from: Optional[str] = None,
         _stop_after_chunks: Optional[int] = None) -> MHOutput:
@@ -763,7 +769,7 @@ def hamiltonian_mc_checkpointed(
                 skw["path_adapt"], skw["max_leapfrog"], skw["adam_lr"],
                 tuple(float(w) for w in np.asarray(walk_mask)),
                 bool(use_priors), method, skw["substeps"],
-                skw["dense_mass"]))
+                skw["dense_mass"], str(config_token)))
 
     def init_fn():
         return _hmc_init(spec, obs, times, y0_base, theta0, keys,

@@ -85,7 +85,8 @@ def _joint_step_fn(total_chi, walk_mask, rwalk_std, prior_logpdf,
             parts=jnp.where(accept, parts_n, carry.parts),
             acc=carry.acc + accept.astype(carry.chi.dtype),
             key=key)
-        rec = (jnp.exp(new.log_theta), new.chi, new.parts, new.acc / it)
+        rec = (jnp.exp(new.log_theta), new.chi, new.parts,
+               new.acc / it.astype(new.chi.dtype))
         return new, rec
 
     return step
@@ -106,7 +107,7 @@ def _joint_impl(specs, idx_maps, obs_list, times_list, y0_list, theta0,
         chi0, parts0 = total_chi(th0)
         carry = _Carry(log_theta=jnp.log(th0), chi=chi0, parts=parts0,
                        acc=jnp.asarray(0.0, th0.dtype), key=key)
-        its = jnp.arange(1, nits, dtype=th0.dtype)
+        its = jnp.arange(1, nits, dtype=jnp.int32)
         carry, _ = jax.lax.scan(
             lambda c, it: (step(c, it)[0], None), carry, its[:burnin])
         _, recs = jax.lax.scan(step, carry, its[burnin:])
@@ -168,7 +169,8 @@ def joint_metropolis_hastings_checkpointed(
         nits: int = 1000, burnin: Optional[int] = None, walk_mask=None,
         rwalk_std: float = 0.05, prior_logpdf=None,
         use_priors: bool = False, method: str = "fixed_dopri5",
-        substeps=4, substeps_list=None, checkpoint_every: int = 100,
+        substeps=4, substeps_list=None, config_token: str = "",
+        checkpoint_every: int = 100,
         checkpoint_path: Optional[str] = None,
         resume_from: Optional[str] = None,
         _stop_after_chunks: Optional[int] = None) -> Optional[JointOutput]:
@@ -210,11 +212,15 @@ def joint_metropolis_hastings_checkpointed(
     # E is part of the signature: next_chunk is denominated in chunks of
     # E, so resuming under a different checkpoint_every would silently
     # skip or replay iterations
+    # config_token: process-stable digest of the joint data/prior config
+    # (the caller's _stable_config_token) — resuming against edited
+    # observation data or priors must fail, not mix posteriors
     sig = repr(("xla-joint", tuple(s.pnames for s in specs),
                 idx_maps, D, int(theta0.shape[0]), nits, int(burnin), E,
                 float(rwalk_std),
                 tuple(float(w) for w in np.asarray(walk_mask)),
-                bool(use_priors), method, substeps_list))
+                bool(use_priors), method, substeps_list,
+                str(config_token)))
 
     k0, state, recs = 0, None, []
     if resume_from:
@@ -242,7 +248,7 @@ def joint_metropolis_hastings_checkpointed(
         for a, b in ((lo, min(hi, burnin + 1)), (max(lo, burnin + 1), hi)):
             if a >= b:
                 continue
-            its = jnp.arange(a, b, dtype=dtype)
+            its = jnp.arange(a, b, dtype=jnp.int32)
             state, keys, out = _joint_chunk_impl(
                 specs, idx_maps, obs_list, times_list, y0_list, state,
                 keys, its, walk_mask, rwalk_std=float(rwalk_std),

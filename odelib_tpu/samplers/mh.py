@@ -92,7 +92,7 @@ def _chain_step(spec: ModelSpec, obs: ObsData, times, y0_base, walk_mask,
         key=key,
     )
     record = (jnp.exp(new.log_theta), new.chi, new.rsq, new.aic,
-              new.acc_count / it)
+              new.acc_count / it.astype(new.chi.dtype))
     return new, record
 
 
@@ -113,7 +113,7 @@ def _mh_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
         chi0, rsq0, aic0 = fit_metrics(spec, obs, ys, num_params)
         carry = _Carry(log_theta=jnp.log(th0), chi=chi0, rsq=rsq0, aic=aic0,
                        acc_count=jnp.asarray(0.0, th0.dtype), key=key)
-        its = jnp.arange(1, nits, dtype=th0.dtype)
+        its = jnp.arange(1, nits, dtype=jnp.int32)
         # burn phase: no recording -> half the output memory
         carry, _ = jax.lax.scan(
             lambda c, it: (step(c, it)[0], None), carry, its[:burnin])
@@ -233,6 +233,7 @@ def metropolis_hastings_checkpointed(
         prior_logpdf: Optional[Callable] = None, use_priors: bool = False,
         method: str = "dopri5", rtol: float = 1e-6, atol: float = 1e-4,
         max_steps: int = 4096, substeps: int = 4,
+        config_token: str = "",
         checkpoint_every: int = 100, checkpoint_path: Optional[str] = None,
         resume_from: Optional[str] = None,
         _stop_after_chunks: Optional[int] = None) -> MHOutput:
@@ -275,12 +276,17 @@ def metropolis_hastings_checkpointed(
     # E is part of the signature: next_chunk is denominated in chunks of
     # E, so a different checkpoint_every on resume would silently skip or
     # replay iterations
+    # config_token: caller-supplied PROCESS-STABLE digest of the target
+    # density's data/prior configuration (obs arrays, time grid, inits,
+    # prior hyperparameters) — shape/knob checks alone cannot catch a
+    # same-shaped edit, which would silently stitch samples from two
+    # different posteriors on resume
     sig = repr(("xla-mh", spec.pnames, spec.pshapes, P,
                 int(theta0.shape[0]), nits, int(burnin), E,
                 float(rwalk_std),
                 tuple(float(w) for w in np.asarray(walk_mask)),
                 bool(use_priors), skw["method"], skw["rtol"], skw["atol"],
-                skw["max_steps"], skw["substeps"]))
+                skw["max_steps"], skw["substeps"], str(config_token)))
 
     k0, state, recs = 0, None, []
     if resume_from:
@@ -308,7 +314,7 @@ def metropolis_hastings_checkpointed(
         for a, b in ((lo, min(hi, burnin + 1)), (max(lo, burnin + 1), hi)):
             if a >= b:
                 continue
-            its = jnp.arange(a, b, dtype=dtype)
+            its = jnp.arange(a, b, dtype=jnp.int32)
             state, out = _mh_chunk_impl(
                 spec, obs, times, y0_base, state, keys, its, walk_mask,
                 rwalk_std=float(rwalk_std),

@@ -109,7 +109,7 @@ def _pt_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
             swap_count=carry.swap_count + sflag[0].astype(chi.dtype),
             key=key)
         record = (jnp.exp(log_theta[0]), chi[0], rsq[0], aic[0],
-                  new.acc_count / it)
+                  new.acc_count / it.astype(new.chi.dtype))
         return new, record
 
     def one_chain(th0, key):
@@ -118,7 +118,7 @@ def _pt_impl(spec, obs, times, y0_base, theta0, keys, walk_mask, *,
         carry = _Carry(log_theta=z0, chi=chi0, rsq=rsq0, aic=aic0, lp=lp0,
                        acc_count=jnp.asarray(0.0, th0.dtype),
                        swap_count=jnp.asarray(0.0, th0.dtype), key=key)
-        its = jnp.arange(1, nits, dtype=th0.dtype)
+        its = jnp.arange(1, nits, dtype=jnp.int32)
         carry, _ = jax.lax.scan(
             lambda c, it: (step(c, it)[0], None), carry, its[:burnin])
         carry, recs = jax.lax.scan(step, carry, its[burnin:])

@@ -169,7 +169,9 @@ def sbc_ranks(spec: ModelSpec, obs_template: ObsData, times, y0_base,
         rwalk_std=float(rwalk_std), method=method,
         substeps=substeps if isinstance(substeps, tuple) else int(substeps))
     M = (nits - 1 - int(burnin) + int(thin) - 1) // int(thin)
-    ranks = np.asarray(ranks)
+    # np.array, not asarray: the jitted output's buffer is read-only and
+    # the -1 sentinel assignment below must not crash on no-prior slots
+    ranks = np.array(ranks)
     for j, d in enumerate(slot_dists):
         if d is None or walk_mask[j] == 0:
             ranks[:, j] = -1
@@ -190,6 +192,14 @@ def rank_uniformity_pvalue(ranks, n_draws: int, bins: int = 16) -> float:
     bins = int(min(bins, n_draws + 1))
     edges = np.linspace(0, n_draws + 1, bins + 1)
     counts, _ = np.histogram(ranks, bins=edges)
-    expected = ranks.size / bins
+    # expected counts follow each bin's INTEGER support: ranks live on
+    # {0..n_draws}, and when bins does not divide n_draws+1 the linspace
+    # edges put one more integer in some bins than others — a uniform
+    # ranks.size/bins expectation would inflate the statistic linearly
+    # in the sample count and flag perfectly calibrated pipelines
+    ints = np.arange(n_draws + 1)
+    idx = np.clip(np.digitize(ints, edges) - 1, 0, bins - 1)
+    support = np.bincount(idx, minlength=bins)
+    expected = ranks.size * support / (n_draws + 1)
     stat = float(np.sum((counts - expected) ** 2 / expected))
     return float(chi2.sf(stat, bins - 1))

@@ -488,3 +488,62 @@ def test_mcmc_checkpoint_every_matches_uninterrupted(zeroI, tmp_path):
     res = zeroI.MCMC(checkpoint_path=ckpt, checkpoint_every=5,
                      resume_from=ckpt + ".progress", **kw)
     pd.testing.assert_frame_equal(ref, res)
+
+
+def test_mcmc_until_converged_extends_run():
+    """until_rhat/until_min_ess: the run extends in whole-run increments
+    until the pooled posterior meets the targets. With a min-ESS target
+    that a single 40-iteration run cannot meet, at least one extension
+    must happen; the iteration column keeps counting and the acceptance
+    ratio stays an exact global running ratio (monotone denominators)."""
+    import jax.numpy as jnp
+
+    from odelib_tpu.distributions import LogNormal
+
+    rng = np.random.default_rng(0)
+    sig = 0.15
+    df = pd.DataFrame(
+        [{"organism": "y", "time": t,
+          "abundance": 1e6 * np.exp(-t) * np.exp(rng.normal(0, sig)),
+          "log_sigma": sig} for t in np.linspace(0.0, 3.0, 12)])
+
+    def rhs(t, y, ps):
+        (k,) = ps
+        return jnp.stack([-k * y[0]])
+
+    fw = odelib_tpu.ModelFramework(
+        ODE=rhs, parameter_names=["k"], state_names=["y"], dataframe=df,
+        t_steps=32, ode_style="jax", random_seed=0,
+        k=odelib_tpu.parameter(stats_gen=LogNormal(s=0.3, scale=1.0),
+                               hyperparameters={}, random_seed=0))
+    inits = pd.DataFrame([{"k": v} for v in (0.7, 0.9, 1.1, 1.3)])
+    post = fw.MCMC(chain_inits=inits, iterations_per_chain=100,
+                   rwalk_std=0.05, print_report=False,
+                   until_min_ess=150.0, max_extensions=10)
+    per_chain = post[post["chain#"] == 0]
+    assert len(per_chain) > 49          # extended beyond records 51..99
+    # iteration continues across extension boundaries without resets
+    its = per_chain["iteration"].to_numpy()
+    assert (np.diff(its) > 0).all()
+    assert its.max() > 99
+    ar = per_chain["acceptance_ratio"].to_numpy(float)
+    assert np.isfinite(ar).all() and (ar <= 1.0).all()
+    # global ratio consistency: counts = ar * iteration must be integral
+    counts = ar * its
+    np.testing.assert_allclose(counts, np.round(counts), atol=1e-5)
+    # the target was actually met (that's why the loop stopped)
+    from odelib_tpu.utils.diagnostics import effective_sample_size
+    z = np.log(np.stack([post[post["chain#"] == c]["k"].to_numpy(float)
+                         for c in range(4)]))
+    assert effective_sample_size(z) >= 150.0
+
+
+def test_mcmc_until_rejects_bad_combinations(zeroI):
+    inits = pd.DataFrame([{"mu": 0.6, "phi": 2.4e-8, "beta": 24.0}] * 2)
+    with pytest.raises(ValueError, match="until_rhat/until_min_ess"):
+        zeroI.MCMC(chain_inits=inits, iterations_per_chain=20,
+                   sampler="hmc", until_rhat=1.01, print_report=False)
+    with pytest.raises(ValueError, match="checkpoint"):
+        zeroI.MCMC(chain_inits=inits, iterations_per_chain=20,
+                   until_rhat=1.01, checkpoint_every=5,
+                   checkpoint_path="/tmp/x.npz", print_report=False)

@@ -395,3 +395,58 @@ def test_api_joint_hmc_checkpoint_every(tmp_path):
     assert os.path.exists(p + ".progress")
     assert len(post) == 4 * 14          # nits=30 -> records 16..29
     assert np.isfinite(post["chi"]).all()
+
+
+def test_resume_from_requires_checkpoint_every(model, tmp_path):
+    """resume_from without checkpoint_every used to be silently dropped
+    on the XLA paths (a fresh full run discarded the persisted
+    progress); now every backend rejects it up front."""
+    inits = pd.DataFrame([dict(mu=0.6, phi=2.4e-8, beta=24.0)] * 2)
+    with pytest.raises(ValueError, match="resume_from requires"):
+        model.MCMC(chain_inits=inits, iterations_per_chain=30,
+                   backend="xla", print_report=False,
+                   resume_from=str(tmp_path / "nope.progress"))
+
+
+def test_resume_rejects_edited_data(model, tmp_path):
+    """The persisted resume signature carries a content digest of the
+    observation data: resuming against a same-shaped but EDITED
+    dataframe must fail loudly instead of stitching samples from two
+    different posteriors."""
+    inits = pd.DataFrame([dict(mu=0.6, phi=2.4e-8, beta=24.0)] * 2)
+    p = str(tmp_path / "post.npz")
+    kw = dict(chain_inits=inits, iterations_per_chain=30, backend="xla",
+              checkpoint_every=8, print_report=False)
+    model.MCMC(checkpoint_path=p, **kw)
+
+    df2 = synthetic_df()
+    df2 = df2.assign(abundance=df2["abundance"] * 1.5)  # same shape
+    other = ModelFramework(
+        ODE=zero_i, parameter_names=["mu", "phi", "beta"],
+        state_names=["S", "V"], dataframe=df2, t_steps=60,
+        mu=parameter(scipy.stats.lognorm, {"s": 3, "scale": 1e-8}),
+        phi=parameter(scipy.stats.lognorm, {"s": 3, "scale": 1e-8}),
+        beta=parameter(scipy.stats.lognorm, {"s": 1, "scale": 25}))
+    with pytest.raises(ValueError, match="different MCMC configuration"):
+        other.MCMC(checkpoint_path=str(tmp_path / "post2.npz"),
+                   resume_from=p + ".progress", **kw)
+
+
+def test_resume_rejects_edited_prior(model, tmp_path):
+    """With use_priors=True the prior hyperparameters are part of the
+    target density — the resume signature must reject a changed prior."""
+    inits = pd.DataFrame([dict(mu=0.6, phi=2.4e-8, beta=24.0)] * 2)
+    p = str(tmp_path / "post.npz")
+    kw = dict(chain_inits=inits, iterations_per_chain=30, backend="xla",
+              checkpoint_every=8, use_priors=True, print_report=False)
+    model.MCMC(checkpoint_path=p, **kw)
+
+    other = ModelFramework(
+        ODE=zero_i, parameter_names=["mu", "phi", "beta"],
+        state_names=["S", "V"], dataframe=synthetic_df(), t_steps=60,
+        mu=parameter(scipy.stats.lognorm, {"s": 3, "scale": 1e-8}),
+        phi=parameter(scipy.stats.lognorm, {"s": 3, "scale": 1e-8}),
+        beta=parameter(scipy.stats.lognorm, {"s": 2, "scale": 25}))
+    with pytest.raises(ValueError, match="different MCMC configuration"):
+        other.MCMC(checkpoint_path=str(tmp_path / "post2.npz"),
+                   resume_from=p + ".progress", **kw)

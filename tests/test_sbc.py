@@ -65,3 +65,49 @@ def test_sbc_validation():
         fw.sbc(reps=8, static_parameters=["k"])
     with pytest.raises(ValueError, match="recorded"):
         fw.sbc(reps=8, iterations_per_chain=10, burnin=20)
+
+
+def _two_param_fw(seed=0, n=10, sig=0.2):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        [{"organism": "y", "time": t,
+          "abundance": 1e5 * np.exp(-0.8 * t) * np.exp(rng.normal(0, sig)),
+          "log_sigma": sig} for t in np.linspace(0.0, 2.0, n)])
+
+    def rhs(t, y, ps):
+        k, c = ps
+        return jnp.stack([-k * y[0] + 0.0 * c])
+
+    return odelib_tpu.ModelFramework(
+        ODE=rhs, parameter_names=["k", "c"], state_names=["y"],
+        dataframe=df, t_steps=24, ode_style="jax", random_seed=seed,
+        k=odelib_tpu.parameter(stats_gen=LogNormal(s=0.3, scale=0.8),
+                               hyperparameters={}, random_seed=seed),
+        c=odelib_tpu.parameter(init_value=1.0))
+
+
+def test_sbc_with_priorless_slot():
+    """Regression: a slot without a prior gets the -1 sentinel — this
+    used to crash ('assignment destination is read-only') because the
+    jitted output buffer was wrapped, not copied."""
+    fw = _two_param_fw(seed=11)
+    out = fw.sbc(reps=16, iterations_per_chain=200, thin=4, bins=4,
+                 rwalk_std=0.1, print_report=False)
+    assert list(out["ranks"].columns) == ["k"]   # only the prior slot
+    assert (out["ranks"]["k"] >= 0).all()
+
+
+def test_rank_uniformity_pvalue_integer_support():
+    """Regression: when bins does not divide n_draws+1, expected counts
+    must follow each bin's integer support. Perfectly uniform ranks
+    (every value 0..M exactly r times) must give p = 1, not a statistic
+    growing linearly with the sample count."""
+    from odelib_tpu.utils.sbc import rank_uniformity_pvalue
+
+    M, r = 100, 50                   # 101 values, bins=16 doesn't divide
+    ranks = np.tile(np.arange(M + 1), r)
+    p = rank_uniformity_pvalue(ranks, M, bins=16)
+    assert p > 0.9999, p
+    # and a genuinely skewed pile of ranks is still flagged
+    p_bad = rank_uniformity_pvalue(np.zeros(500, int), M, bins=16)
+    assert p_bad < 1e-6
