@@ -1516,6 +1516,94 @@ class ModelFramework:
             print("\n".join(lines))
         return out
 
+    def power_scale_sensitivity(self, posterior, alphas=(0.8, 1.25),
+                                threshold=0.05, print_report=True):
+        """Prior/likelihood power-scaling sensitivity of a FITTED
+        posterior (Kallioinen et al. 2023) — post-hoc, no refitting:
+        the existing draws are PSIS-reweighted to ``prior^a`` and
+        ``lik^a`` perturbations and each parameter's normalized
+        distribution shift is recorded (utils/sensitivity.py —
+        including the diagnosis table: likelihood-sensitive only is the
+        healthy case; prior-only means the prior dominates; both means
+        prior-data CONFLICT). ``posterior``: a DataFrame from
+        :meth:`MCMC`/:meth:`fit_advi` with the parameter and ``chi``
+        columns. Requires at least one parameter with a prior, and the
+        posterior should come from a PRIOR-AWARE run (``use_priors=
+        True``) — the perturbation algebra assumes the draws target
+        ``lik * prior``. No reference counterpart."""
+        from .utils.sensitivity import power_scale_sensitivity as _ps
+
+        jdists = tuple(self.parameters[p].jdist
+                       if self.parameters[p] is not None else None
+                       for p in self._pnames)
+        if all(d is None for d in jdists):
+            raise ValueError("power_scale_sensitivity needs at least one "
+                             "parameter with a prior distribution")
+        finite = posterior[np.isfinite(posterior["chi"].astype(float))]
+        thetas = np.asarray(self._theta_from_df(finite), float)
+        chi = finite["chi"].to_numpy(float)
+        # per-PARAMETER prior factors (selective scaling — see
+        # utils/sensitivity.py): dimension j's prior sensitivity scales
+        # only the prior of the parameter owning slot j
+        spec = self._spec
+        masks = (self._prior_nonzero_masks()
+                 if any(s for s in spec.pshapes)
+                 else (None,) * len(jdists))
+
+        def prior_parts(theta):
+            ps_ = spec.unpack_theta(theta)
+            outs = []
+            for d, v, mk in zip(jdists, ps_, masks):
+                if d is None:
+                    outs.append(jnp.zeros((), theta.dtype))
+                    continue
+                lp = d.logpdf(v)
+                if mk is not None:
+                    keep_m = jnp.asarray(mk, bool).reshape(jnp.shape(v))
+                    lp = jnp.where(keep_m, lp, 0.0)
+                outs.append(jnp.sum(lp))
+            return jnp.stack(outs)
+
+        parts = np.asarray(jax.vmap(prior_parts)(jnp.asarray(thetas)))
+        # expand per-parameter columns to per-SLOT columns
+        slot_cols = []
+        for i, p in enumerate(self._pnames):
+            shp = spec.pshapes[i]
+            n = int(np.prod(shp)) if shp else 1
+            slot_cols += [parts[:, i]] * n
+        log_prior = np.stack(slot_cols, axis=1)
+
+        labels = []
+        for i, p in enumerate(self._pnames):
+            shp = self._spec.pshapes[i]
+            if shp:
+                labels += [f"{p}[{k}]"
+                           for k in range(int(np.prod(shp)))]
+            else:
+                labels.append(p)
+        # keep slots that move and stay positive (log-space diagnostic);
+        # pinned zero-template entries and static params drop out
+        keep = [j for j in range(thetas.shape[1])
+                if np.ptp(thetas[:, j]) > 0 and np.all(thetas[:, j] > 0)]
+        if not keep:
+            raise ValueError("no varying positive parameter slots in the "
+                             "posterior")
+        df = _ps(np.log(thetas[:, keep]), -chi, log_prior[:, keep],
+                 alphas=tuple(alphas), threshold=float(threshold),
+                 labels=[labels[j] for j in keep])
+        if print_report:
+            lines = ["\nPower-scaling sensitivity (prior | likelihood)\n"
+                     "=============================================="]
+            for _, r in df.iterrows():
+                lines.append(
+                    f"\t{r['parameter']}: prior {r['prior_sens']:0.3f}, "
+                    f"likelihood {r['lik_sens']:0.3f}  [{r['diagnosis']}]")
+            lines.append(f"(threshold {threshold}; khat max "
+                         f"{df['khat'].max():0.2f} — reweighting reliable "
+                         f"below 0.7)")
+            print("\n".join(lines))
+        return df
+
     def sobol_sensitivity(self, samples=512, target="chi", n_boot=200,
                           print_report=True, **solver_kw) -> pd.DataFrame:
         """Variance-based global sensitivity over the priors: first-order

@@ -603,6 +603,60 @@ class JointFit:
             print("\n".join(report))
         return df
 
+    def power_scale_sensitivity(self, posterior, alphas=(0.8, 1.25),
+                                threshold=0.05, print_report=True):
+        """Prior/likelihood power-scaling sensitivity of a fitted JOINT
+        posterior (mirror of :meth:`ModelFramework.
+        power_scale_sensitivity`; Kallioinen et al. 2023): PSIS-reweight
+        the existing draws to per-slot ``prior^a`` and total ``lik^a``
+        perturbations — post-hoc, no refitting. Prior-scaling is
+        selective per joint slot; hierarchical pooling factors are NOT
+        perturbed (only the per-slot priors/hyperpriors are). Expects a
+        prior-aware posterior (``use_priors=True``, or hierarchical —
+        always prior-aware)."""
+        from .utils.sensitivity import power_scale_sensitivity as _ps
+
+        dists = self._dists()
+        if all(d is None for d in dists):
+            raise ValueError("power_scale_sensitivity needs at least one "
+                             "joint slot with a prior distribution")
+        finite = posterior[np.isfinite(posterior["chi"].astype(float))]
+        thetas = np.asarray(self._thetas_from_df(finite), float)
+        chi = finite["chi"].to_numpy(float)
+        # per-slot prior factors (host-side: heterogeneous families)
+        log_prior = np.zeros_like(thetas)
+        for j, d in enumerate(dists):
+            if d is not None:
+                log_prior[:, j] = np.asarray(
+                    d.logpdf(jnp.asarray(thetas[:, j])))
+        labels = []
+        for lab in self.columns:
+            tmpl = self._template(lab)
+            if tmpl is None:
+                labels.append(lab)
+            else:
+                labels += [f"{lab}[{i}]" for i in range(tmpl.size)]
+        keep = [j for j in range(thetas.shape[1])
+                if np.ptp(thetas[:, j]) > 0 and np.all(thetas[:, j] > 0)]
+        if not keep:
+            raise ValueError("no varying positive slots in the posterior")
+        df = _ps(np.log(thetas[:, keep]), -chi, log_prior[:, keep],
+                 alphas=tuple(alphas), threshold=float(threshold),
+                 labels=[labels[j] for j in keep])
+        if print_report:
+            lines = ["\nJoint power-scaling sensitivity "
+                     "(prior | likelihood)\n"
+                     "================================================"]
+            for _, r in df.iterrows():
+                lines.append(
+                    f"\t{r['parameter']}: prior {r['prior_sens']:0.3f}, "
+                    f"likelihood {r['lik_sens']:0.3f}  [{r['diagnosis']}]")
+            lines.append(f"(threshold {threshold}; khat max "
+                         f"{df['khat'].max():0.2f} — reweighting reliable "
+                         f"below 0.7)")
+            print("\n".join(lines))
+        return df
+
     def fit_survey(self, samples=1000, **solver_kw) -> pd.DataFrame:
         """LHS over the joint priors -> DataFrame[columns..., chi]."""
         from .samplers import sample_lhs

@@ -114,3 +114,113 @@ def test_local_sensitivity_matches_analytic():
     sens_lin = mf.local_sensitivity(log_scale=False)
     np.testing.assert_allclose(sens_lin["y"]["k"].to_numpy(),
                                expected / 0.8, rtol=1e-3)
+
+
+def test_power_scale_sensitivity_diagnoses_prior_dominance():
+    """Power-scaling (Kallioinen et al. 2023): a data-identified rate is
+    likelihood-sensitive only; an inert parameter (no effect on the
+    dynamics, posterior = its prior) is prior-sensitive only."""
+    import jax.numpy as jnp
+    import pandas as pd
+
+    import odelib_tpu
+    from odelib_tpu.distributions import LogNormal
+
+    rng = np.random.default_rng(2)
+    sig = 0.15
+    df = pd.DataFrame(
+        [{"organism": "y", "time": t,
+          "abundance": 1e6 * np.exp(-t) * np.exp(rng.normal(0, sig)),
+          "log_sigma": sig} for t in np.linspace(0.0, 3.0, 12)])
+
+    def rhs(t, y, ps):
+        k, c = ps
+        return jnp.stack([-k * y[0] + 0.0 * c])
+
+    fw = odelib_tpu.ModelFramework(
+        ODE=rhs, parameter_names=["k", "c"], state_names=["y"],
+        dataframe=df, t_steps=32, ode_style="jax", random_seed=0,
+        k=odelib_tpu.parameter(stats_gen=LogNormal(s=2.0, scale=1.0),
+                               hyperparameters={}, random_seed=0),
+        c=odelib_tpu.parameter(stats_gen=LogNormal(s=0.5, scale=1.0),
+                               hyperparameters={}, random_seed=1))
+    inits = pd.DataFrame([{"k": v, "c": c}
+                          for v, c in ((0.8, 0.6), (0.9, 0.9),
+                                       (1.1, 1.2), (1.2, 1.6))])
+    post = fw.MCMC(chain_inits=inits, iterations_per_chain=3000,
+                   rwalk_std=0.25, use_priors=True, print_report=False)
+    tab = fw.power_scale_sensitivity(post, print_report=True)
+    tab = tab.set_index("parameter")
+    # k: the data pin it, the s=2 prior is locally flat
+    assert tab.loc["k", "lik_sens"] >= 0.05, tab
+    assert tab.loc["k", "prior_sens"] < 0.05, tab
+    assert tab.loc["k", "diagnosis"] == "-"
+    # c: nothing in the likelihood touches it; its posterior IS the prior
+    assert tab.loc["c", "prior_sens"] >= 0.05, tab
+    assert tab.loc["c", "lik_sens"] < 0.05, tab
+    assert tab.loc["c", "diagnosis"] == "prior-dominated"
+
+
+def test_power_scale_sensitivity_requires_priors():
+    import jax.numpy as jnp
+    import pandas as pd
+
+    import odelib_tpu
+
+    df = pd.DataFrame(
+        [{"organism": "y", "time": t, "abundance": 1e6 * np.exp(-t),
+          "log_sigma": 0.2} for t in np.linspace(0.0, 2.0, 8)])
+
+    def rhs(t, y, ps):
+        (k,) = ps
+        return jnp.stack([-k * y[0]])
+
+    fw = odelib_tpu.ModelFramework(
+        ODE=rhs, parameter_names=["k"], state_names=["y"], dataframe=df,
+        t_steps=16, ode_style="jax", k=1.0)
+    with pytest.raises(ValueError, match="prior"):
+        fw.power_scale_sensitivity(pd.DataFrame({"k": [1.0], "chi": [1.0]}))
+
+
+def test_joint_power_scale_sensitivity():
+    """JointFit mirror: a shared rate identified by both experiments is
+    likelihood-sensitive; an inert per-experiment parameter is
+    prior-dominated."""
+    import jax.numpy as jnp
+    import pandas as pd
+
+    import odelib_tpu
+    from odelib_tpu import JointFit
+    from odelib_tpu.distributions import LogNormal
+
+    rng = np.random.default_rng(4)
+    sig = 0.15
+
+    def mk(scale, seed):
+        d = pd.DataFrame(
+            [{"organism": "y", "time": t,
+              "abundance": scale * np.exp(-t) * np.exp(rng.normal(0, sig)),
+              "log_sigma": sig} for t in np.linspace(0.0, 3.0, 10)])
+
+        def rhs(t, y, ps):
+            k, c = ps
+            return jnp.stack([-k * y[0] + 0.0 * c])
+
+        return odelib_tpu.ModelFramework(
+            ODE=rhs, parameter_names=["k", "c"], state_names=["y"],
+            dataframe=d, t_steps=24, ode_style="jax", random_seed=seed,
+            k=odelib_tpu.parameter(stats_gen=LogNormal(s=2.0, scale=1.0),
+                                   hyperparameters={}, random_seed=seed),
+            c=odelib_tpu.parameter(stats_gen=LogNormal(s=0.5, scale=1.0),
+                                   hyperparameters={}, random_seed=seed))
+
+    jf = JointFit({"a": mk(1e6, 0), "b": mk(3e5, 1)}, shared=["k"])
+    post = jf.MCMC(chain_inits=4, iterations_per_chain=3000,
+                   fitsurvey_samples=64, rwalk_std=0.25,
+                   use_priors=True, print_report=False, backend="xla")
+    tab = jf.power_scale_sensitivity(post, print_report=True)
+    tab = tab.set_index("parameter")
+    assert tab.loc["k", "lik_sens"] >= 0.05
+    assert tab.loc["k", "diagnosis"] == "-"
+    assert tab.loc["a:c", "prior_sens"] >= 0.05
+    assert tab.loc["a:c", "diagnosis"] == "prior-dominated"
