@@ -603,6 +603,81 @@ class JointFit:
             print("\n".join(report))
         return df
 
+    def _extend_until(self, out, run_more, *, n_chains, nits, mask,
+                      until_rhat, until_min_ess, max_extensions):
+        """Joint mirror of :meth:`ModelFramework._extend_until`: extend
+        a finished joint MH run in whole-run increments (chains restart
+        from their final states — exact continuation) until the pooled
+        posterior meets the split-R-hat / min-ESS targets, stitching
+        records (incl. per-experiment chi parts) with exact global
+        running acceptance ratios and a continuing iteration column."""
+        import warnings
+
+        from .samplers.joint import JointOutput
+        from .utils.diagnostics import effective_sample_size, split_rhat
+        from .utils.profiling import get_logger
+
+        theta = np.asarray(out.theta)
+        chi = np.asarray(out.chi)
+        parts = np.asarray(out.chi_parts)
+        ar = np.asarray(out.acceptance_ratio)
+        iteration = np.asarray(out.iteration)
+        total = int(iteration[-1])
+        counts = ar[:, -1] * total
+        mask_flat = np.ravel(np.asarray(mask, float))
+        walked = [j for j in range(theta.shape[-1]) if mask_flat[j] != 0]
+
+        def worst():
+            th = theta[:n_chains]
+            max_rh, min_ess = 0.0, float("inf")
+            for j in walked:
+                x = th[:, :, j].astype(float)
+                if np.allclose(x, x.flat[0]):
+                    continue
+                z = np.log(x) if np.all(x > 0) else x
+                max_rh = max(max_rh, float(split_rhat(z)))
+                min_ess = min(min_ess, float(effective_sample_size(z)))
+            return max_rh, min_ess
+
+        for ext in range(max_extensions + 1):
+            max_rh, min_ess = worst()
+            ok = ((until_rhat is None or max_rh <= until_rhat)
+                  and (until_min_ess is None or min_ess >= until_min_ess))
+            if ok:
+                if ext:
+                    get_logger().info(
+                        "joint run converged after %d extension(s): max "
+                        "split-rhat %.4f, min ESS %.0f", ext, max_rh,
+                        min_ess)
+                break
+            if ext == max_extensions:
+                warnings.warn(
+                    f"joint run-length extension cap reached "
+                    f"(max_extensions={max_extensions}) without meeting "
+                    f"the targets: max split-rhat {max_rh:.4f} (target "
+                    f"{until_rhat}), min ESS {min_ess:.0f} (target "
+                    f"{until_min_ess})")
+                break
+            get_logger().info(
+                "extending joint run (%d/%d): max split-rhat %.4f, min "
+                "ESS %.0f", ext + 1, max_extensions, max_rh, min_ess)
+            more = run_more(theta[:, -1, :], ext + 1)
+            its = np.arange(1, nits)
+            m_ar = np.asarray(more.acceptance_ratio)
+            m_counts = m_ar * its[None, :]
+            ar = np.concatenate(
+                [ar, (counts[:, None] + m_counts) / (total + its)[None, :]],
+                axis=1)
+            theta = np.concatenate([theta, np.asarray(more.theta)], axis=1)
+            chi = np.concatenate([chi, np.asarray(more.chi)], axis=1)
+            parts = np.concatenate([parts, np.asarray(more.chi_parts)],
+                                   axis=1)
+            iteration = np.concatenate([iteration, total + its])
+            counts = counts + m_counts[:, -1]
+            total += nits - 1
+        return JointOutput(theta=theta, chi=chi, chi_parts=parts,
+                           acceptance_ratio=ar, iteration=iteration)
+
     def power_scale_sensitivity(self, posterior, alphas=(0.8, 1.25),
                                 threshold=0.05, print_report=True):
         """Prior/likelihood power-scaling sensitivity of a fitted JOINT
@@ -685,6 +760,7 @@ class JointFit:
              burnin=None, static_parameters=(), print_report=True,
              backend="auto", sampler="mh", n_leapfrog=4, step_size=0.02,
              path_adapt=False, dense_mass=False,
+             until_rhat=None, until_min_ess=None, max_extensions=8,
              checkpoint_every=None, checkpoint_path=None,
              resume_from=None, pallas_tile_chains=None,
              pallas_interpret=False, **solver_kw) -> pd.DataFrame:
@@ -883,6 +959,66 @@ class JointFit:
                     out = joint_metropolis_hastings(
                         specs, idxs, obs, times, y0s, margs[0], margs[1],
                         **mh_kw)
+
+        if until_rhat is not None or until_min_ess is not None:
+            if sampler != "mh":
+                raise ValueError(
+                    "until_rhat/until_min_ess run-length extension is "
+                    "supported for sampler='mh'")
+            if checkpoint_every is not None or resume_from is not None:
+                raise ValueError(
+                    "until_rhat/until_min_ess cannot be combined with "
+                    "checkpointing (the extension count is data-dependent)")
+            if backend == "pallas":
+                from .parallel import chain_mesh as _cm
+                from .ops.pallas_joint import joint_metropolis_hastings_fused
+
+                def run_more(th_last, salt):
+                    return joint_metropolis_hastings_fused(
+                        specs, idxs,
+                        tuple(self.frameworks[nm]._obsdata_fit_host
+                              for nm in self.frameworks),
+                        tuple(np.asarray(self.frameworks[nm]._times_fit)
+                              for nm in self.frameworks),
+                        tuple(np.asarray(fw.get_inits())
+                              for fw in self.frameworks.values()),
+                        np.asarray(th_last, np.float32),
+                        seed=int(self.random_seed) + 104729 * salt,
+                        nits=nits, burnin=0, walk_mask=mask,
+                        rwalk_std=float(rwalk_std),
+                        stepper="rk4" if method == "rk4" else "dopri5",
+                        substeps_list=subs,
+                        priors=tuple(dists) if use_priors else None,
+                        tile_chains=(None if pallas_tile_chains is None
+                                     else int(pallas_tile_chains)),
+                        interpret=bool(pallas_interpret),
+                        mesh=_cm() if (jax.device_count() > 1
+                                       and not pallas_interpret) else None)
+            else:
+                from .parallel import chain_mesh as _cm
+                from .parallel import shard_chain_batch as _scb
+                mesh2 = _cm()
+                bkey = jax.random.PRNGKey(self.random_seed)
+                dtype2 = jnp.result_type(float)
+
+                def run_more(th_last, salt):
+                    C2 = th_last.shape[0]
+                    keys2 = jax.vmap(lambda i: jax.random.fold_in(
+                        bkey, salt * 1_000_003 + i))(jnp.arange(C2))
+                    m2 = _scb((jnp.asarray(th_last, dtype2), keys2), mesh2)
+                    return joint_metropolis_hastings(
+                        specs, idxs, obs, times, y0s, m2[0], m2[1],
+                        nits=nits, burnin=0,
+                        walk_mask=jnp.asarray(mask, dtype2),
+                        rwalk_std=float(rwalk_std),
+                        prior_logpdf=prior_logpdf,
+                        use_priors=use_priors_eff, method=method,
+                        substeps_list=subs)
+
+            out = self._extend_until(
+                out, run_more, n_chains=n_chains, nits=nits, mask=mask,
+                until_rhat=until_rhat, until_min_ess=until_min_ess,
+                max_extensions=int(max_extensions))
 
         theta = np.asarray(out.theta)[:n_chains]   # (C, R, D)
         C, R, D = theta.shape

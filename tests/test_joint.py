@@ -478,3 +478,30 @@ def test_joint_prior_closure_refreshes_after_prior_change():
     f2 = jf._joint_prior_logpdf()
     lp2 = float(f2(th))
     assert np.isfinite(lp1) and np.isfinite(lp2) and lp1 != lp2
+
+
+def test_joint_until_converged_extends_run():
+    """JointFit.MCMC(until_min_ess=...): extends in whole-run increments
+    from the chains' final states until the pooled joint posterior
+    meets the target; iteration keeps counting and acceptance ratios
+    stay exact global running ratios."""
+    fw1, fw2 = _two_fws()
+    jf = JointFit({"a": fw1, "b": fw2}, shared=["k"])
+    post = jf.MCMC(chain_inits=4, iterations_per_chain=100,
+                   fitsurvey_samples=64, rwalk_std=0.05,
+                   print_report=False, backend="xla",
+                   until_min_ess=120.0, max_extensions=10)
+    per_chain = post[post["chain#"] == 0]
+    its = per_chain["iteration"].to_numpy()
+    assert its.max() > 99                   # at least one extension
+    assert (np.diff(its) > 0).all()
+    ar = per_chain["acceptance_ratio"].to_numpy(float)
+    counts = ar * its
+    np.testing.assert_allclose(counts, np.round(counts), atol=1e-5)
+    from odelib_tpu.utils.diagnostics import effective_sample_size
+    z = np.log(np.stack([post[post["chain#"] == c]["k"].to_numpy(float)
+                         for c in range(4)]))
+    assert effective_sample_size(z) >= 120.0
+    with pytest.raises(ValueError, match="until_rhat/until_min_ess"):
+        jf.MCMC(chain_inits=2, iterations_per_chain=20, sampler="hmc",
+                until_rhat=1.01, print_report=False, fitsurvey_samples=16)
