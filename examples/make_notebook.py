@@ -316,6 +316,37 @@ posterior_hmc = zeroI.MCMC(chain_inits=N_CHAINS,
 zeroI.diagnostics(posterior_hmc)"""),
     (C, "zeroI.get_chi_sensitivity()   # d chi / d log-parameter at the best fit"),
     (M, """\
+# Evidence-driven run length, dense-metric HMC, prior sensitivity
+
+Three round-3 conveniences on the same machinery:
+
+* `until_rhat` / `until_min_ess` — stop guessing the iteration count:
+  the run extends from its final chain states (exact MCMC continuation)
+  until the pooled posterior meets the convergence targets;
+* `dense_mass=True` — HMC with the FULL cross-chain covariance metric
+  (Cholesky per warmup refresh) for strongly correlated parameters;
+* `power_scale_sensitivity` — PSIS-reweight the finished draws to
+  `prior^a` / `lik^a` perturbations (Kallioinen et al. 2023) and flag
+  prior-dominated or prior-data-conflict parameters, with no refitting."""),
+    (C, """\
+posterior_conv = zeroI.MCMC(chain_inits=N_CHAINS,
+                            iterations_per_chain=N_ITERS,
+                            fitsurvey_samples=N_SURVEY,
+                            sd_fitdistance=6.0, rwalk_std=0.2,
+                            until_rhat=1.05, max_extensions=4,
+                            print_report=False)
+print(f"{posterior_conv['iteration'].max()} total proposals per chain "
+      f"(requested {N_ITERS}); extensions ran until split-rhat <= 1.05")
+zeroI.diagnostics(posterior_conv)"""),
+    (C, """\
+posterior_dense = zeroI.MCMC(chain_inits=N_CHAINS,
+                             iterations_per_chain=max(N_ITERS // 4, 50),
+                             fitsurvey_samples=N_SURVEY,
+                             sd_fitdistance=6.0, sampler='hmc',
+                             dense_mass=True, use_priors=True,
+                             print_report=False)
+_ = zeroI.power_scale_sensitivity(posterior_dense)"""),
+    (M, """\
 # Bayesian model comparison: evidence and predictive criteria
 
 AIC ranks single best fits. With the posterior machinery on device we can

@@ -335,3 +335,26 @@ def test_dense_mass_checkpoint_kill_and_resume(problem, tmp_path):
                                   np.asarray(plain.theta))
     np.testing.assert_array_equal(np.asarray(resumed.chi),
                                   np.asarray(plain.chi))
+
+
+def test_warmup_rejuvenation_rescues_stuck_chain():
+    """A chain seeded on a NaN plateau never accepts; at the warmup
+    boundary it must restart from a random well-mixing peer (resampling
+    within the warm ensemble — exact, since recording hasn't started)
+    instead of recording its seed for the whole run."""
+    from odelib_tpu.samplers.hmc import hamiltonian_mc_custom
+
+    def chi_fn(theta):
+        z = jnp.log(theta)[0]
+        return jnp.where(jnp.abs(z) > 20.0, jnp.nan, 0.5 * z * z)
+
+    rng = np.random.default_rng(0)
+    C = 16
+    th0 = np.exp(rng.normal(0, 1, (C, 1)))
+    th0[0, 0] = np.exp(30.0)      # every proposal from here is rejected
+    keys = jax.random.split(jax.random.PRNGKey(0), C)
+    out = hamiltonian_mc_custom(chi_fn, jnp.asarray(th0), keys,
+                                nits=200, burnin=100, n_leapfrog=4)
+    z0 = np.log(np.asarray(out.theta)[0, :, 0])
+    assert np.all(np.abs(z0) < 20.0), "chain 0 still on the NaN plateau"
+    assert float(np.asarray(out.acceptance_ratio)[0, -1]) > 0.05
