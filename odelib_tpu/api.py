@@ -256,6 +256,26 @@ class ModelFramework:
     including the fused Pallas MCMC kernel) is a uniform int, a per-interval
     schedule, or 'auto' — calibrate the schedule from the adaptive solver's
     accepted-step counts at MCMC time (:mod:`odelib_tpu.ops.schedule`).
+
+    ``obs_model`` selects the likelihood the data is scored with
+    (:func:`odelib_tpu.stats.obs_negloglik`) — everywhere: every sampler
+    on both backends (the fused Pallas kernels compile the chosen formula
+    in-kernel), surveys, ``get_chi``, predictive checks, WAIC/LOO and SBC:
+
+    * ``'lognormal'`` (default) — the reference's reduced chi-square in
+      log space at each point's ``log_sigma``.
+    * ``'student_t'`` — heavy-tailed robust fit in log space;
+      ``obs_param`` = degrees of freedom (default 4.0). Single outliers
+      get down-weighted instead of dominating the posterior.
+    * ``'poisson'`` — raw COUNT data (zeros welcome); the model state is
+      the Poisson intensity. ``log_sigma`` is ignored for scoring.
+    * ``'negbinom'`` — overdispersed counts; ``obs_param`` = dispersion
+      ``r`` (variance = mean + mean^2/r; required).
+
+    The reference can score only the lognormal case
+    (``/root/reference/ODElib/Statistics/stats.py:22-41``); count data —
+    ubiquitous in the reference's own target domain (plaque assays,
+    colony counts, sequencing reads) — has no valid likelihood there.
     """
 
     _SOLVER_KEYS = ("method", "rtol", "atol", "max_steps", "substeps")
@@ -263,11 +283,14 @@ class ModelFramework:
     def __init__(self, ODE, parameter_names, state_names, dataframe=None,
                  state_summations=None, t_end=5, t_steps=1000, random_seed=0,
                  ode_style="auto", method="dopri5", rtol=1e-6, atol=1e-4,
-                 max_steps=4096, substeps=4, **kwargs):
+                 max_steps=4096, substeps=4, obs_model="lognormal",
+                 obs_param=None, **kwargs):
         self._pnames = tuple(parameter_names)
         self._snames = tuple(state_names)
         self._model = ODE
         self._ode_style = ode_style
+        self._obs_model = obs_model
+        self._obs_param = obs_param
         self._solver = dict(method=method, rtol=float(rtol), atol=float(atol),
                             max_steps=int(max_steps),
                             substeps=_norm_substeps_arg(substeps))
@@ -332,7 +355,9 @@ class ModelFramework:
     # ------------------------------------------------------------------
     def _build_spec(self, state_summations) -> ModelSpec:
         rhs = self._adapt_rhs(self._model)
-        return make_spec(rhs, self._pnames, self._snames, state_summations)
+        return make_spec(rhs, self._pnames, self._snames, state_summations,
+                         obs_model=self._obs_model,
+                         obs_param=self._obs_param)
 
     def _refresh_pshapes(self):
         """Rebuild the spec when a parameter's value shape changes (array
@@ -350,7 +375,9 @@ class ModelFramework:
         if shapes != self._spec.pshapes:
             self._spec = make_spec(
                 self._spec.rhs, self._pnames, self._snames,
-                getattr(self, "_state_summations", None), pshapes=shapes)
+                getattr(self, "_state_summations", None), pshapes=shapes,
+                obs_model=self._spec.obs_model,
+                obs_param=self._spec.obs_param or None)
 
     def _adapt_rhs(self, f):
         style = self._ode_style
@@ -659,10 +686,14 @@ class ModelFramework:
         O, C, S = [], [], []
         for sname in mod_dict:
             O.append(self._obs_logabundance[sname])
-            C.append(np.log(mod_dict[sname]))
+            C.append(np.asarray(mod_dict[sname], float))
             S.append(self._obs_logsigma[sname])
-        return float(jstats.chi(np.concatenate(O), np.concatenate(C),
-                                np.concatenate(S)))
+        O, C, S = np.concatenate(O), np.concatenate(C), np.concatenate(S)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            logC = np.log(C)
+        return float(jstats.obs_negloglik(
+            self._spec.obs_model, self._spec.obs_param,
+            O, logC, S, np.exp(O), C))
 
     def get_Rsqrd(self, mod_dict):
         abundance = {el: np.exp(self._obs_logabundance[el])
@@ -1293,6 +1324,46 @@ class ModelFramework:
             jnp.asarray(thetas, dtype),
             method, rtol, atol, max_steps, substeps))
 
+    def _pointwise_loglik(self, logpred):
+        """(draws, obs) EXACT pointwise log-likelihood matrix (constants
+        included — WAIC/LOO need true densities, unlike the samplers'
+        constant-free chi) under the framework's observation model, plus
+        the valid-observation mask. ``logpred``: (draws, obs) log
+        predictions at the observation points."""
+        from scipy.special import gammaln
+
+        obs = self._obsdata_fit_host
+        m = self._spec.obs_model
+        nu_or_r = self._spec.obs_param
+        S_ = np.asarray(obs.log_sigma, np.float64)
+        if m in ("poisson", "negbinom"):
+            O = np.asarray(obs.abundance, np.float64)
+            valid = np.isfinite(O)
+            with np.errstate(over="ignore"):
+                lam = np.exp(logpred)
+            if m == "poisson":
+                ll = (O[None, :] * logpred - lam
+                      - gammaln(O + 1.0)[None, :])
+            else:
+                r = nu_or_r
+                ll = (gammaln(O + r) - gammaln(r) - gammaln(O + 1.0)
+                      )[None, :] \
+                    + r * np.log(r / (r + lam)) \
+                    + O[None, :] * (logpred - np.log(r + lam))
+            return ll, valid
+        O = np.asarray(obs.log_abundance, np.float64)
+        valid = np.isfinite(O)
+        t = (O[None, :] - logpred) / S_[None, :]
+        if m == "student_t":
+            nu = nu_or_r
+            ll = (gammaln((nu + 1.0) / 2.0) - gammaln(nu / 2.0)
+                  - 0.5 * np.log(nu * np.pi) - np.log(S_[None, :])
+                  - 0.5 * (nu + 1.0) * np.log1p(t * t / nu))
+        else:
+            ll = (-0.5 * t * t - np.log(S_[None, :])
+                  - 0.5 * np.log(2.0 * np.pi))
+        return ll, valid
+
     def information_criteria(self, posterior, n_draws=400,
                              print_report=True, **solver_kw):
         """WAIC and PSIS-LOO predictive model comparison from an MCMC (or
@@ -1315,13 +1386,7 @@ class ModelFramework:
         from .utils import model_comparison as _mc
 
         logpred = self._posterior_logpred(posterior, n_draws, solver_kw)
-
-        obs = self._obsdata_fit_host
-        O = np.asarray(obs.log_abundance, np.float64)
-        S_ = np.asarray(obs.log_sigma, np.float64)
-        valid = np.isfinite(O)
-        ll = (-(O[None, :] - logpred) ** 2 / (2.0 * S_[None, :] ** 2)
-              - np.log(S_[None, :]) - 0.5 * np.log(2.0 * np.pi))
+        ll, valid = self._pointwise_loglik(logpred)
         ll = ll[:, valid]
         finite_rows = np.all(np.isfinite(ll), axis=1)
         if not finite_rows.all():
@@ -1390,12 +1455,37 @@ class ModelFramework:
 
     def _predictive_summary(self, logpred, ci, print_report, label):
         """Shared coverage summary for prior/posterior predictive checks:
-        add observation noise, form per-point CIs, report coverage."""
+        add observation noise FROM THE FRAMEWORK'S OBSERVATION MODEL, form
+        per-point CIs, report coverage. Log-space models compare in log
+        abundance (column ``log_abundance``); count models simulate counts
+        and compare in linear space (column ``abundance``)."""
         obs = self._obsdata_fit_host
-        O = np.asarray(obs.log_abundance, float)
         Sg = np.asarray(obs.log_sigma, float)
         rng = np.random.default_rng(self.random_seed)
-        sims = logpred + rng.normal(0.0, Sg[None, :], logpred.shape)
+        m = self._spec.obs_model
+        if m in ("poisson", "negbinom"):
+            O = np.asarray(obs.abundance, float)
+            with np.errstate(over="ignore"):
+                lam = np.exp(logpred)
+            lam_ok = np.isfinite(lam)
+            # counts overflow int64 well before float lam does — such
+            # points are masked back to NaN below anyway
+            lam_s = np.clip(np.where(lam_ok, lam, 0.0), 0.0, 1e15)
+            if m == "poisson":
+                sims = rng.poisson(lam_s).astype(float)
+            else:
+                r = self._spec.obs_param
+                sims = rng.poisson(rng.gamma(r, lam_s / r)).astype(float)
+            sims = np.where(lam_ok, sims, np.nan)
+            value_col = "abundance"
+        else:
+            O = np.asarray(obs.log_abundance, float)
+            if m == "student_t":
+                eps = rng.standard_t(self._spec.obs_param, logpred.shape)
+            else:
+                eps = rng.normal(0.0, 1.0, logpred.shape)
+            sims = logpred + Sg[None, :] * eps
+            value_col = "log_abundance"
         alpha = (1.0 - float(ci)) / 2.0
         lo = np.nanquantile(sims, alpha, axis=0)
         hi = np.nanquantile(sims, 1.0 - alpha, axis=0)
@@ -1409,7 +1499,7 @@ class ModelFramework:
         summary = pd.DataFrame({
             "organism": [snames[i] for i in sidx],
             "time": times[tidx],
-            "log_abundance": O,
+            value_col: O,
             "pred_median": med, "pred_lo": lo, "pred_hi": hi,
             "covered": covered,
         }).loc[valid]

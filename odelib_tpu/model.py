@@ -57,6 +57,13 @@ class ModelSpec:
     post_snames: Tuple[str, ...] = None
     # per raw state: flat index into theta of the '<sname>0' parameter, or -1
     init_pidx: Tuple[int, ...] = None
+    # observation model: how trajectories are scored against the data
+    # (stats.obs_negloglik). 'lognormal' is the reference's only model;
+    # 'student_t' (obs_param = dof), 'poisson', 'negbinom' (obs_param =
+    # dispersion r) extend it. Static + hashable, so every jitted sampler
+    # and both Pallas kernels specialize on it at compile time.
+    obs_model: str = "lognormal"
+    obs_param: float = 0.0
 
     def __post_init__(self):
         if self.pshapes is None:
@@ -122,10 +129,34 @@ class ModelSpec:
         return jnp.where(idx >= 0, gathered, y0)
 
 
+OBS_MODELS = ("lognormal", "student_t", "poisson", "negbinom")
+
+
 def make_spec(rhs, pnames, snames, state_summations=None,
-              pshapes=None) -> ModelSpec:
+              pshapes=None, obs_model="lognormal",
+              obs_param=None) -> ModelSpec:
     """Build a ModelSpec, validating summations exactly like
-    ``Framework.py:349-364`` (duplicate state / unknown state errors)."""
+    ``Framework.py:349-364`` (duplicate state / unknown state errors).
+
+    ``obs_model`` selects the likelihood the data is scored with
+    (:func:`odelib_tpu.stats.obs_negloglik`); ``obs_param`` is its shape
+    parameter — Student-t degrees of freedom (default 4.0) or negative-
+    binomial dispersion ``r`` (required, > 0)."""
+    if obs_model not in OBS_MODELS:
+        raise ValueError(f"obs_model must be one of {OBS_MODELS}, "
+                         f"got {obs_model!r}")
+    if obs_model == "student_t":
+        obs_param = 4.0 if obs_param is None else float(obs_param)
+        if obs_param <= 0:
+            raise ValueError("student_t obs_param (degrees of freedom) "
+                             "must be > 0")
+    elif obs_model == "negbinom":
+        if obs_param is None or float(obs_param) <= 0:
+            raise ValueError("negbinom requires obs_param = dispersion r "
+                             "> 0 (variance = mean + mean^2/r)")
+        obs_param = float(obs_param)
+    else:
+        obs_param = 0.0
     pnames = tuple(pnames)
     snames = tuple(snames)
     sum_matrix = None
@@ -166,7 +197,8 @@ def make_spec(rhs, pnames, snames, state_summations=None,
         post_snames = tuple(post)
     return ModelSpec(rhs=rhs, pnames=pnames, snames=snames,
                      pshapes=pshapes, sum_matrix=sum_matrix,
-                     post_snames=post_snames)
+                     post_snames=post_snames, obs_model=obs_model,
+                     obs_param=obs_param)
 
 
 # ---------------------------------------------------------------------------
@@ -200,12 +232,24 @@ def observe(spec: ModelSpec, obs: ObsData, ys):
     return post[obs.t_index, obs.state_index]
 
 
+def score_pred(spec: ModelSpec, obs: ObsData, pred):
+    """Generalized chi of linear-space predictions at the observation
+    points — dispatches on the spec's observation model (lognormal =
+    the reference's reduced chi-square; student_t / poisson / negbinom
+    are the framework's extensions, :func:`odelib_tpu.stats.
+    obs_negloglik`)."""
+    return jstats.obs_negloglik(
+        spec.obs_model, spec.obs_param, obs.log_abundance, jnp.log(pred),
+        obs.log_sigma, obs.abundance, pred)
+
+
 def fit_metrics(spec: ModelSpec, obs: ObsData, ys, num_params):
     """chi, R^2, AIC of a trajectory against the observations — the fused
     equivalent of ``get_chi`` / ``get_Rsqrd`` / ``get_AIC``
-    (``Framework.py:685-712``)."""
+    (``Framework.py:685-712``). ``chi`` generalizes to the spec's
+    observation model (:func:`score_pred`)."""
     pred = observe(spec, obs, ys)
-    chi = jstats.chi(obs.log_abundance, jnp.log(pred), obs.log_sigma)
+    chi = score_pred(spec, obs, pred)
     rsq = jstats.rsqrd_flat(pred, obs.abundance, obs.sstot)
     aic = jstats.AIC(chi, num_params)
     return chi, rsq, aic
@@ -217,4 +261,4 @@ def chi_of_theta(spec: ModelSpec, obs: ObsData, theta, y0, times, **ikw):
     y0 = spec.override_inits(y0, theta)
     ys = integrate_theta(spec, theta, y0, times, **ikw)
     pred = observe(spec, obs, ys)
-    return jstats.chi(obs.log_abundance, jnp.log(pred), obs.log_sigma)
+    return score_pred(spec, obs, pred)

@@ -296,6 +296,7 @@ def _build_plan(spec: ModelSpec, obs: ObsData, times, substeps):
     state_index = np.asarray(obs.state_index)
     log_ab = np.asarray(obs.log_abundance, np.float64)
     log_sig = np.asarray(obs.log_sigma, np.float64)
+    abund = np.asarray(obs.abundance, np.float64)
 
     # post-summation state j -> tuple of raw-state member indices
     if spec.sum_matrix is not None:
@@ -305,11 +306,21 @@ def _build_plan(spec: ModelSpec, obs: ObsData, times, substeps):
     else:
         members = tuple((j,) for j in range(len(spec.snames)))
 
+    # statically drop observations the XLA path masks out (stats.
+    # obs_negloglik): invalid log-abundance for the log-space models,
+    # invalid linear abundance for the count models (where O=0, i.e.
+    # log_O=-inf, is a VALID observation)
+    if spec.obs_model in ("poisson", "negbinom"):
+        keep = np.isfinite(abund)
+    else:
+        keep = np.isfinite(log_ab)
     obs_after = [[] for _ in range(len(times))]
     for o in range(len(log_ab)):
+        if not keep[o]:
+            continue
         obs_after[int(t_index[o])].append(
             (members[int(state_index[o])], float(log_ab[o]),
-             float(log_sig[o]), float(np.exp(log_ab[o]))))
+             float(log_sig[o]), float(abund[o])))
 
     substeps = _normalize_substeps(substeps, len(times) - 1)
     step_ts = []
@@ -387,6 +398,8 @@ def _make_scorer(spec: ModelSpec, plan: _StaticPlan, y0_base, stepper):
         return jnp.stack(list(spec.rhs(t, y,
                                        _assemble_params(spec, theta_list))))
 
+    obs_model, obs_param = spec.obs_model, spec.obs_param
+
     def contrib(y, gi, chi, ssres):
         for mem, lab, lsig, ab in plan.obs_after[gi]:
             pred = sum(y[m] for m in mem) if len(mem) > 1 else y[mem[0]]
@@ -395,8 +408,27 @@ def _make_scorer(spec: ModelSpec, plan: _StaticPlan, y0_base, stepper):
             # the same semantics as the XLA path and the reference
             # (a clamp would instead hand the chain a huge-but-finite chi
             # that hides the blow-up; VERDICT r2 weak 8)
-            c = jnp.log(pred)
-            chi = chi + (lab - c) ** 2 / (2.0 * lsig * lsig)
+            # obs_model is static per spec: exactly one branch compiles
+            # (formulas = stats.obs_negloglik with per-obs constants
+            # lab/lsig/ab inlined)
+            if obs_model == "student_t":
+                t = (lab - jnp.log(pred)) / lsig
+                chi = chi + (0.5 * (obs_param + 1.0)
+                             * jnp.log1p(t * t / obs_param))
+            elif obs_model == "poisson":
+                term = pred - (ab * jnp.log(pred) if ab > 0 else 0.0)
+                chi = chi + jnp.where(pred >= 0, term, jnp.nan)
+            elif obs_model == "negbinom":
+                # log1p forms match stats.obs_negloglik (f32 cancellation
+                # when pred >> r)
+                r = obs_param
+                term = r * jnp.log1p(pred / r)
+                if ab > 0:
+                    term = term + ab * jnp.log1p(r / pred)
+                chi = chi + jnp.where(pred >= 0, term, jnp.nan)
+            else:
+                c = jnp.log(pred)
+                chi = chi + (lab - c) ** 2 / (2.0 * lsig * lsig)
             ssres = ssres + (pred - ab) ** 2
         return chi, ssres
 

