@@ -226,6 +226,159 @@ class Gamma(Distribution):
 
 
 @_dc
+class Exponential(Distribution):
+    """scipy.stats.expon(loc, scale): rate = 1/scale."""
+    loc: Any = 0.0
+    scale: Any = 1.0
+
+    def logpdf(self, x):
+        y = (x - self.loc) / self.scale
+        return jnp.where(y >= 0, -y - jnp.log(self.scale), -jnp.inf)
+
+    def cdf(self, x):
+        y = (x - self.loc) / self.scale
+        return jnp.where(y >= 0, -jnp.expm1(-jnp.maximum(y, 0.0)), 0.0)
+
+    def ppf(self, q):
+        return self.loc - self.scale * jnp.log1p(-q)
+
+    def fit(self, data):
+        """MLE with loc fixed at 0 (scipy: expon.fit(data, floc=0))."""
+        return Exponential(loc=0.0, scale=jnp.mean(jnp.asarray(data)))
+
+
+@_dc
+class Cauchy(Distribution):
+    """scipy.stats.cauchy(loc, scale)."""
+    loc: Any = 0.0
+    scale: Any = 1.0
+
+    def logpdf(self, x):
+        z = (x - self.loc) / self.scale
+        return -jnp.log1p(z * z) - jnp.log(jnp.pi * self.scale)
+
+    def cdf(self, x):
+        z = (x - self.loc) / self.scale
+        return 0.5 + jnp.arctan(z) / jnp.pi
+
+    def ppf(self, q):
+        return self.loc + self.scale * jnp.tan(jnp.pi * (q - 0.5))
+
+    def fit(self, data):
+        """Robust quantile estimate (median; half the IQR)."""
+        d = jnp.asarray(data)
+        q25, q50, q75 = jnp.percentile(d, jnp.asarray([25.0, 50.0, 75.0]))
+        return Cauchy(loc=q50, scale=0.5 * (q75 - q25))
+
+
+@_dc
+class HalfNormal(Distribution):
+    """scipy.stats.halfnorm(loc, scale): |Z| scaled — a standard weakly-
+    informative prior for scales (Gelman 2006)."""
+    loc: Any = 0.0
+    scale: Any = 1.0
+
+    def logpdf(self, x):
+        z = (x - self.loc) / self.scale
+        out = (0.5 * jnp.log(2.0 / jnp.pi) - jnp.log(self.scale)
+               - 0.5 * z * z)
+        return jnp.where(z >= 0, out, -jnp.inf)
+
+    def cdf(self, x):
+        z = (x - self.loc) / self.scale
+        return jnp.where(z >= 0, 2.0 * jsp.ndtr(jnp.maximum(z, 0.0)) - 1.0,
+                         0.0)
+
+    def ppf(self, q):
+        return self.loc + self.scale * jsp.ndtri(0.5 * (1.0 + q))
+
+    def fit(self, data):
+        """MLE with loc fixed at 0: scale^2 = mean(x^2)."""
+        d = jnp.asarray(data)
+        return HalfNormal(loc=0.0, scale=jnp.sqrt(jnp.mean(d * d)))
+
+
+@_dc
+class Weibull(Distribution):
+    """scipy.stats.weibull_min(c, loc, scale)."""
+    c: Any = 1.0
+    loc: Any = 0.0
+    scale: Any = 1.0
+
+    def logpdf(self, x):
+        y = (x - self.loc) / self.scale
+        ly = jnp.log(jnp.where(y > 0, y, 1.0))
+        out = (jnp.log(self.c) - jnp.log(self.scale)
+               + (self.c - 1.0) * ly - jnp.exp(self.c * ly))
+        return jnp.where(y > 0, out, -jnp.inf)
+
+    def cdf(self, x):
+        y = (x - self.loc) / self.scale
+        return jnp.where(y > 0,
+                         -jnp.expm1(-jnp.maximum(y, 0.0) ** self.c), 0.0)
+
+    def ppf(self, q):
+        return self.loc + self.scale * (-jnp.log1p(-q)) ** (1.0 / self.c)
+
+
+@_dc
+class Beta(Distribution):
+    """scipy.stats.beta(a, b, loc, scale): support [loc, loc+scale]."""
+    a: Any = 1.0
+    b: Any = 1.0
+    loc: Any = 0.0
+    scale: Any = 1.0
+
+    def _betaln(self):
+        return (jsp.gammaln(self.a) + jsp.gammaln(self.b)
+                - jsp.gammaln(self.a + self.b))
+
+    def logpdf(self, x):
+        y = (x - self.loc) / self.scale
+        inside = (y > 0) & (y < 1)
+        ys = jnp.where(inside, y, 0.5)
+        out = ((self.a - 1.0) * jnp.log(ys)
+               + (self.b - 1.0) * jnp.log1p(-ys)
+               - self._betaln() - jnp.log(self.scale))
+        return jnp.where(inside, out, -jnp.inf)
+
+    def cdf(self, x):
+        y = jnp.clip((x - self.loc) / self.scale, 0.0, 1.0)
+        return jsp.betainc(self.a, self.b, y)
+
+    def ppf(self, q):
+        """Newton on the regularized incomplete beta, in logit space for
+        (0, 1) positivity — the same guarded-Newton recipe as
+        :meth:`Gamma.ppf`."""
+        a, b = self.a, self.b
+        eps = jnp.finfo(jnp.result_type(float)).eps
+        q = jnp.clip(q, eps, 1.0 - eps)
+        betaln = self._betaln()
+        # mean as the seed; logit-space Newton reaches the tails anyway
+        x0 = jnp.clip(a / (a + b), 1e-6, 1.0 - 1e-6)
+
+        def body(_, u):
+            x = jax.nn.sigmoid(u)
+            f = jsp.betainc(a, b, x) - q
+            logp = ((a - 1.0) * jnp.log(x) + (b - 1.0) * jnp.log1p(-x)
+                    - betaln)
+            # dx/du = x(1-x): du = f / (pdf * x * (1-x))
+            du = f / jnp.exp(logp + jnp.log(x) + jnp.log1p(-x))
+            return u - jnp.clip(du, -2.0, 2.0)
+
+        u0 = jnp.zeros_like(q) + (jnp.log(x0) - jnp.log1p(-x0))
+        u = jax.lax.fori_loop(0, 50, body, u0)
+        return self.loc + self.scale * jax.nn.sigmoid(u)
+
+    def fit(self, data):
+        """Method-of-moments on [0, 1] (loc 0, scale 1)."""
+        d = jnp.asarray(data)
+        m, v = jnp.mean(d), jnp.var(d)
+        k = m * (1.0 - m) / v - 1.0
+        return Beta(a=m * k, b=(1.0 - m) * k)
+
+
+@_dc
 class DiscreteNormal(Distribution):
     """Integer-valued normal, mirroring ``Statistics/distributions.py:16-19``.
 
@@ -265,6 +418,11 @@ _SCIPY_NAME_MAP = {
     "uniform": Uniform,
     "gamma": Gamma,
     "Gamma Distribution": Gamma,  # reference's custom gamma_gen instance name
+    "expon": Exponential,
+    "cauchy": Cauchy,
+    "halfnorm": HalfNormal,
+    "weibull_min": Weibull,
+    "beta": Beta,
 }
 
 

@@ -220,6 +220,56 @@ def _kernel_logpdf(d):
             return jnp.where((z >= a) & (z <= b), -0.5 * z * z + const,
                              -jnp.inf)
         return lp
+    if isinstance(d, D.Exponential):
+        loc, scale = float(d.loc), float(d.scale)
+        const = -math.log(scale)
+
+        def lp(x):
+            y = (x - loc) / scale
+            return jnp.where(y >= 0, -y + const, -jnp.inf)
+        return lp
+    if isinstance(d, D.Cauchy):
+        loc, scale = float(d.loc), float(d.scale)
+        const = -math.log(math.pi * scale)
+
+        def lp(x):
+            z = (x - loc) / scale
+            return -jnp.log1p(z * z) + const
+        return lp
+    if isinstance(d, D.HalfNormal):
+        loc, scale = float(d.loc), float(d.scale)
+        const = 0.5 * math.log(2.0 / math.pi) - math.log(scale)
+
+        def lp(x):
+            z = (x - loc) / scale
+            return jnp.where(z >= 0, -0.5 * z * z + const, -jnp.inf)
+        return lp
+    if isinstance(d, D.Weibull):
+        c, loc, scale = float(d.c), float(d.loc), float(d.scale)
+        const = math.log(c) - math.log(scale)
+
+        def lp(x):
+            y = (x - loc) / scale
+            ly = jnp.log(jnp.maximum(y, 1e-37))
+            return jnp.where(y > 0,
+                             (c - 1.0) * ly - jnp.exp(c * ly) + const,
+                             -jnp.inf)
+        return lp
+    if isinstance(d, D.Beta):
+        a, b = float(d.a), float(d.b)
+        loc, scale = float(d.loc), float(d.scale)
+        const = -(math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)) \
+            - math.log(scale)
+
+        def lp(x):
+            y = (x - loc) / scale
+            inside = (y > 0) & (y < 1)
+            ys = jnp.where(inside, y, 0.5)
+            return jnp.where(inside,
+                             (a - 1.0) * jnp.log(ys)
+                             + (b - 1.0) * jnp.log1p(-ys) + const,
+                             -jnp.inf)
+        return lp
     return None
 
 
@@ -563,7 +613,8 @@ def metropolis_hastings_fused(
         if not kernel_priors_supported(priors):
             raise ValueError(
                 "unsupported prior family for the fused kernel (supported: "
-                "Normal, LogNormal, Uniform, Gamma, TruncNormal); use the "
+                "Normal, LogNormal, Uniform, Gamma, TruncNormal, "
+                "Exponential, Cauchy, HalfNormal, Weibull, Beta); use the "
                 "XLA backend")
         if not any(d is not None for d in priors):
             priors = None

@@ -27,6 +27,23 @@ CASES = [
     (D.TruncNormal(a=-1.0, b=2.0, loc=0.5, scale=1.5),
      ss.truncnorm(-1.0, 2.0, loc=0.5, scale=1.5),
      np.linspace(-0.9, 3.4, 31)),
+    (D.Exponential(loc=0.0, scale=3.0), ss.expon(scale=3.0),
+     np.geomspace(1e-3, 30, 31)),
+    (D.Cauchy(loc=1.0, scale=2.0), ss.cauchy(loc=1.0, scale=2.0),
+     np.linspace(-20, 22, 31)),
+    (D.HalfNormal(loc=0.0, scale=2.5), ss.halfnorm(scale=2.5),
+     np.linspace(0.01, 10, 31)),
+    (D.Weibull(c=1.8, scale=4.0), ss.weibull_min(1.8, scale=4.0),
+     np.geomspace(1e-2, 15, 31)),
+    (D.Weibull(c=0.6, scale=1.0), ss.weibull_min(0.6, scale=1.0),
+     np.geomspace(1e-4, 8, 31)),
+    (D.Beta(a=2.0, b=5.0), ss.beta(2.0, 5.0),
+     np.linspace(0.01, 0.99, 31)),
+    (D.Beta(a=0.5, b=0.5), ss.beta(0.5, 0.5),
+     np.linspace(0.01, 0.99, 31)),
+    (D.Beta(a=3.0, b=1.5, loc=2.0, scale=4.0),
+     ss.beta(3.0, 1.5, loc=2.0, scale=4.0),
+     np.linspace(2.05, 5.95, 31)),
 ]
 
 
@@ -81,8 +98,12 @@ def test_from_scipy_generator_and_name():
     assert isinstance(d2, D.Gamma)
     d3 = D.from_scipy(D.Uniform(loc=0.0, scale=1.0))
     assert isinstance(d3, D.Uniform)
+    d4 = D.from_scipy(ss.beta, {"a": 2.0, "b": 5.0})
+    assert isinstance(d4, D.Beta)
+    d5 = D.from_scipy("halfnorm", {"scale": 2.0})
+    assert isinstance(d5, D.HalfNormal)
     with pytest.raises(ValueError):
-        D.from_scipy(ss.beta, {"a": 1, "b": 1})
+        D.from_scipy(ss.vonmises, {"kappa": 1.0})
 
 
 def test_from_scipy_frozen():

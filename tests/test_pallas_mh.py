@@ -173,6 +173,11 @@ def test_kernel_logpdf_matches_distributions():
         D.Gamma(a=2.3, loc=0.0, scale=1.7),
         D.TruncNormal(a=0.0, b=4.0, loc=1.0, scale=2.0),
         D.TruncNormal(a=-1.0, b=np.inf, loc=0.0, scale=1.0),
+        D.Exponential(loc=0.0, scale=2.0),
+        D.Cauchy(loc=1.5, scale=0.7),
+        D.HalfNormal(loc=0.0, scale=1.3),
+        D.Weibull(c=1.8, loc=0.0, scale=2.2),
+        D.Beta(a=2.0, b=5.0, loc=0.0, scale=6.0),
     ]
     xs = jnp.asarray(np.linspace(0.05, 6.0, 41), jnp.float32)
     for d in cases:
