@@ -276,6 +276,24 @@ class ModelFramework:
     (``/root/reference/ODElib/Statistics/stats.py:22-41``); count data —
     ubiquitous in the reference's own target domain (plaque assays,
     colony counts, sequencing reads) — has no valid likelihood there.
+
+    ``dose_events`` adds bolus impulses — ``[(time, state_name, amount),
+    ...]`` — applied by every integration path (adaptive/fixed XLA solvers
+    and both fused Pallas kernels): each amount joins its raw state when
+    integration leaves the nearest grid point to ``time``; reported
+    trajectories and scored observations are PRE-dose left limits (the
+    trough convention of pharmacokinetics, where repeated dosing is the
+    clinical norm — impossible in the reference, whose ``odeint`` call has
+    no event mechanism, ``Framework.py:656``).
+
+    A ``censored`` dataframe column (bool / {0,1,2} / 'left'/'right')
+    marks detection-limit rows — the ``abundance`` there is the LIMIT, not
+    a measurement. They are scored by the Tobit likelihood ``-log
+    F(limit)`` / ``-log S(limit)`` of the active observation model
+    (:func:`odelib_tpu.stats.obs_negloglik`; in the fused kernel for
+    lognormal, on XLA for every family) and excluded from R² — the
+    reference's chi (``Statistics/stats.py:22-41``) can only treat a
+    limit as a (biasing) exact value.
     """
 
     _SOLVER_KEYS = ("method", "rtol", "atol", "max_steps", "substeps")
@@ -284,13 +302,14 @@ class ModelFramework:
                  state_summations=None, t_end=5, t_steps=1000, random_seed=0,
                  ode_style="auto", method="dopri5", rtol=1e-6, atol=1e-4,
                  max_steps=4096, substeps=4, obs_model="lognormal",
-                 obs_param=None, **kwargs):
+                 obs_param=None, dose_events=None, **kwargs):
         self._pnames = tuple(parameter_names)
         self._snames = tuple(state_names)
         self._model = ODE
         self._ode_style = ode_style
         self._obs_model = obs_model
         self._obs_param = obs_param
+        self._dose_events = dose_events
         self._solver = dict(method=method, rtol=float(rtol), atol=float(atol),
                             max_steps=int(max_steps),
                             substeps=_norm_substeps_arg(substeps))
@@ -317,7 +336,10 @@ class ModelFramework:
                                          self._spec.post_snames)
             self._obsdata = _data.obsdata_to_device(self._obsdata_host)
             self._times_fit, self._obsdata_fit_host = \
-                _data.compact_observation_grid(self._obsdata_host, self.times)
+                _data.compact_observation_grid(
+                    self._obsdata_host, self.times,
+                    extra_times=[t for t, _, _ in
+                                 (self._spec.dose_events or ())])
             self._obsdata_fit = _data.obsdata_to_device(self._obsdata_fit_host)
         else:
             self.df = None
@@ -357,7 +379,8 @@ class ModelFramework:
         rhs = self._adapt_rhs(self._model)
         return make_spec(rhs, self._pnames, self._snames, state_summations,
                          obs_model=self._obs_model,
-                         obs_param=self._obs_param)
+                         obs_param=self._obs_param,
+                         dose_events=self._dose_events)
 
     def _refresh_pshapes(self):
         """Rebuild the spec when a parameter's value shape changes (array
@@ -377,7 +400,8 @@ class ModelFramework:
                 self._spec.rhs, self._pnames, self._snames,
                 getattr(self, "_state_summations", None), pshapes=shapes,
                 obs_model=self._spec.obs_model,
-                obs_param=self._spec.obs_param or None)
+                obs_param=self._spec.obs_param or None,
+                dose_events=self._spec.dose_events)
 
     def _adapt_rhs(self, f):
         style = self._ode_style
@@ -444,7 +468,10 @@ class ModelFramework:
                                      self._spec.post_snames)
         self._obsdata = _data.obsdata_to_device(self._obsdata_host)
         self._times_fit, self._obsdata_fit_host = \
-            _data.compact_observation_grid(self._obsdata_host, self.times)
+            _data.compact_observation_grid(
+                self._obsdata_host, self.times,
+                extra_times=[t for t, _, _ in
+                             (self._spec.dose_events or ())])
         self._obsdata_fit = _data.obsdata_to_device(self._obsdata_fit_host)
         self.set_inits(**_data.initial_states_from_df(self.df))
 
@@ -682,23 +709,43 @@ class ModelFramework:
     # ------------------------------------------------------------------
     # goodness of fit (Framework.py:617-722)
     # ------------------------------------------------------------------
+    def _obs_censor_dict(self):
+        """Per-state censoring flags from the dataframe's 'censored'
+        column, or {} when nothing is censored."""
+        if self.df is None or "censored" not in self.df.columns:
+            return {}
+        out = {s: _data.parse_censor_column(
+            self.df.loc[[s]]["censored"].to_numpy())
+            for s in dict.fromkeys(self.df.index)}
+        return out if any(c.any() for c in out.values()) else {}
+
     def get_chi(self, mod_dict):
-        O, C, S = [], [], []
+        O, C, S, cen = [], [], [], []
+        cdict = self._obs_censor_dict()
         for sname in mod_dict:
             O.append(self._obs_logabundance[sname])
             C.append(np.asarray(mod_dict[sname], float))
             S.append(self._obs_logsigma[sname])
+            cen.append(cdict.get(sname,
+                                 np.zeros(len(O[-1]), np.int32)))
         O, C, S = np.concatenate(O), np.concatenate(C), np.concatenate(S)
         with np.errstate(divide="ignore", invalid="ignore"):
             logC = np.log(C)
         return float(jstats.obs_negloglik(
             self._spec.obs_model, self._spec.obs_param,
-            O, logC, S, np.exp(O), C))
+            O, logC, S, np.exp(O), C,
+            censor=np.concatenate(cen) if cdict else None))
 
     def get_Rsqrd(self, mod_dict):
-        abundance = {el: np.exp(self._obs_logabundance[el])
-                     for el in self._obs_logabundance}
-        return float(jstats.Rsqrd(mod_dict, abundance))
+        cdict = self._obs_censor_dict()
+        abundance, model = {}, {}
+        for el in self._obs_logabundance:
+            keep = (cdict[el] == 0 if el in cdict
+                    else slice(None))
+            abundance[el] = np.exp(self._obs_logabundance[el])[keep]
+            if el in mod_dict:
+                model[el] = np.asarray(mod_dict[el], float)[keep]
+        return float(jstats.Rsqrd(model, abundance))
 
     def get_AIC(self, chi):
         return float(jstats.AIC(chi, self._pnum))
@@ -2043,7 +2090,9 @@ class ModelFramework:
 
         h = hashlib.sha1()
         h.update(repr((tuple(self._spec.pnames), str(method),
-                       substeps)).encode())
+                       substeps, self._spec.obs_model,
+                       self._spec.obs_param,
+                       self._spec.dose_events)).encode())
         h.update(np.asarray(self.get_inits(), float).tobytes())
         h.update(np.asarray(self._times_fit, float).tobytes())
         for leaf in jax.tree_util.tree_leaves(self._obsdata_fit):
@@ -2246,6 +2295,10 @@ class ModelFramework:
                 and mosaic_supported()
                 and method in ("dopri5", "rk4", "kvaerno3")
                 and (not use_priors or pallas_priors is not None)
+                # censored observations compile in-kernel (erf-based
+                # Tobit) for the lognormal model only
+                and (self._obsdata_fit_host.censor is None
+                     or self._spec.obs_model == "lognormal")
                 # array parameters run fused when the RHS traces in the
                 # tiled layout (elementwise indexing); else XLA
                 and rhs_supports_tiles(self._spec)

@@ -27,6 +27,12 @@ from .model import ObsData
 def format_dataframe(df: pd.DataFrame, snames) -> pd.DataFrame:
     """Normalize a user dataframe to organism-indexed log-space columns."""
     df = df.sort_values(by=["organism", "time"])
+    if "replicate" in df and "censored" in df:
+        raise ValueError(
+            "censored observations cannot be aggregated over replicates "
+            "(a mean of detection limits is not a limit); provide the "
+            "direct schema (organism, time, abundance[, log_sigma]) with "
+            "one row per point instead")
     if "replicate" in df:
         _df = df[["organism", "time", "abundance"]].copy()
         _df["log_abundance"] = np.log(_df["abundance"])
@@ -72,6 +78,38 @@ def fit_setup(df: pd.DataFrame, times: np.ndarray):
     return pred_tindex, obs_logabundance, obs_logsigma
 
 
+_CENSOR_NAMES = {"": 0, "none": 0, "exact": 0, "no": 0,
+                 "left": 1, "lod": 1, "below": 1,
+                 "right": 2, "upper": 2, "above": 2}
+
+
+def parse_censor_column(col) -> np.ndarray:
+    """Normalize a user 'censored' column to int32 flags (0 exact, 1 left,
+    2 right). Accepts booleans (True = left-censored, the detection-limit
+    case), integers {0, 1, 2}, or strings ('left'/'lod'/'below',
+    'right'/'upper'/'above', ''/'none'/'exact')."""
+    vals = np.atleast_1d(np.asarray(col, object))
+    out = np.zeros(len(vals), np.int32)
+    for i, v in enumerate(vals):
+        if isinstance(v, str):
+            key = v.strip().lower()
+            if key not in _CENSOR_NAMES:
+                raise ValueError(f"unknown censoring label {v!r}; use one "
+                                 f"of {sorted(set(_CENSOR_NAMES))}")
+            out[i] = _CENSOR_NAMES[key]
+        elif isinstance(v, (bool, np.bool_)):
+            out[i] = 1 if v else 0
+        elif v is None or (isinstance(v, float) and np.isnan(v)):
+            out[i] = 0
+        else:
+            iv = int(v)
+            if iv not in (0, 1, 2):
+                raise ValueError(f"censoring flag must be 0 (exact), "
+                                 f"1 (left) or 2 (right), got {v!r}")
+            out[i] = iv
+    return out
+
+
 def build_obsdata_host(df: pd.DataFrame, times: np.ndarray,
                        post_snames) -> Tuple[ObsData, Tuple[str, ...]]:
     """Host-side (numpy) ObsData — no device transfers.
@@ -80,6 +118,12 @@ def build_obsdata_host(df: pd.DataFrame, times: np.ndarray,
     runtimes (and static kernel-planning code like ops/pallas_mh must never
     read device arrays back). Use :func:`to_device` / :func:`build_obsdata`
     for the device pytree.
+
+    A ``censored`` dataframe column (bool / {0,1,2} / 'left'/'right'
+    labels, :func:`parse_censor_column`) marks detection-limit rows whose
+    ``abundance`` is the LIMIT, not a measurement; they are scored by the
+    Tobit likelihood (:func:`odelib_tpu.stats.obs_negloglik`) and excluded
+    from the R^2 sums.
     """
     pred_tindex, logab, logsig = fit_setup(df, np.asarray(times))
     observed = tuple(s for s in post_snames if s in pred_tindex)
@@ -87,7 +131,14 @@ def build_obsdata_host(df: pd.DataFrame, times: np.ndarray,
         raise ValueError(
             f"No dataframe organisms match model states {post_snames}; "
             f"found organisms {sorted(pred_tindex)}")
-    la, ls, ti, si = [], [], [], []
+    cen_by_state = None
+    if "censored" in df.columns:
+        cen_by_state = {
+            s: parse_censor_column(df.loc[[s]]["censored"].to_numpy())
+            for s in observed}
+        if not any(c.any() for c in cen_by_state.values()):
+            cen_by_state = None
+    la, ls, ti, si, ce = [], [], [], [], []
     sstot = 0.0
     for s in observed:
         la.append(logab[s])
@@ -95,7 +146,11 @@ def build_obsdata_host(df: pd.DataFrame, times: np.ndarray,
         ti.append(pred_tindex[s])
         si.append(np.full(len(logab[s]), post_snames.index(s), np.int32))
         ab = np.exp(logab[s])
-        sstot += ab.shape[0] * np.var(ab)
+        if cen_by_state is not None:
+            ce.append(cen_by_state[s])
+            ab = ab[cen_by_state[s] == 0]
+        if ab.size:
+            sstot += ab.shape[0] * np.var(ab)
     la = np.concatenate(la)
     return ObsData(
         log_abundance=la,
@@ -104,6 +159,7 @@ def build_obsdata_host(df: pd.DataFrame, times: np.ndarray,
         t_index=np.concatenate(ti),
         state_index=np.concatenate(si),
         sstot=np.asarray(sstot),
+        censor=np.concatenate(ce) if cen_by_state is not None else None,
     ), observed
 
 
@@ -116,6 +172,8 @@ def obsdata_to_device(obs: ObsData, dtype=None) -> ObsData:
         t_index=jnp.asarray(np.asarray(obs.t_index), jnp.int32),
         state_index=jnp.asarray(np.asarray(obs.state_index), jnp.int32),
         sstot=jnp.asarray(obs.sstot, dtype),
+        censor=None if obs.censor is None
+        else jnp.asarray(np.asarray(obs.censor), jnp.int32),
     )
 
 
@@ -131,8 +189,9 @@ def build_obsdata(df: pd.DataFrame, times: np.ndarray,
     return obsdata_to_device(host, dtype), observed
 
 
-def compact_observation_grid(obs: ObsData, times) -> Tuple[np.ndarray,
-                                                           ObsData]:
+def compact_observation_grid(obs: ObsData, times,
+                             extra_times=None) -> Tuple[np.ndarray,
+                                                        ObsData]:
     """Shrink the integration grid to observation times only.
 
     The reference integrates the full ``t_steps`` grid every MCMC iteration
@@ -150,11 +209,23 @@ def compact_observation_grid(obs: ObsData, times) -> Tuple[np.ndarray,
     always the grid origin (integration start). Operate on a HOST ObsData
     (from :func:`build_obsdata_host`) — reading a device ObsData back would
     issue a device->host transfer.
+
+    ``extra_times``: times that must survive compaction even though no
+    observation lands there — dose-event times, most importantly: a dose
+    snapped to a grid point that compaction dropped would silently land on
+    the wrong time. Each is first snapped to the FULL grid (the same
+    nearest-point rule as observations) so compact and full solves fire
+    doses at identical times.
     """
     times = np.asarray(times)
     tidx = np.asarray(obs.t_index)
     obs_times = times[tidx]
-    uniq = np.unique(obs_times)
+    keep = obs_times
+    if extra_times is not None and len(np.atleast_1d(extra_times)):
+        snapped = times[nearest_grid_indices(
+            np.atleast_1d(np.asarray(extra_times, float)), times)]
+        keep = np.concatenate([keep, snapped])
+    uniq = np.unique(keep)
     if uniq[0] != times[0]:
         uniq = np.concatenate([[times[0]], uniq])
     new_tidx = np.searchsorted(uniq, obs_times).astype(np.int32)

@@ -355,6 +355,10 @@ class JointFit:
         for fw in self.frameworks.values():
             h.update(np.asarray(fw.get_inits(), float).tobytes())
             h.update(np.asarray(fw._times_fit, float).tobytes())
+            # spec knobs that change the posterior without changing the
+            # data arrays: likelihood family/shape and dose impulses
+            h.update(repr((fw._spec.obs_model, fw._spec.obs_param,
+                           fw._spec.dose_events)).encode())
             for leaf in jax.tree_util.tree_leaves(fw._obsdata_fit):
                 h.update(np.asarray(leaf).tobytes())
         if include_priors:
@@ -849,6 +853,11 @@ class JointFit:
                 # array parameters run fused when every experiment's RHS
                 # traces in the tiled layout (elementwise indexing)
                 and all(rhs_supports_tiles(fw._spec)
+                        for fw in self.frameworks.values())
+                # censored observations compile in-kernel only for the
+                # lognormal model (erf-based Tobit; pallas_mh._build_plan)
+                and all(fw._obsdata_fit_host.censor is None
+                        or fw._spec.obs_model == "lognormal"
                         for fw in self.frameworks.values())
             ) else "xla"
         if checkpoint_every is not None and checkpoint_path is None:

@@ -36,7 +36,11 @@ class ObsData(NamedTuple):
     abundance: Any       # (N,) linear-space observations (for R^2)
     t_index: Any         # (N,) int32 index into the integration grid
     state_index: Any     # (N,) int32 index into post-summation states
-    sstot: Any           # scalar: sum_s n_s * var(O_s) (R^2 denominator)
+    sstot: Any           # scalar: sum_s n_s * var(O_s) (R^2 denominator;
+    #                      censored points excluded)
+    censor: Any = None   # (N,) int32 censoring flag (0 exact, 1 left/LOD,
+    #                      2 right) or None when nothing is censored
+    #                      (stats.obs_negloglik Tobit scoring)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,6 +68,12 @@ class ModelSpec:
     # and both Pallas kernels specialize on it at compile time.
     obs_model: str = "lognormal"
     obs_param: float = 0.0
+    # bolus dose events: ((time, raw_state_index, amount), ...) sorted by
+    # time. Each amount is added to its raw state when integration leaves
+    # the nearest grid point to `time`; reported trajectories are pre-dose
+    # left limits (troughs). Static + hashable: every integrator and both
+    # Pallas kernels bake the impulses in at compile time.
+    dose_events: Optional[Tuple[Tuple[float, int, float], ...]] = None
 
     def __post_init__(self):
         if self.pshapes is None:
@@ -134,14 +144,18 @@ OBS_MODELS = ("lognormal", "student_t", "poisson", "negbinom")
 
 def make_spec(rhs, pnames, snames, state_summations=None,
               pshapes=None, obs_model="lognormal",
-              obs_param=None) -> ModelSpec:
+              obs_param=None, dose_events=None) -> ModelSpec:
     """Build a ModelSpec, validating summations exactly like
     ``Framework.py:349-364`` (duplicate state / unknown state errors).
 
     ``obs_model`` selects the likelihood the data is scored with
     (:func:`odelib_tpu.stats.obs_negloglik`); ``obs_param`` is its shape
     parameter — Student-t degrees of freedom (default 4.0) or negative-
-    binomial dispersion ``r`` (required, > 0)."""
+    binomial dispersion ``r`` (required, > 0).
+
+    ``dose_events``: sequence of ``(time, state_name_or_index, amount)``
+    bolus impulses (e.g. repeated drug doses); see
+    :attr:`ModelSpec.dose_events` for the timing convention."""
     if obs_model not in OBS_MODELS:
         raise ValueError(f"obs_model must be one of {OBS_MODELS}, "
                          f"got {obs_model!r}")
@@ -159,6 +173,22 @@ def make_spec(rhs, pnames, snames, state_summations=None,
         obs_param = 0.0
     pnames = tuple(pnames)
     snames = tuple(snames)
+    if dose_events:
+        evs = []
+        for t, s, amt in dose_events:
+            if isinstance(s, str):
+                if s not in snames:
+                    raise ValueError(f"dose_events state {s!r} is not a "
+                                     f"valid state name {snames}")
+                s = snames.index(s)
+            s = int(s)
+            if not 0 <= s < len(snames):
+                raise ValueError(f"dose_events state index {s} out of "
+                                 f"range for {len(snames)} states")
+            evs.append((float(t), s, float(amt)))
+        dose_events = tuple(sorted(evs))
+    else:
+        dose_events = None
     sum_matrix = None
     post_snames = tuple(snames)
     if state_summations:
@@ -198,26 +228,46 @@ def make_spec(rhs, pnames, snames, state_summations=None,
     return ModelSpec(rhs=rhs, pnames=pnames, snames=snames,
                      pshapes=pshapes, sum_matrix=sum_matrix,
                      post_snames=post_snames, obs_model=obs_model,
-                     obs_param=obs_param)
+                     obs_param=obs_param, dose_events=dose_events)
 
 
 # ---------------------------------------------------------------------------
 # Core compute functions (all pure; jit/vmap these)
 # ---------------------------------------------------------------------------
 
+def dose_matrix(spec: ModelSpec, times):
+    """(T, S_raw) impulse matrix for the spec's dose events on this grid:
+    each event snaps to the nearest grid point (the framework's standard
+    observation-time rule) and its amount lands in ``D[grid_idx, state]``.
+    None when the spec has no events. Traced-safe (argmin, scatter-add),
+    so it can be built on whatever grid a jitted sampler carries."""
+    if not spec.dose_events:
+        return None
+    times = jnp.asarray(times)
+    D = jnp.zeros((times.shape[0], len(spec.snames)), times.dtype)
+    for t, s, amt in spec.dose_events:
+        gi = jnp.argmin(jnp.abs(times - t))
+        D = D.at[gi, s].add(amt)
+    return D
+
+
 def integrate_theta(spec: ModelSpec, theta, y0, times, *, method="dopri5",
                     rtol=1e-6, atol=1e-4, max_steps=4096, substeps=4):
     """Solve the ODE for one flat parameter vector. Returns raw-state ys
-    (T, S_raw) with NaN rows after a failure (never raises)."""
+    (T, S_raw) with NaN rows after a failure (never raises). Dose events
+    on the spec are applied at their nearest grid points (pre-dose
+    outputs; :func:`dose_matrix`)."""
     def f(t, y, th):
         return spec.rhs(t, y, spec.unpack_theta(th))
 
+    dose = dose_matrix(spec, times)
     if method in ("rk4", "fixed_dopri5"):
         sol = odeint_fixed(f, y0, times, theta, substeps=substeps,
-                           method="rk4" if method == "rk4" else "dopri5")
+                           method="rk4" if method == "rk4" else "dopri5",
+                           dose=dose)
     else:
         sol = odeint_grid(f, y0, times, theta, rtol=rtol, atol=atol,
-                          max_steps=max_steps, method=method)
+                          max_steps=max_steps, method=method, dose=dose)
     return sol.ys
 
 
@@ -240,7 +290,7 @@ def score_pred(spec: ModelSpec, obs: ObsData, pred):
     obs_negloglik`)."""
     return jstats.obs_negloglik(
         spec.obs_model, spec.obs_param, obs.log_abundance, jnp.log(pred),
-        obs.log_sigma, obs.abundance, pred)
+        obs.log_sigma, obs.abundance, pred, censor=obs.censor)
 
 
 def fit_metrics(spec: ModelSpec, obs: ObsData, ys, num_params):
@@ -250,7 +300,9 @@ def fit_metrics(spec: ModelSpec, obs: ObsData, ys, num_params):
     observation model (:func:`score_pred`)."""
     pred = observe(spec, obs, ys)
     chi = score_pred(spec, obs, pred)
-    rsq = jstats.rsqrd_flat(pred, obs.abundance, obs.sstot)
+    rsq = jstats.rsqrd_flat(pred, obs.abundance, obs.sstot,
+                            mask=None if obs.censor is None
+                            else obs.censor == 0)
     aic = jstats.AIC(chi, num_params)
     return chi, rsq, aic
 

@@ -67,7 +67,7 @@ def _initial_step(func, t0, y0, f0, args, rtol, atol, direction):
 
 
 def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
-                max_steps=4096, method="dopri5", h0=None):
+                max_steps=4096, method="dopri5", h0=None, dose=None):
     """Integrate dy/dt = func(t, y, args) and report y at every time in ts.
 
     Parameters mirror ``scipy.integrate.odeint`` semantics where they overlap:
@@ -82,9 +82,18 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
     stiff solve entirely on the fast path; under ``vmap`` the cond lowers to
     a select, so batched 'auto' pays for both solves — prefer an explicit
     method inside MCMC hot loops.
+
+    ``dose`` (optional, shape (len(ts), state_dim)): impulse additions to
+    the state — ``dose[i]`` is added when integration LEAVES grid point
+    ``ts[i]``, so every reported ``ys[i]`` is the PRE-dose left limit (the
+    trough in PK terms) and ``dose[-1]`` affects nothing. When doses are
+    present the solver steps exactly TO each output point (an impulse
+    invalidates any dense polynomial spanning it) and re-evaluates the RHS
+    after each addition.
     """
     if method == "auto":
-        kw = dict(args=args, rtol=rtol, atol=atol, max_steps=max_steps)
+        kw = dict(args=args, rtol=rtol, atol=atol, max_steps=max_steps,
+                  dose=dose)
         sol_d = odeint_grid(func, y0, ts, method="dopri5", h0=h0, **kw)
         return jax.lax.cond(
             sol_d.ok, lambda: sol_d,
@@ -132,7 +141,10 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
     # over such spans — so they STEP TO the output points (truncate h at the
     # target; the controller's preferred h survives truncations). Explicit
     # Dopri5 keeps free stepping + its matched 4th-order interpolant.
-    step_to_output = bool(getattr(stepper, "IMPLICIT", False))
+    # Dose impulses land exactly at grid points, so a dosed solve must also
+    # stop there.
+    step_to_output = bool(getattr(stepper, "IMPLICIT", False)) \
+        or dose is not None
 
     def attempt_step(c: Carry, t_target) -> Carry:
         if step_to_output:
@@ -170,12 +182,22 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
             ok=still_ok,
         )
 
-    def advance_to(carry: Carry, t_target):
-        def cond(c):
-            return c.ok & (c.t < t_target) & (c.nsteps < max_steps)
+    def advance_to(carry: Carry, xs):
+        if dose is None:
+            t_target = xs
+            c = carry
+        else:
+            t_target, dose_i = xs
+            # the impulse invalidates the cached derivative; re-evaluate
+            y_d = carry.y + dose_i
+            c = carry._replace(
+                y=y_d, f=stepper.first_stage(func, carry.t, y_d, args))
 
-        c = jax.lax.while_loop(cond, lambda c: attempt_step(c, t_target),
-                               carry)
+        def cond(cc):
+            return cc.ok & (cc.t < t_target) & (cc.nsteps < max_steps)
+
+        c = jax.lax.while_loop(cond, lambda cc: attempt_step(cc, t_target),
+                               c)
         reached = c.t >= t_target
         theta = (t_target - c.t_prev) / c.h_prev
         y_t = stepper.interp(c.dense, jnp.clip(theta, 0.0, 1.0))
@@ -184,7 +206,8 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
         c = c._replace(ok=c.ok & reached)
         return c, (y_t, c.nacc)
 
-    carry, (ys_tail, acc_tail) = jax.lax.scan(advance_to, carry0, ts[1:])
+    xs = ts[1:] if dose is None else (ts[1:], jnp.asarray(dose, dtype)[:-1])
+    carry, (ys_tail, acc_tail) = jax.lax.scan(advance_to, carry0, xs)
     ys = jnp.concatenate([y0[None], ys_tail], axis=0)
     accepted_at = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), acc_tail], axis=0)
@@ -192,7 +215,8 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
                        accepted_at=accepted_at)
 
 
-def odeint_fixed(func, y0, ts, args=(), *, substeps=1, method="rk4"):
+def odeint_fixed(func, y0, ts, args=(), *, substeps=1, method="rk4",
+                 dose=None):
     """Fixed-step integration on the grid (optionally subdividing intervals).
 
     Deterministic step count -> fastest batched path on TPU (no per-lane
@@ -210,6 +234,10 @@ def odeint_fixed(func, y0, ts, args=(), *, substeps=1, method="rk4"):
     calibrate_substeps`): the compiled-in analog of adaptive step-size
     control — intervals that need more work get more substeps, without any
     per-lane control flow.
+
+    ``dose``: impulse additions with the :func:`odeint_grid` convention —
+    ``dose[i]`` joins the state when integration leaves ``ts[i]``, reported
+    ``ys`` are pre-dose left limits.
     """
     dtype = jnp.result_type(jnp.asarray(y0).dtype, float)
     y0 = jnp.asarray(y0, dtype)
@@ -253,19 +281,36 @@ def odeint_fixed(func, y0, ts, args=(), *, substeps=1, method="rk4"):
         h_all = (ts[ii + 1] - ts[ii]) / jnp.asarray(sched[ii], dtype)
         t_starts = ts[ii] + jnp.asarray(kk, dtype) * h_all
 
-        def flat_step(y, th):
-            t, h = th
-            y1 = substep(t, y, h)
-            return y1, y1
+        if dose is None:
+            def flat_step(y, th):
+                t, h = th
+                y1 = substep(t, y, h)
+                return y1, y1
 
-        _, y_flat = jax.lax.scan(flat_step, y0, (t_starts, h_all))
+            _, y_flat = jax.lax.scan(flat_step, y0, (t_starts, h_all))
+        else:
+            # dose[i] joins at the first substep of interval i
+            dose_flat = jnp.asarray(dose, dtype)[ii] \
+                * jnp.asarray(kk == 0, dtype)[:, None]
+
+            def flat_step(y, thd):
+                t, h, d = thd
+                y1 = substep(t, y + d, h)
+                return y1, y1
+
+            _, y_flat = jax.lax.scan(flat_step, y0,
+                                     (t_starts, h_all, dose_flat))
         ys = jnp.concatenate([y0[None], y_flat[ends]], axis=0)
         ok = jnp.all(jnp.isfinite(ys))
         return ODESolution(ys=ys, ok=ok,
                            num_steps=jnp.asarray(int(sched.sum()), jnp.int32))
 
-    def interval(y, t_pair):
-        t0, t1 = t_pair
+    def interval(y, xs):
+        if dose is None:
+            t0, t1 = xs
+        else:
+            (t0, t1), d = xs
+            y = y + d
         h = (t1 - t0) / substeps
 
         def inner(i, yy):
@@ -275,7 +320,9 @@ def odeint_fixed(func, y0, ts, args=(), *, substeps=1, method="rk4"):
         return y1, y1
 
     t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
-    _, ys_tail = jax.lax.scan(interval, y0, t_pairs)
+    xs = t_pairs if dose is None \
+        else (t_pairs, jnp.asarray(dose, dtype)[:-1])
+    _, ys_tail = jax.lax.scan(interval, y0, xs)
     ys = jnp.concatenate([y0[None], ys_tail], axis=0)
     ok = jnp.all(jnp.isfinite(ys))
     return ODESolution(ys=ys, ok=ok, num_steps=jnp.asarray(

@@ -317,9 +317,15 @@ class _StaticPlan(NamedTuple):
     #                         grid index whose observations are scored after
     #                         this step, or -1 (mid-interval step)
     obs_after: tuple        # per grid index: ((members, log_ab, log_sig,
-    #                         abundance), ...) contributions recorded there
+    #                         abundance, censor_flag), ...) contributions
+    #                         recorded there; censor_flag 0 exact / 1 left
+    #                         / 2 right (Tobit scoring, lognormal only)
     sstot: float
     n_grid: int
+    # per grid index: ((raw_state_idx, amount), ...) bolus impulses added
+    # when integration LEAVES that grid point (after its observations are
+    # scored — outputs/contribs are pre-dose left limits, model.dose_matrix)
+    dose_after: tuple = ()
 
 
 def _normalize_substeps(substeps, n_intervals: int):
@@ -347,6 +353,16 @@ def _build_plan(spec: ModelSpec, obs: ObsData, times, substeps):
     log_ab = np.asarray(obs.log_abundance, np.float64)
     log_sig = np.asarray(obs.log_sigma, np.float64)
     abund = np.asarray(obs.abundance, np.float64)
+    censor = (np.zeros(len(log_ab), np.int32) if obs.censor is None
+              else np.asarray(obs.censor, np.int32))
+    if censor.any() and spec.obs_model != "lognormal":
+        # -log CDF of the count/t models needs gammainc/betainc, which have
+        # no Mosaic-safe elementwise form; the framework routes these to
+        # the XLA sampler (api.MCMC backend='auto' mirrors this check)
+        raise ValueError(
+            "the fused kernel scores censored observations for "
+            "obs_model='lognormal' only; use the XLA backend for censored "
+            f"{spec.obs_model!r} data")
 
     # post-summation state j -> tuple of raw-state member indices
     if spec.sum_matrix is not None:
@@ -370,7 +386,13 @@ def _build_plan(spec: ModelSpec, obs: ObsData, times, substeps):
             continue
         obs_after[int(t_index[o])].append(
             (members[int(state_index[o])], float(log_ab[o]),
-             float(log_sig[o]), float(abund[o])))
+             float(log_sig[o]), float(abund[o]), int(censor[o])))
+
+    dose_after = [[] for _ in range(len(times))]
+    if spec.dose_events:
+        for t, s, amt in spec.dose_events:
+            gi = int(np.argmin(np.abs(times - t)))
+            dose_after[gi].append((int(s), float(amt)))
 
     substeps = _normalize_substeps(substeps, len(times) - 1)
     step_ts = []
@@ -383,7 +405,8 @@ def _build_plan(spec: ModelSpec, obs: ObsData, times, substeps):
     return _StaticPlan(step_ts=tuple(step_ts),
                        obs_after=tuple(tuple(x) for x in obs_after),
                        sstot=float(np.asarray(obs.sstot)),
-                       n_grid=len(times))
+                       n_grid=len(times),
+                       dose_after=tuple(tuple(x) for x in dose_after))
 
 
 def _assemble_params(spec: ModelSpec, theta_list):
@@ -430,6 +453,51 @@ def rhs_supports_tiles(spec: ModelSpec) -> bool:
         return False
 
 
+def _as_erfc(x):
+    """Abramowitz & Stegun 7.1.26 erfc for x >= 0 (abs err <= 1.5e-7),
+    built from mul/div/exp only — Mosaic lowers neither ``erf`` nor
+    ``erfc``, so the kernel carries its own."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return poly * jnp.exp(-x * x)
+
+
+def _log_ndtr_kernel(z):
+    """Mosaic-safe log Phi(z) (Tobit censored-observation scoring).
+
+    Three elementwise branches (exp/log/div only — no special-function
+    primitives, which Mosaic cannot lower):
+
+    * ``z > 0``:      ``log1p(-erfc(z/sqrt2)/2)`` (A&S 7.1.26 erfc)
+    * ``-4 < z <= 0``: ``log(erfc(-z/sqrt2)/2)``
+    * ``z <= -4``:    Mills-ratio asymptotic
+      ``Phi(z) = phi(z)/|z| * (1 - 1/z^2 + 3/z^4 - 15/z^6 + 105/z^8)``
+
+    Worst absolute error ~5e-3 nats near the z = -4 seam (the A&S bound
+    is absolute, so its RELATIVE error grows as Phi shrinks), <= ~1e-4
+    elsewhere; the XLA path keeps jax.scipy's exact ``log_ndtr``. A Tobit
+    penalty term is insensitive at this scale — the seam error is far
+    below one nat and both branches are smooth and monotone.
+    """
+    # center branch, z in (-4, 0] (arg clamped so other lanes stay sane)
+    xc = jnp.clip(-z * 0.7071067811865476, 0.0, 3.0)
+    log_center = jnp.log(0.5 * _as_erfc(xc))
+    # right branch, z > 0
+    xp = jnp.clip(z * 0.7071067811865476, 0.0, 12.0)
+    log_right = jnp.log1p(-0.5 * _as_erfc(xp))
+    # deep-tail branch, z <= -4
+    zc = jnp.minimum(z, -4.0)
+    z2 = zc * zc
+    series = (1.0 - 1.0 / z2 + 3.0 / (z2 * z2) - 15.0 / (z2 * z2 * z2)
+              + 105.0 / (z2 * z2 * z2 * z2))
+    log_tail = (-0.5 * z2 - jnp.log(-zc) - 0.9189385332046727
+                + jnp.log(series))           # log(sqrt(2*pi))
+    # NaN z picks the (NaN) tail branch: blow-ups stay non-finite
+    return jnp.where(z > 0.0, log_right,
+                     jnp.where(z > -4.0, log_center, log_tail))
+
+
 def _make_scorer(spec: ModelSpec, plan: _StaticPlan, y0_base, stepper):
     """Returns score(theta_list) -> (chi, rsq): integrate + score, fully
     unrolled with static obs contributions (the plan's step list already
@@ -451,7 +519,7 @@ def _make_scorer(spec: ModelSpec, plan: _StaticPlan, y0_base, stepper):
     obs_model, obs_param = spec.obs_model, spec.obs_param
 
     def contrib(y, gi, chi, ssres):
-        for mem, lab, lsig, ab in plan.obs_after[gi]:
+        for mem, lab, lsig, ab, cen in plan.obs_after[gi]:
             pred = sum(y[m] for m in mem) if len(mem) > 1 else y[mem[0]]
             # NO floor on pred: log(0) = -inf and log(<0) = NaN make chi
             # non-finite, so a blown-up trajectory is rejected outright —
@@ -476,11 +544,31 @@ def _make_scorer(spec: ModelSpec, plan: _StaticPlan, y0_base, stepper):
                 if ab > 0:
                     term = term + ab * jnp.log1p(r / pred)
                 chi = chi + jnp.where(pred >= 0, term, jnp.nan)
+            elif cen:
+                # Tobit point at a detection limit (_build_plan guarantees
+                # obs_model == 'lognormal' here): -log Phi(z) for left-
+                # censored, -log Phi(-z) for right (_log_ndtr_kernel)
+                z = (lab - jnp.log(pred)) / lsig
+                if cen == 2:
+                    z = -z
+                chi = chi - _log_ndtr_kernel(z)
             else:
                 c = jnp.log(pred)
                 chi = chi + (lab - c) ** 2 / (2.0 * lsig * lsig)
-            ssres = ssres + (pred - ab) ** 2
+            if not cen:
+                ssres = ssres + (pred - ab) ** 2
         return chi, ssres
+
+    def apply_dose(y, gi):
+        """Bolus impulses leaving grid point gi (static adds; contribs at
+        gi have already been scored, so records stay pre-dose)."""
+        if not plan.dose_after or not plan.dose_after[gi]:
+            return y
+        adds = [0.0] * S
+        for s_idx, amt in plan.dose_after[gi]:
+            adds[s_idx] += amt
+        return jnp.stack([y[s] + adds[s] if adds[s] != 0.0 else y[s]
+                          for s in range(S)])
 
     def score(theta_list, shape):
         y = jnp.stack([
@@ -490,10 +578,12 @@ def _make_scorer(spec: ModelSpec, plan: _StaticPlan, y0_base, stepper):
         chi = jnp.zeros(shape, jnp.float32)
         ssres = jnp.zeros(shape, jnp.float32)
         chi, ssres = contrib(y, 0, chi, ssres)
+        y = apply_dose(y, 0)
         for t, h, gi in plan.step_ts:
             y = stepper(rhs, t, y, h, theta_list)
             if gi >= 0:
                 chi, ssres = contrib(y, gi, chi, ssres)
+                y = apply_dose(y, gi)
         rsq = 1.0 - ssres / plan.sstot
         return chi, rsq
 

@@ -72,8 +72,10 @@ def calibrate_substeps(spec, y0, times, thetas, *, rtol: float = 1e-6,
 
         y0_i = spec.override_inits(jnp.asarray(y0, jnp.result_type(float)),
                                    theta)
+        from ..model import dose_matrix
         sol = odeint_grid(f, y0_i, times, th, rtol=rtol, atol=atol,
-                          max_steps=max_steps, method=method)
+                          max_steps=max_steps, method=method,
+                          dose=dose_matrix(spec, times))
         return sol.accepted_at, sol.ok
 
     acc, ok = jax.jit(jax.vmap(solve))(jnp.asarray(thetas))

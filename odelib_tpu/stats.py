@@ -17,6 +17,7 @@ thousands of chains/draws in one call.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax.scipy import special as jsp
 
 
 def chi(O, C, S):
@@ -38,7 +39,17 @@ def AIC(chi_val, num_parameters):
     return 2.0 * jnp.asarray(chi_val) + 2.0 * num_parameters
 
 
-def obs_negloglik(obs_model, obs_param, log_O, log_C, S, O, C):
+def _t_logcdf(t, nu):
+    """log CDF of the Student-t with ``nu`` dof via the regularized
+    incomplete beta: T(t) = 1 - I_x(nu/2, 1/2)/2 for t >= 0 (x =
+    nu/(nu+t^2)), T(t) = I_x(nu/2, 1/2)/2 for t < 0."""
+    x = nu / (nu + t * t)
+    half_tail = 0.5 * jsp.betainc(0.5 * nu, 0.5, x)
+    return jnp.where(t < 0, jnp.log(half_tail), jnp.log1p(-half_tail))
+
+
+def obs_negloglik(obs_model, obs_param, log_O, log_C, S, O, C,
+                  censor=None):
     """Generalized fit score: negative log-likelihood of the observations
     up to an additive theta-independent constant, reducing over the last
     axis. For ``obs_model='lognormal'`` this IS the reference's reduced
@@ -64,16 +75,34 @@ def obs_negloglik(obs_model, obs_param, log_O, log_C, S, O, C):
     result non-finite — blow-ups must reject, never hide (VERDICT r2
     weak 8). Count models treat ``O = 0`` (``log_O = -inf``) as a valid
     observation.
+
+    ``censor`` (optional, int (N,)): per-observation censoring indicator —
+    0 exact, 1 LEFT-censored (true value <= the recorded detection limit:
+    "below LOD", ubiquitous in the reference's own virology domain),
+    2 RIGHT-censored (true value >= the recorded limit: saturated assay).
+    A censored point contributes ``-log F(limit)`` / ``-log S(limit)`` of
+    the SAME observation model (Tobit likelihood) — still exact in every
+    acceptance ratio, still NaN-on-blow-up.
     """
-    if obs_model == "lognormal":
-        return chi(log_O, log_C, S)
-    if obs_model == "student_t":
-        nu = obs_param
+    if obs_model in ("lognormal", "student_t"):
         log_O = jnp.asarray(log_O)
         valid = jnp.isfinite(log_O)
-        t = (jnp.where(valid, log_O, 0.0) - jnp.asarray(log_C)) \
+        z = (jnp.where(valid, log_O, 0.0) - jnp.asarray(log_C)) \
             / jnp.asarray(S)
-        term = 0.5 * (nu + 1.0) * jnp.log1p(t * t / nu)
+        if obs_model == "lognormal":
+            term = 0.5 * z * z
+            if censor is not None:
+                term = jnp.where(
+                    censor == 1, -jsp.log_ndtr(z),
+                    jnp.where(censor == 2, -jsp.log_ndtr(-z), term))
+        else:
+            nu = obs_param
+            term = 0.5 * (nu + 1.0) * jnp.log1p(z * z / nu)
+            if censor is not None:
+                term = jnp.where(
+                    censor == 1, -_t_logcdf(z, nu),
+                    jnp.where(censor == 2, -_t_logcdf(-z, nu), term))
+        # NaN z (failed prediction) propagates through every branch
         return jnp.sum(jnp.where(valid, term, 0.0), axis=-1)
     O = jnp.asarray(O)
     C = jnp.asarray(C)
@@ -83,12 +112,31 @@ def obs_negloglik(obs_model, obs_param, log_O, log_C, S, O, C):
         # O=0: the O*log(C) term vanishes identically (0*log anything),
         # so C=0 scores 0 there — Poisson(0; lam->0) -> certainty
         term = C - jnp.where(Ov > 0, Ov * jnp.log(C), 0.0)
+        if censor is not None:
+            # P(X <= k) = Q(k+1, lam) (regularized upper incomplete gamma),
+            # P(X > k) = P(k+1, lam)
+            k1 = jnp.floor(Ov) + 1.0
+            Cs = jnp.maximum(C, 0.0)
+            term = jnp.where(
+                censor == 1, -jnp.log(jsp.gammaincc(k1, Cs)),
+                jnp.where(censor == 2, -jnp.log(jsp.gammainc(k1, Cs)),
+                          term))
     elif obs_model == "negbinom":
         # log1p forms: log(r+C)-log(C) = log1p(r/C) cancels catastrophically
         # when C >> r (large counts in float32)
         r = obs_param
         term = r * jnp.log1p(C / r) \
             + jnp.where(Ov > 0, Ov * jnp.log1p(r / C), 0.0)
+        if censor is not None:
+            # NB(r, p = r/(r+C)): P(X <= k) = I_p(r, k+1);
+            # P(X > k) = I_{1-p}(k+1, r)
+            k1 = jnp.floor(Ov) + 1.0
+            Cs = jnp.maximum(C, 0.0)
+            p = r / (r + Cs)
+            term = jnp.where(
+                censor == 1, -jnp.log(jsp.betainc(r, k1, p)),
+                jnp.where(censor == 2,
+                          -jnp.log(jsp.betainc(k1, r, 1.0 - p)), term))
     else:
         raise ValueError(f"unknown obs_model {obs_model!r}")
     # a negative intensity must not score finite (C - O log C would)
@@ -113,13 +161,20 @@ def Rsqrd(C_dict, O_dict):
     return 1.0 - ssres / sstot
 
 
-def rsqrd_flat(C, O, sstot):
+def rsqrd_flat(C, O, sstot, mask=None):
     """Batched R^2 for the hot loop: states pre-concatenated, sstot precomputed.
 
     ``sstot = sum_s n_s * var(O_s)`` is observation-only and therefore constant
     across MCMC iterations — precompute it once (see model.ObsData.sstot).
+
+    ``mask``: optional (N,) bool — points excluded from ssres (censored
+    observations: a detection limit is not a measured value, so it belongs
+    in neither ssres nor sstot — build_obsdata_host excludes them from
+    sstot symmetrically).
     """
     r = (jnp.asarray(C) - O) ** 2
+    if mask is not None:
+        r = jnp.where(mask, r, 0.0)
     ssres = jnp.sum(jnp.where(jnp.isnan(r), 0.0, r), axis=-1)
     return 1.0 - ssres / sstot
 
