@@ -286,6 +286,18 @@ class ModelFramework:
     clinical norm — impossible in the reference, whose ``odeint`` call has
     no event mechanism, ``Framework.py:656``).
 
+    ``forcings`` adds time-varying covariate signals —
+    ``{name: (times, values)}`` or ``(times, values, 'hold')`` for
+    zero-order hold instead of the default piecewise-linear interpolation.
+    The ODE function then takes a 4th argument, a dict of signal values at
+    the query time (e.g. measured temperature driving a rate:
+    ``dNdt(y, t, ps, u): return r * u['T'] * y[0]``). Works on every path
+    — XLA solvers interpolate on traced time; the fused Pallas kernels'
+    step times are static, so the lookups constant-fold to scalars at
+    compile time and forcings cost the hot loop NOTHING (the reference
+    would re-interpolate per RHS call in Python, inside every LSODA step,
+    ``Framework.py:656``).
+
     A ``censored`` dataframe column (bool / {0,1,2} / 'left'/'right')
     marks detection-limit rows — the ``abundance`` there is the LIMIT, not
     a measurement. They are scored by the Tobit likelihood ``-log
@@ -302,7 +314,7 @@ class ModelFramework:
                  state_summations=None, t_end=5, t_steps=1000, random_seed=0,
                  ode_style="auto", method="dopri5", rtol=1e-6, atol=1e-4,
                  max_steps=4096, substeps=4, obs_model="lognormal",
-                 obs_param=None, dose_events=None, **kwargs):
+                 obs_param=None, dose_events=None, forcings=None, **kwargs):
         self._pnames = tuple(parameter_names)
         self._snames = tuple(state_names)
         self._model = ODE
@@ -310,6 +322,7 @@ class ModelFramework:
         self._obs_model = obs_model
         self._obs_param = obs_param
         self._dose_events = dose_events
+        self._forcings = forcings
         self._solver = dict(method=method, rtol=float(rtol), atol=float(atol),
                             max_steps=int(max_steps),
                             substeps=_norm_substeps_arg(substeps))
@@ -380,7 +393,8 @@ class ModelFramework:
         return make_spec(rhs, self._pnames, self._snames, state_summations,
                          obs_model=self._obs_model,
                          obs_param=self._obs_param,
-                         dose_events=self._dose_events)
+                         dose_events=self._dose_events,
+                         forcings=self._forcings)
 
     def _refresh_pshapes(self):
         """Rebuild the spec when a parameter's value shape changes (array
@@ -401,7 +415,8 @@ class ModelFramework:
                 getattr(self, "_state_summations", None), pshapes=shapes,
                 obs_model=self._spec.obs_model,
                 obs_param=self._spec.obs_param or None,
-                dose_events=self._spec.dose_events)
+                dose_events=self._spec.dose_events,
+                forcings=self._spec.forcings)
 
     def _adapt_rhs(self, f):
         style = self._ode_style
@@ -433,10 +448,12 @@ class ModelFramework:
                         f"[jax], or pass ode_style='reference'|'jax'")
             except TypeError:
                 style = "reference"
+        # *rest carries the forcings dict through for models constructed
+        # with forcings= (the user RHS then takes a 4th argument)
         if style == "reference":
             jf = jaxify_rhs(f)
-            return lambda t, y, ps: jnp.asarray(jf(y, t, ps))
-        return lambda t, y, ps: jnp.asarray(f(t, y, ps))
+            return lambda t, y, ps, *rest: jnp.asarray(jf(y, t, ps, *rest))
+        return lambda t, y, ps, *rest: jnp.asarray(f(t, y, ps, *rest))
 
     def _formatdf(self, df):
         # replicate schema fills the _obs_abundance caches like
@@ -2092,7 +2109,8 @@ class ModelFramework:
         h.update(repr((tuple(self._spec.pnames), str(method),
                        substeps, self._spec.obs_model,
                        self._spec.obs_param,
-                       self._spec.dose_events)).encode())
+                       self._spec.dose_events,
+                       self._spec.forcings)).encode())
         h.update(np.asarray(self.get_inits(), float).tobytes())
         h.update(np.asarray(self._times_fit, float).tobytes())
         for leaf in jax.tree_util.tree_leaves(self._obsdata_fit):

@@ -74,6 +74,16 @@ class ModelSpec:
     # left limits (troughs). Static + hashable: every integrator and both
     # Pallas kernels bake the impulses in at compile time.
     dose_events: Optional[Tuple[Tuple[float, int, float], ...]] = None
+    # time-varying forcing signals (covariates): ((name, times, values,
+    # mode), ...) with mode 'linear' (piecewise-linear interpolation) or
+    # 'hold' (zero-order hold / previous value). When present, the USER
+    # RHS takes a 4th argument — a dict name -> signal value at the query
+    # time — and make_spec wraps it back to the internal 3-arg form via
+    # eval_forcings. Static + hashable: on traced time the XLA paths emit
+    # one interp/searchsorted; in the fused Pallas kernels every step time
+    # is a Python float, so the lookup CONSTANT-FOLDS at trace time and
+    # forcings cost the kernel nothing.
+    forcings: Optional[Tuple[Tuple[str, tuple, tuple, str], ...]] = None
 
     def __post_init__(self):
         if self.pshapes is None:
@@ -141,10 +151,89 @@ class ModelSpec:
 
 OBS_MODELS = ("lognormal", "student_t", "poisson", "negbinom")
 
+FORCING_MODES = ("linear", "hold")
+
+
+def normalize_forcings(forcings):
+    """Normalize a user forcings mapping into the spec's static tuple form.
+
+    Accepts ``{name: (times, values)}``, ``{name: (times, values, mode)}``
+    or ``{name: {'t': ..., 'v': ..., 'mode': ...}}`` (and the
+    already-normalized tuple, passed through). Times must be strictly
+    increasing and match values in length; queries outside the table clamp
+    to the endpoint values."""
+    if not forcings:
+        return None
+    if isinstance(forcings, tuple) and forcings and \
+            isinstance(forcings[0], tuple) and len(forcings[0]) == 4:
+        return forcings  # already normalized (spec rebuilds)
+    out = []
+    for name, table in dict(forcings).items():
+        if isinstance(table, dict):
+            ft, fv = table["t"], table["v"]
+            mode = table.get("mode", "linear")
+        else:
+            if len(table) == 3:
+                ft, fv, mode = table
+            else:
+                ft, fv = table
+                mode = "linear"
+        if mode not in FORCING_MODES:
+            raise ValueError(f"forcing {name!r}: mode must be one of "
+                             f"{FORCING_MODES}, got {mode!r}")
+        ft = np.asarray(ft, np.float64).ravel()
+        fv = np.asarray(fv, np.float64).ravel()
+        if ft.size == 0 or ft.size != fv.size:
+            raise ValueError(
+                f"forcing {name!r}: times and values must be equal-length "
+                f"and non-empty (got {ft.size} times, {fv.size} values)")
+        if not np.all(np.isfinite(ft)) or not np.all(np.isfinite(fv)):
+            raise ValueError(f"forcing {name!r}: times/values must be finite")
+        if ft.size > 1 and not np.all(np.diff(ft) > 0):
+            raise ValueError(
+                f"forcing {name!r}: times must be strictly increasing")
+        out.append((str(name), tuple(float(t) for t in ft),
+                    tuple(float(v) for v in fv), str(mode)))
+    return tuple(out)
+
+
+def eval_forcings(forcings, t):
+    """Evaluate every forcing signal at time ``t`` -> ``{name: value}``.
+
+    Concrete ``t`` (a Python/numpy float — the fused Pallas kernels' static
+    step times) folds to plain float constants at trace time; traced ``t``
+    (the XLA integrators inside scan/while_loop) emits ``jnp.interp`` /
+    ``searchsorted`` gathers on the static tables."""
+    import jax as _jax
+    out = {}
+    concrete = not isinstance(t, _jax.core.Tracer)
+    for name, ft, fv, mode in forcings:
+        if concrete:
+            tc = float(t)
+            if mode == "hold":
+                i = int(np.clip(np.searchsorted(ft, tc, side="right") - 1,
+                                0, len(fv) - 1))
+                out[name] = float(fv[i])
+            else:
+                out[name] = float(np.interp(tc, ft, fv))
+        else:
+            # tables adopt t's dtype so a float32 integration never gets a
+            # float64 forcing value promoted into its scan carry
+            dt = jnp.result_type(t)
+            fvj = jnp.asarray(fv, dt)
+            if mode == "hold":
+                i = jnp.clip(jnp.searchsorted(jnp.asarray(ft, dt), t,
+                                              side="right") - 1,
+                             0, len(fv) - 1)
+                out[name] = fvj[i]
+            else:
+                out[name] = jnp.interp(t, jnp.asarray(ft, dt), fvj)
+    return out
+
 
 def make_spec(rhs, pnames, snames, state_summations=None,
               pshapes=None, obs_model="lognormal",
-              obs_param=None, dose_events=None) -> ModelSpec:
+              obs_param=None, dose_events=None, forcings=None) -> ModelSpec:
     """Build a ModelSpec, validating summations exactly like
     ``Framework.py:349-364`` (duplicate state / unknown state errors).
 
@@ -155,7 +244,13 @@ def make_spec(rhs, pnames, snames, state_summations=None,
 
     ``dose_events``: sequence of ``(time, state_name_or_index, amount)``
     bolus impulses (e.g. repeated drug doses); see
-    :attr:`ModelSpec.dose_events` for the timing convention."""
+    :attr:`ModelSpec.dose_events` for the timing convention.
+
+    ``forcings``: mapping of time-varying covariate signals,
+    ``{name: (times, values[, mode])}`` with mode ``'linear'`` (default)
+    or ``'hold'`` — when given, ``rhs`` must accept a 4th argument, the
+    dict of signal values at the query time (:func:`eval_forcings`;
+    :attr:`ModelSpec.forcings` for the cost model)."""
     if obs_model not in OBS_MODELS:
         raise ValueError(f"obs_model must be one of {OBS_MODELS}, "
                          f"got {obs_model!r}")
@@ -173,6 +268,17 @@ def make_spec(rhs, pnames, snames, state_summations=None,
         obs_param = 0.0
     pnames = tuple(pnames)
     snames = tuple(snames)
+    forcings = normalize_forcings(forcings)
+    if forcings and not getattr(rhs, "_odelib_forcings_applied", False):
+        # Close the 4-arg user RHS over the static tables so every internal
+        # consumer (integrators, samplers, both Pallas kernels, jacfwd in
+        # the stiff steppers, HMC grads) keeps calling the 3-arg form.
+        base_rhs = rhs
+
+        def rhs(t, y, ps, _f=base_rhs, _u=forcings):
+            return _f(t, y, ps, eval_forcings(_u, t))
+
+        rhs._odelib_forcings_applied = True
     if dose_events:
         evs = []
         for t, s, amt in dose_events:
@@ -228,7 +334,8 @@ def make_spec(rhs, pnames, snames, state_summations=None,
     return ModelSpec(rhs=rhs, pnames=pnames, snames=snames,
                      pshapes=pshapes, sum_matrix=sum_matrix,
                      post_snames=post_snames, obs_model=obs_model,
-                     obs_param=obs_param, dose_events=dose_events)
+                     obs_param=obs_param, dose_events=dose_events,
+                     forcings=forcings)
 
 
 # ---------------------------------------------------------------------------
