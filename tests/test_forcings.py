@@ -181,6 +181,37 @@ def test_framework_forcings_end_to_end():
     assert len(post) > 0 and np.isfinite(post["chi"]).all()
 
 
+def test_jointfit_with_forced_experiment():
+    """A forced experiment participates in JointFit unchanged: its spec's
+    wrapped RHS (and the fused joint kernel's static plans) carry the
+    forcing tables through the shared-parameter joint posterior."""
+    from odelib_tpu import JointFit, ModelFramework, parameter
+    from scipy.stats import lognorm
+
+    def mk(df, forcings=None):
+        rhs = forced_zero_i if forcings else zero_i
+        return ModelFramework(
+            rhs, ["mu", "phi", "beta"], ["S", "V"], dataframe=df,
+            ode_style="jax", forcings=forcings,
+            mu=parameter(lognorm, {"s": 0.5, "scale": 0.6}, random_seed=1),
+            phi=parameter(lognorm, {"s": 0.5, "scale": 2.4e-8},
+                          random_seed=2),
+            beta=parameter(lognorm, {"s": 0.5, "scale": 24.0},
+                           random_seed=3),
+            t_end=3.1, t_steps=96)
+
+    jf = JointFit({"plain": mk(synthetic_df(0)),
+                   "forced": mk(synthetic_df(1),
+                                {"g": ([0.0, 1.5, 3.2], [0.8, 1.3, 0.9])})},
+                  shared=("beta",))
+    post = jf.MCMC(chain_inits=4, iterations_per_chain=30, burnin=10,
+                   fitsurvey_samples=64, backend="xla",
+                   print_report=False)
+    assert np.isfinite(post["chi"]).all()
+    assert {"beta", "plain:mu", "forced:mu", "chi:plain",
+            "chi:forced"} <= set(post.columns)
+
+
 def test_spec_rebuild_does_not_double_wrap(forced_setup):
     """make_spec on an already-wrapped RHS (the _refresh_pshapes path) must
     not re-apply the forcing closure."""
