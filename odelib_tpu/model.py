@@ -19,6 +19,7 @@ Everything here is pure and vmap/shard_map-safe.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -75,8 +76,9 @@ class ModelSpec:
     # Pallas kernels bake the impulses in at compile time.
     dose_events: Optional[Tuple[Tuple[float, int, float], ...]] = None
     # time-varying forcing signals (covariates): ((name, times, values,
-    # mode), ...) with mode 'linear' (piecewise-linear interpolation) or
-    # 'hold' (zero-order hold / previous value). When present, the USER
+    # mode), ...) with mode 'linear' (piecewise-linear interpolation),
+    # 'hold' (zero-order hold / previous value) or 'cubic'
+    # (shape-preserving PCHIP spline). When present, the USER
     # RHS takes a 4th argument — a dict name -> signal value at the query
     # time — and make_spec wraps it back to the internal 3-arg form via
     # eval_forcings. Static + hashable: on traced time the XLA paths emit
@@ -151,7 +153,67 @@ class ModelSpec:
 
 OBS_MODELS = ("lognormal", "student_t", "poisson", "negbinom")
 
-FORCING_MODES = ("linear", "hold")
+FORCING_MODES = ("linear", "hold", "cubic")
+
+
+@functools.lru_cache(maxsize=256)
+def _pchip_slopes(ft: tuple, fv: tuple) -> np.ndarray:
+    """Knot derivatives for shape-preserving (PCHIP / Fritsch-Carlson)
+    cubic interpolation of a forcing table. Monotone data never
+    overshoots between knots — the property that matters for physical
+    covariates (temperatures, light, flow rates), where a natural cubic
+    spline's ringing can push e.g. an irradiance signal negative.
+
+    Cached per table (the spec stores tables as hashable tuples), so the
+    host-side constant-folding path in :func:`eval_forcings` computes
+    slopes once per table, not once per RHS call."""
+    t = np.asarray(ft, np.float64)
+    v = np.asarray(fv, np.float64)
+    n = t.size
+    if n == 1:
+        return np.zeros(1)
+    h = np.diff(t)
+    delta = np.diff(v) / h
+    if n == 2:
+        return np.array([delta[0], delta[0]])
+    d = np.zeros(n)
+    # interior: weighted harmonic mean where the secants agree in sign
+    d0, d1 = delta[:-1], delta[1:]
+    h0, h1 = h[:-1], h[1:]
+    w1 = 2.0 * h1 + h0
+    w2 = h1 + 2.0 * h0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        hm = (w1 + w2) / (w1 / d0 + w2 / d1)
+    d[1:-1] = np.where((d0 * d1) > 0.0, hm, 0.0)
+
+    def edge(h_a, h_b, del_a, del_b):
+        # one-sided three-point estimate, clamped for shape preservation
+        s = ((2.0 * h_a + h_b) * del_a - h_a * del_b) / (h_a + h_b)
+        if np.sign(s) != np.sign(del_a):
+            return 0.0
+        if np.sign(del_a) != np.sign(del_b) and abs(s) > 3.0 * abs(del_a):
+            return 3.0 * del_a
+        return s
+
+    d[0] = edge(h[0], h[1], delta[0], delta[1])
+    d[-1] = edge(h[-1], h[-2], delta[-1], delta[-2])
+    return d
+
+
+def _hermite_eval(tq, ft, fv, d, xp):
+    """Evaluate the cubic Hermite interpolant (knots ft/fv, slopes d) at
+    tq, clamped to the table's span (outside queries hold the endpoint
+    values, matching the 'linear'/'hold' out-of-range convention).
+    ``xp`` is numpy (host constant-folding) or jnp (traced)."""
+    tq = xp.clip(tq, ft[0], ft[-1])
+    i = xp.clip(xp.searchsorted(ft, tq, side="right") - 1, 0, len(ft) - 2)
+    t0, t1 = ft[i], ft[i + 1]
+    hseg = t1 - t0
+    s = tq - t0
+    dl = (fv[i + 1] - fv[i]) / hseg
+    c2 = (3.0 * dl - 2.0 * d[i] - d[i + 1]) / hseg
+    c3 = (d[i] + d[i + 1] - 2.0 * dl) / (hseg * hseg)
+    return fv[i] + s * (d[i] + s * (c2 + s * c3))
 
 
 def normalize_forcings(forcings):
@@ -161,7 +223,11 @@ def normalize_forcings(forcings):
     or ``{name: {'t': ..., 'v': ..., 'mode': ...}}`` (and the
     already-normalized tuple, passed through). Times must be strictly
     increasing and match values in length; queries outside the table clamp
-    to the endpoint values."""
+    to the endpoint values. Modes: ``'linear'`` interpolation (default),
+    ``'hold'`` (piecewise-constant, left-continuous — step protocols like
+    dilutions or light on/off), ``'cubic'`` (shape-preserving PCHIP — smooth
+    covariates like temperature, C1-continuous so adaptive steppers don't
+    stall on slope kinks at the knots; :func:`_pchip_slopes`)."""
     if not forcings:
         return None
     if isinstance(forcings, tuple) and forcings and \
@@ -214,6 +280,10 @@ def eval_forcings(forcings, t):
                 i = int(np.clip(np.searchsorted(ft, tc, side="right") - 1,
                                 0, len(fv) - 1))
                 out[name] = float(fv[i])
+            elif mode == "cubic" and len(ft) > 1:
+                out[name] = float(_hermite_eval(
+                    tc, np.asarray(ft), np.asarray(fv),
+                    _pchip_slopes(ft, fv), np))
             else:
                 out[name] = float(np.interp(tc, ft, fv))
         else:
@@ -226,6 +296,11 @@ def eval_forcings(forcings, t):
                                               side="right") - 1,
                              0, len(fv) - 1)
                 out[name] = fvj[i]
+            elif mode == "cubic" and len(ft) > 1:
+                # slopes are host-precomputed constants baked into the trace
+                out[name] = _hermite_eval(
+                    t, jnp.asarray(ft, dt), fvj,
+                    jnp.asarray(_pchip_slopes(ft, fv), dt), jnp)
             else:
                 out[name] = jnp.interp(t, jnp.asarray(ft, dt), fvj)
     return out
@@ -368,10 +443,11 @@ def integrate_theta(spec: ModelSpec, theta, y0, times, *, method="dopri5",
         return spec.rhs(t, y, spec.unpack_theta(th))
 
     dose = dose_matrix(spec, times)
-    if method in ("rk4", "fixed_dopri5"):
+    if method in ("rk4", "fixed_dopri5", "fixed_kvaerno3"):
+        fixed = {"rk4": "rk4", "fixed_dopri5": "dopri5",
+                 "fixed_kvaerno3": "kvaerno3"}[method]
         sol = odeint_fixed(f, y0, times, theta, substeps=substeps,
-                           method="rk4" if method == "rk4" else "dopri5",
-                           dose=dose)
+                           method=fixed, dose=dose)
     else:
         sol = odeint_grid(f, y0, times, theta, rtol=rtol, atol=atol,
                           max_steps=max_steps, method=method, dose=dose)

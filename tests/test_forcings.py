@@ -76,16 +76,17 @@ def test_forced_growth_matches_closed_form(mode, cumint):
 
 
 def test_eval_forcings_concrete_and_traced_agree():
-    forc = normalize_forcings({"a": (FT, FV), "b": (FT, FV, "hold")})
+    forc = normalize_forcings({"a": (FT, FV), "b": (FT, FV, "hold"),
+                               "c": (FT, FV, "cubic")})
     import jax
     f_traced = jax.jit(lambda t: tuple(eval_forcings(forc, t).values()))
     for t in [-0.5, 0.0, 0.3, 1.0, 1.7, 2.0, 3.9, 4.0, 5.5]:
         conc = eval_forcings(forc, t)
         trac = f_traced(t)
         assert isinstance(conc["a"], float)  # constant-folds in kernels
-        np.testing.assert_allclose([conc["a"], conc["b"]],
-                                   [float(trac[0]), float(trac[1])],
-                                   rtol=1e-12)
+        assert isinstance(conc["c"], float)
+        np.testing.assert_allclose([conc["a"], conc["b"], conc["c"]],
+                                   [float(v) for v in trac], rtol=1e-12)
 
 
 def test_forcing_validation_errors():
@@ -94,7 +95,7 @@ def test_forcing_validation_errors():
     with pytest.raises(ValueError, match="equal-length"):
         normalize_forcings({"T": ((0.0, 1.0), (1.0, 2.0, 3.0))})
     with pytest.raises(ValueError, match="mode"):
-        normalize_forcings({"T": ((0.0, 1.0), (1.0, 2.0), "cubic")})
+        normalize_forcings({"T": ((0.0, 1.0), (1.0, 2.0), "quadratic")})
     with pytest.raises(ValueError, match="finite"):
         normalize_forcings({"T": ((0.0, 1.0), (1.0, np.inf))})
 
@@ -122,22 +123,27 @@ def forced_setup():
     return spec, obs_fit_host, times_fit, y0
 
 
-def test_fused_kernel_forcings_match_xla(forced_setup):
+@pytest.mark.parametrize("stepper,xla_method",
+                         [("dopri5", "fixed_dopri5"),
+                          ("kvaerno3", "fixed_kvaerno3")])
+def test_fused_kernel_forcings_match_xla(forced_setup, stepper, xla_method):
     """The kernel's constant-folded forcing lookups must agree with the XLA
-    fixed-step path's traced interpolation at the same step times."""
+    fixed-step path's traced interpolation at the same step times — for
+    both the explicit and the stiff in-kernel steppers (the implicit one's
+    chord-Newton stages also query the forcing at static times)."""
     spec, obs_host, times_fit, y0 = forced_setup
     rng = np.random.default_rng(1)
     thetas = np.array([0.6, 2.4e-8, 24.0]) * np.exp(
         rng.normal(0, 0.2, (8, 3)))
     pal = np.asarray(survey_fused(spec, obs_host, times_fit, y0, thetas,
-                                  substeps=2, tile_chains=128,
-                                  interpret=True))
+                                  substeps=2, stepper=stepper,
+                                  tile_chains=128, interpret=True))
     obs_dev = obsdata_to_device(obs_host, jnp.float32)
     xla = np.asarray(survey(spec, obs_dev,
                             jnp.asarray(times_fit, jnp.float32),
                             jnp.asarray(y0, jnp.float32),
                             jnp.asarray(thetas, jnp.float32),
-                            method="fixed_dopri5", substeps=2))
+                            method=xla_method, substeps=2))
     np.testing.assert_allclose(pal, xla, rtol=2e-4)
 
 
@@ -210,6 +216,87 @@ def test_jointfit_with_forced_experiment():
     assert np.isfinite(post["chi"]).all()
     assert {"beta", "plain:mu", "forced:mu", "chi:plain",
             "chi:forced"} <= set(post.columns)
+
+
+def test_cubic_forcing_matches_scipy_pchip():
+    """mode='cubic' is shape-preserving PCHIP: host constant-folding path
+    exact vs scipy, traced path to float rounding; out-of-range queries
+    clamp to the endpoint values like the other modes."""
+    from scipy.interpolate import PchipInterpolator
+    import jax
+
+    rng = np.random.default_rng(3)
+    for n in (2, 3, 5, 11):
+        ft = np.cumsum(rng.uniform(0.2, 1.0, n))
+        fv = rng.normal(0.0, 2.0, n)
+        forc = normalize_forcings({"u": (ft, fv, "cubic")})
+        ref = PchipInterpolator(ft, fv) if n > 2 else None
+        tq = rng.uniform(ft[0] - 1, ft[-1] + 1, 64)
+        host = np.array([eval_forcings(forc, float(t))["u"] for t in tq])
+        traced = np.asarray(jax.vmap(
+            lambda t: eval_forcings(forc, t)["u"])(jnp.asarray(tq)))
+        tc = np.clip(tq, ft[0], ft[-1])
+        exp = ref(tc) if ref is not None else np.interp(tc, ft, fv)
+        np.testing.assert_allclose(host, exp, atol=1e-12)
+        np.testing.assert_allclose(traced, exp, atol=1e-9)
+
+
+def test_cubic_forcing_preserves_monotonicity():
+    """Monotone knots -> monotone interpolant (the PCHIP property a natural
+    cubic spline lacks): a ramp-and-plateau signal never overshoots."""
+    ft = (0.0, 1.0, 2.0, 3.0, 10.0)
+    fv = (0.0, 0.1, 5.0, 5.05, 5.1)
+    forc = normalize_forcings({"u": (ft, fv, "cubic")})
+    vals = np.array([eval_forcings(forc, float(t))["u"]
+                     for t in np.linspace(0.0, 10.0, 2001)])
+    assert np.all(np.diff(vals) >= -1e-12)
+    assert vals.min() >= -1e-12 and vals.max() <= 5.1 + 1e-12
+
+
+def test_cubic_beats_linear_on_smooth_forcing():
+    """A smooth (sinusoidal) driver tabulated at 9 knots: integrating
+    through the PCHIP interpolant tracks the true forced trajectory far
+    better than the linear table — the reason the mode exists."""
+    t_knots = np.linspace(0.0, 5.0, 13)
+    v_knots = 1.0 + 0.8 * np.sin(1.3 * t_knots)
+    times = np.linspace(0.0, 5.0, 41)
+    r = 0.7
+    # exact: dN/dt = r*T(t)*N with the TRUE sine driver
+    exact = 2.0 * np.exp(r * (times + (0.8 / 1.3)
+                              * (1.0 - np.cos(1.3 * times))))
+    errs = {}
+    for mode in ("linear", "cubic"):
+        spec = make_spec(growth_rhs, ("r",), ("N",),
+                         forcings={"T": (t_knots, v_knots, mode)})
+        ys = np.asarray(integrate_theta(
+            spec, jnp.array([r]), jnp.array([2.0]), jnp.asarray(times),
+            method="dopri5", rtol=1e-9, atol=1e-12))
+        errs[mode] = np.max(np.abs(ys[:, 0] / exact - 1.0))
+    # measured on this workload: linear 2.1e-2, cubic 2.6e-3 (8.1x)
+    assert errs["cubic"] < errs["linear"] / 5, errs
+    assert errs["cubic"] < 5e-3, errs
+
+
+def test_fused_kernel_cubic_forcing_matches_xla(forced_setup):
+    """Cubic-mode tables constant-fold in the fused kernel exactly like
+    linear ones (step times are static floats)."""
+    _, obs_host, times_fit, y0 = forced_setup
+    spec = make_spec(forced_zero_i, ("mu", "phi", "beta"), ("S", "V"),
+                     forcings={"g": ((0.0, 1.0, 2.0, 3.2),
+                                     (0.8, 1.4, 1.1, 0.9), "cubic")})
+    rng = np.random.default_rng(2)
+    thetas = np.array([0.6, 2.4e-8, 24.0]) * np.exp(
+        rng.normal(0, 0.2, (8, 3)))
+    pal = np.asarray(survey_fused(spec, obs_host, times_fit, y0, thetas,
+                                  substeps=2, tile_chains=128,
+                                  interpret=True))
+    obs_dev = obsdata_to_device(obs_host, jnp.float32)
+    xla = np.asarray(survey(spec, obs_dev,
+                            jnp.asarray(times_fit, jnp.float32),
+                            jnp.asarray(y0, jnp.float32),
+                            jnp.asarray(thetas, jnp.float32),
+                            method="fixed_dopri5", substeps=2))
+    np.testing.assert_allclose(pal, xla, rtol=2e-4)
 
 
 def test_spec_rebuild_does_not_double_wrap(forced_setup):
