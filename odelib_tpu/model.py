@@ -86,6 +86,12 @@ class ModelSpec:
     # is a Python float, so the lookup CONSTANT-FOLDS at trace time and
     # forcings cost the kernel nothing.
     forcings: Optional[Tuple[Tuple[str, tuple, tuple, str], ...]] = None
+    # diagonal process-noise intensities ``g(t, y, ps) -> (S_raw,)`` (same
+    # signature family as rhs, forcings-wrapped the same way). When set the
+    # model is a stochastic differential equation: simulate with
+    # sdeint_theta, fit with MCMC(sampler='pmmh') (samplers/pf.py). None =
+    # deterministic ODE (the reference's only case).
+    diffusion: Optional[Callable] = None
 
     def __post_init__(self):
         if self.pshapes is None:
@@ -308,7 +314,8 @@ def eval_forcings(forcings, t):
 
 def make_spec(rhs, pnames, snames, state_summations=None,
               pshapes=None, obs_model="lognormal",
-              obs_param=None, dose_events=None, forcings=None) -> ModelSpec:
+              obs_param=None, dose_events=None, forcings=None,
+              diffusion=None) -> ModelSpec:
     """Build a ModelSpec, validating summations exactly like
     ``Framework.py:349-364`` (duplicate state / unknown state errors).
 
@@ -322,10 +329,14 @@ def make_spec(rhs, pnames, snames, state_summations=None,
     :attr:`ModelSpec.dose_events` for the timing convention.
 
     ``forcings``: mapping of time-varying covariate signals,
-    ``{name: (times, values[, mode])}`` with mode ``'linear'`` (default)
-    or ``'hold'`` — when given, ``rhs`` must accept a 4th argument, the
-    dict of signal values at the query time (:func:`eval_forcings`;
-    :attr:`ModelSpec.forcings` for the cost model)."""
+    ``{name: (times, values[, mode])}`` with mode ``'linear'`` (default),
+    ``'hold'`` or ``'cubic'`` — when given, ``rhs`` must accept a 4th
+    argument, the dict of signal values at the query time
+    (:func:`eval_forcings`; :attr:`ModelSpec.forcings` for the cost model).
+
+    ``diffusion``: optional diagonal process-noise function
+    ``g(t, y, ps) -> (S_raw,)`` making the model an SDE
+    (:attr:`ModelSpec.diffusion`; same forcings convention as ``rhs``)."""
     if obs_model not in OBS_MODELS:
         raise ValueError(f"obs_model must be one of {OBS_MODELS}, "
                          f"got {obs_model!r}")
@@ -354,6 +365,23 @@ def make_spec(rhs, pnames, snames, state_summations=None,
             return _f(t, y, ps, eval_forcings(_u, t))
 
         rhs._odelib_forcings_applied = True
+    if forcings and diffusion is not None and not getattr(
+            diffusion, "_odelib_forcings_applied", False):
+        # unlike rhs (which MUST take the forcing dict when forcings are
+        # present), a noise-intensity function often doesn't care about the
+        # covariates — wrap only a 4-arg diffusion
+        import inspect
+        try:
+            takes_u = len(inspect.signature(diffusion).parameters) >= 4
+        except (TypeError, ValueError):
+            takes_u = False
+        if takes_u:
+            base_g = diffusion
+
+            def diffusion(t, y, ps, _g=base_g, _u=forcings):
+                return _g(t, y, ps, eval_forcings(_u, t))
+
+            diffusion._odelib_forcings_applied = True
     if dose_events:
         evs = []
         for t, s, amt in dose_events:
@@ -410,7 +438,7 @@ def make_spec(rhs, pnames, snames, state_summations=None,
                      pshapes=pshapes, sum_matrix=sum_matrix,
                      post_snames=post_snames, obs_model=obs_model,
                      obs_param=obs_param, dose_events=dose_events,
-                     forcings=forcings)
+                     forcings=forcings, diffusion=diffusion)
 
 
 # ---------------------------------------------------------------------------
@@ -451,6 +479,30 @@ def integrate_theta(spec: ModelSpec, theta, y0, times, *, method="dopri5",
     else:
         sol = odeint_grid(f, y0, times, theta, rtol=rtol, atol=atol,
                           max_steps=max_steps, method=method, dose=dose)
+    return sol.ys
+
+
+def sdeint_theta(spec: ModelSpec, theta, y0, times, key, *, substeps=4,
+                 method="euler"):
+    """Simulate one stochastic path of the spec's SDE for a flat parameter
+    vector (requires ``spec.diffusion``). Returns raw-state ys (T, S_raw),
+    NaN-tailed after a failure; dose events apply at their nearest grid
+    points like :func:`integrate_theta`. vmap over ``key`` for independent
+    paths, over ``(theta, key)`` for per-draw simulation."""
+    if spec.diffusion is None:
+        raise ValueError("spec has no diffusion function — pass "
+                         "diffusion= to make_spec for SDE simulation")
+    from .ops.sde import sdeint_fixed
+
+    def f(t, y, th):
+        return spec.rhs(t, y, spec.unpack_theta(th))
+
+    def g(t, y, th):
+        return spec.diffusion(t, y, spec.unpack_theta(th))
+
+    dose = dose_matrix(spec, times)
+    sol = sdeint_fixed(f, g, y0, times, key, theta, substeps=substeps,
+                       method=method, dose=dose)
     return sol.ys
 
 

@@ -9,6 +9,7 @@ from .hmc import (hamiltonian_mc, hamiltonian_mc_checkpointed,
 from .lhs import lhs_unit, sample_lhs
 from .mh import MHOutput, equilibriums, metropolis_hastings, survey
 from .optimize import MAPResult, map_fit, map_fit_custom
+from .pf import PMMHOutput, obs_blocks, particle_filter_chi, pmmh
 from .pt import parallel_tempering
 from .smc import SMCOutput, smc_sample
 
@@ -20,4 +21,5 @@ __all__ = ["lhs_unit", "sample_lhs", "MHOutput", "metropolis_hastings",
            "smc_sample", "SMCOutput", "adaptive_metropolis",
            "joint_metropolis_hastings", "joint_survey", "JointOutput",
            "advi", "advi_custom", "ADVIResult", "map_fit_custom",
-           "psis_weights", "resample_indices"]
+           "psis_weights", "resample_indices",
+           "pmmh", "PMMHOutput", "particle_filter_chi", "obs_blocks"]

@@ -1,0 +1,281 @@
+"""Bootstrap particle filter + particle-marginal MH (PMMH) for SDE models.
+
+The reference can only fit deterministic ODEs: its likelihood is the
+reduced chi-square of ONE trajectory (``/root/reference/ODElib/Statistics/
+Samplers.py:115-116``), so process noise — demographic stochasticity,
+environmental fluctuation — must be mis-attributed to observation error.
+With a ``diffusion`` function on the ModelSpec the model becomes a
+state-space SDE, and the marginal likelihood ``p(O | theta)`` is an
+integral over latent paths. This module estimates it with a bootstrap
+particle filter and samples ``theta`` with the pseudo-marginal
+Metropolis-Hastings algorithm (PMMH, Andrieu-Doucet-Holenstein 2010) —
+exact w.r.t. the true posterior despite the likelihood being estimated,
+because the estimator is unbiased and is held FIXED for the incumbent
+theta between acceptances.
+
+TPU-native shape: particles x chains are pure batch lanes. One PMMH
+iteration is ``C`` chains x ``K`` particles of fixed-step SDE propagation
+(:func:`odelib_tpu.ops.sde.sdeint_fixed`) — the same embarrassingly
+batched structure as the fused survey — with systematic resampling as a
+cumsum + searchsorted per observation block. Block boundaries AND the
+block's observation rows are planned host-side into a hashable static
+plan (:func:`obs_blocks`), the same no-device-readback discipline the
+Pallas kernel planners follow, so each observation gap compiles to its
+own fixed-length scan and the data constants fold into the program.
+
+Failure model: a diverged particle's weight becomes -inf (it is dropped
+at the next resample); if EVERY particle of a proposal diverges the
+log-likelihood estimate is -inf and the proposal is rejected — NaN/inf
+never raises (SURVEY.md section 5.3).
+
+RNG discipline: the filter key for chain ``c`` at iteration ``it`` is
+``fold_in(chain_key, it)``; block ``b`` folds again, and particle keys
+are ``split``s of that — every draw is a pure function of
+(chain key, iteration, block, particle), so checkpoint-chunked runs
+reproduce bitwise (SURVEY.md section 5.4).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import stats as jstats
+from ..model import ModelSpec, ObsData, dose_matrix
+from ..ops.sde import sdeint_fixed
+
+__all__ = ["obs_blocks", "particle_filter_chi", "pmmh", "PMMHOutput"]
+
+
+class _Block(NamedTuple):
+    """One observation time's static plan: all fields plain tuples, so the
+    whole plan is hashable and rides the jit cache as a static argument."""
+    t_idx: int              # index into the integration grid
+    state_index: tuple      # per-row post-summation state index
+    log_abundance: tuple
+    log_sigma: tuple
+    abundance: tuple
+    censor: Any             # tuple of ints, or None
+
+
+def obs_blocks(obs: ObsData):
+    """Host-side planning: group observation rows by grid-time index into
+    static :class:`_Block` plans (strictly increasing ``t_idx``). ``obs``
+    must be a host (numpy) ObsData (``build_obsdata_host``)."""
+    t_index = np.asarray(obs.t_index)
+    out = []
+    for t in np.unique(t_index):
+        rows = np.where(t_index == t)[0]
+        out.append(_Block(
+            t_idx=int(t),
+            state_index=tuple(int(s) for s in
+                              np.asarray(obs.state_index)[rows]),
+            log_abundance=tuple(float(v) for v in
+                                np.asarray(obs.log_abundance)[rows]),
+            log_sigma=tuple(float(v) for v in
+                            np.asarray(obs.log_sigma)[rows]),
+            abundance=tuple(float(v) for v in
+                            np.asarray(obs.abundance)[rows]),
+            censor=None if obs.censor is None else tuple(
+                int(c) for c in np.asarray(obs.censor)[rows]),
+        ))
+    return tuple(out)
+
+
+def _block_chi(spec: ModelSpec, blk: _Block, post):
+    """Generalized chi of one observation block for a batch of particles.
+
+    ``post`` is (K, S_post) post-summation states at the block's time;
+    returns (K,) — the same per-point terms as :func:`model.score_pred`,
+    restricted to the block's rows, so PMMH acceptance ratios and the
+    deterministic samplers' are on the same scale."""
+    dtype = post.dtype
+    pred = post[:, np.asarray(blk.state_index)]          # (K, n_rows)
+    censor = None if blk.censor is None else jnp.asarray(blk.censor,
+                                                         jnp.int32)
+    return jstats.obs_negloglik(
+        spec.obs_model, spec.obs_param,
+        jnp.asarray(blk.log_abundance, dtype), jnp.log(pred),
+        jnp.asarray(blk.log_sigma, dtype),
+        jnp.asarray(blk.abundance, dtype), pred, censor=censor)
+
+
+def particle_filter_chi(spec: ModelSpec, blocks, times, y0, theta, key, *,
+                        n_particles: int = 128, substeps: int = 4,
+                        sde_method: str = "euler",
+                        return_filtered: bool = False):
+    """Bootstrap-PF estimate of the generalized chi (negative marginal
+    log-likelihood, up to the same additive data constant as
+    :func:`stats.obs_negloglik`) of one parameter vector.
+
+    ``blocks`` is the static plan from :func:`obs_blocks`; ``times`` may
+    be a traced device array (segment boundaries are static indices, so
+    each gap slices out a fixed-length grid). With
+    ``return_filtered=True`` also returns the (n_blocks, S_post)
+    filtered posterior means at the observation times (predictive
+    overlays). vmap over ``(theta, key)`` for chains; the body is pure.
+    """
+    if spec.diffusion is None:
+        raise ValueError("particle filter requires a spec with a "
+                         "diffusion function (make_spec(diffusion=...))")
+    K = int(n_particles)
+
+    def f(t, y, th):
+        return spec.rhs(t, y, spec.unpack_theta(th))
+
+    def g(t, y, th):
+        return spec.diffusion(t, y, spec.unpack_theta(th))
+
+    times = jnp.asarray(times)
+    dtype = jnp.result_type(jnp.asarray(y0).dtype, float)
+    dose = dose_matrix(spec, times)
+    parts = jnp.broadcast_to(jnp.asarray(y0, dtype),
+                             (K, len(spec.snames)))
+    loglik = jnp.asarray(0.0, dtype)
+    filtered = []
+    prev = 0
+    for b, blk in enumerate(blocks):
+        kb = jax.random.fold_in(key, b)
+        if blk.t_idx > prev or (b == 0 and blk.t_idx > 0):
+            seg = times[prev:blk.t_idx + 1]
+            seg_dose = None if dose is None else dose[prev:blk.t_idx + 1]
+            pkeys = jax.random.split(jax.random.fold_in(kb, 0), K)
+            parts = jax.vmap(
+                lambda y, k: sdeint_fixed(
+                    f, g, y, seg, k, theta, substeps=substeps,
+                    method=sde_method, dose=seg_dose).ys[-1])(parts, pkeys)
+            prev = blk.t_idx
+        post = spec.apply_summations(parts)      # (K, S_post)
+        chi_b = _block_chi(spec, blk, post)      # (K,)
+        # a diverged particle is dropped, not poisonous: weight -> -inf
+        logw = jnp.where(jnp.isfinite(chi_b), -chi_b, -jnp.inf)
+        lse = jax.scipy.special.logsumexp(logw)
+        loglik = loglik + lse - np.log(float(K))
+        # systematic resample (one uniform, stratified positions)
+        w = jnp.exp(logw - lse)
+        cum = jnp.cumsum(w)
+        u = jax.random.uniform(jax.random.fold_in(kb, 1), dtype=dtype)
+        pos = (jnp.arange(K, dtype=dtype) + u) / float(K)
+        idx = jnp.clip(jnp.searchsorted(cum, pos), 0, K - 1)
+        if return_filtered:
+            filtered.append(jnp.sum(post * w[:, None], axis=0))
+        parts = parts[idx]
+    chi_hat = -loglik
+    if return_filtered:
+        return chi_hat, jnp.stack(filtered)
+    return chi_hat
+
+
+class PMMHOutput(NamedTuple):
+    """Post-burnin samples. Leading axes: (chains, records)."""
+    theta: Any             # (C, R, P)
+    chi: Any               # (C, R) PF-estimated generalized chi
+    aic: Any               # (C, R) 2*chi + 2k (same convention as MH)
+    acceptance_ratio: Any  # (C, R)
+    iteration: Any         # (R,)
+
+
+class _Carry(NamedTuple):
+    log_theta: Any
+    chi: Any
+    acc_count: Any
+    key: Any
+
+
+@partial(jax.jit, static_argnames=(
+    "spec", "blocks", "nits", "burnin", "rwalk_std", "prior_logpdf",
+    "use_priors", "num_params", "n_particles", "substeps", "sde_method"))
+def _pmmh_impl(spec, blocks, times, y0_base, theta0, keys, walk_mask, *,
+               nits, burnin, rwalk_std, prior_logpdf, use_priors,
+               num_params, n_particles, substeps, sde_method):
+    def pf(theta, key):
+        y0 = spec.override_inits(y0_base, theta)
+        return particle_filter_chi(
+            spec, blocks, times, y0, theta, key, n_particles=n_particles,
+            substeps=substeps, sde_method=sde_method)
+
+    def step(carry, it):
+        k_eps, k_u, k_pf = jax.random.split(
+            jax.random.fold_in(carry.key, it.astype(jnp.int32)), 3)
+        eps = rwalk_std * jax.random.normal(
+            k_eps, carry.log_theta.shape, carry.log_theta.dtype)
+        prop_log = carry.log_theta + eps * walk_mask
+        theta = jnp.exp(prop_log)
+        chi_new = pf(theta, k_pf)
+        log_ratio = carry.chi - chi_new
+        if use_priors:
+            log_ratio = log_ratio + (prior_logpdf(theta)
+                                     - prior_logpdf(jnp.exp(carry.log_theta)))
+        u = jax.random.uniform(k_u, dtype=carry.chi.dtype)
+        accept = jnp.exp(log_ratio) > u   # NaN/inf chi_new -> rejected
+        new = _Carry(
+            log_theta=jnp.where(accept, prop_log, carry.log_theta),
+            # pseudo-marginal: the incumbent's ESTIMATE is kept, never
+            # re-evaluated — re-estimating would break exactness
+            chi=jnp.where(accept, chi_new, carry.chi),
+            acc_count=carry.acc_count + accept.astype(carry.acc_count.dtype),
+            key=carry.key)
+        record = (jnp.exp(new.log_theta), new.chi,
+                  new.acc_count / it.astype(new.chi.dtype))
+        return new, record
+
+    def one_chain(th0, key):
+        chi0 = pf(th0, jax.random.fold_in(key, 0))
+        carry = _Carry(log_theta=jnp.log(th0), chi=chi0,
+                       acc_count=jnp.asarray(0.0, th0.dtype), key=key)
+        its = jnp.arange(1, nits, dtype=jnp.int32)
+        carry, _ = jax.lax.scan(
+            lambda c, it: (step(c, it)[0], None), carry, its[:burnin])
+        carry, recs = jax.lax.scan(step, carry, its[burnin:])
+        return recs
+
+    theta_s, chi_s, ar_s = jax.vmap(one_chain)(theta0, keys)
+    aic_s = jstats.AIC(chi_s, num_params)
+    return theta_s, chi_s, aic_s, ar_s
+
+
+def pmmh(spec: ModelSpec, obs: ObsData, times, y0_base, theta0, keys, *,
+         nits: int = 1000, burnin: Optional[int] = None, walk_mask=None,
+         rwalk_std: float = 0.05, prior_logpdf: Optional[Callable] = None,
+         use_priors: bool = False, n_particles: int = 128,
+         substeps: int = 4, sde_method: str = "euler") -> PMMHOutput:
+    """Particle-marginal MH over C chains, one jitted device program.
+
+    Same proposal mechanics, acceptance convention (likelihood-ratio only
+    by default, ``use_priors=True`` for the corrected posterior — the
+    reference's dead-prior quirk, ``Samplers.py:118-127``) and output
+    conventions as :func:`metropolis_hastings`, with the deterministic
+    solve + chi replaced by an ``n_particles``-particle bootstrap filter
+    over the spec's SDE. ``obs`` must be a host (numpy) ObsData —
+    observation blocks become compile-time constants.
+
+    Cost per iteration per chain is ``n_particles`` SDE propagations of
+    the whole grid — choose ``n_particles`` so the log-likelihood
+    estimator's variance is ~1-2 (the PMMH sweet spot); too few particles
+    stall chains on lucky over-estimates."""
+    if burnin is None:
+        burnin = int(nits / 2)
+    if nits - 1 <= burnin:
+        raise ValueError(f"nits={nits} leaves no recorded iterations after "
+                         f"burnin={burnin}")
+    theta0 = jnp.atleast_2d(theta0)
+    P = theta0.shape[-1]
+    if walk_mask is None:
+        walk_mask = jnp.ones((P,), theta0.dtype)
+    if use_priors and prior_logpdf is None:
+        raise ValueError("use_priors=True requires prior_logpdf")
+    num_params = int(jnp.count_nonzero(theta0[0]))
+    blocks = obs_blocks(obs)
+    theta_s, chi_s, aic_s, ar_s = _pmmh_impl(
+        spec, blocks, jnp.asarray(times), jnp.asarray(y0_base), theta0,
+        keys, jnp.asarray(walk_mask),
+        nits=int(nits), burnin=int(burnin), rwalk_std=float(rwalk_std),
+        prior_logpdf=prior_logpdf, use_priors=bool(use_priors),
+        num_params=num_params, n_particles=int(n_particles),
+        substeps=int(substeps), sde_method=str(sde_method))
+    iterations = jnp.arange(1, nits)[burnin:]
+    return PMMHOutput(theta=theta_s, chi=chi_s, aic=aic_s,
+                      acceptance_ratio=ar_s, iteration=iterations)

@@ -1,0 +1,290 @@
+"""SDE simulation + particle-filter (PMMH) inference.
+
+The reference is strictly deterministic (``scipy.integrate.odeint``,
+``/root/reference/ODElib/Framework.py:656``); process noise is this
+framework's extension. Correctness oracles: analytic geometric-Brownian-
+motion moments, an exact-same-noise strong-error comparison, and — for
+the filter/sampler — the exact Kalman likelihood/posterior of the
+log-space linear-Gaussian system that GBM + lognormal observations is.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from odelib_tpu.model import ObsData, make_spec, sdeint_theta
+from odelib_tpu.ops.sde import sdeint_fixed
+from odelib_tpu.samplers.pf import obs_blocks, particle_filter_chi, pmmh
+
+MU, SIG, S_OBS = 0.4, 0.3, 0.15
+
+
+def gbm_drift(t, y, a):
+    return a[0] * y
+
+
+def gbm_diff(t, y, a):
+    return SIG * y
+
+
+# ---------------------------------------------------------------------------
+# sdeint_fixed
+# ---------------------------------------------------------------------------
+
+def test_sdeint_deterministic_and_shapes():
+    ts = jnp.linspace(0.0, 2.0, 21)
+    k = jax.random.PRNGKey(5)
+    s1 = sdeint_fixed(gbm_drift, gbm_diff, jnp.ones(1), ts, k,
+                      (jnp.asarray([MU]),), substeps=4)
+    s2 = sdeint_fixed(gbm_drift, gbm_diff, jnp.ones(1), ts, k,
+                      (jnp.asarray([MU]),), substeps=4)
+    assert s1.ys.shape == (21, 1)
+    assert np.array_equal(np.asarray(s1.ys), np.asarray(s2.ys))
+    assert bool(s1.ok)
+    # different key -> different path
+    s3 = sdeint_fixed(gbm_drift, gbm_diff, jnp.ones(1), ts,
+                      jax.random.PRNGKey(6), (jnp.asarray([MU]),),
+                      substeps=4)
+    assert not np.array_equal(np.asarray(s1.ys), np.asarray(s3.ys))
+
+
+def test_sdeint_gbm_moments():
+    """Ensemble mean/variance vs the analytic GBM moments
+    E[y_t] = e^{mu t}, Var = e^{2 mu t}(e^{sig^2 t} - 1)."""
+    ts = jnp.linspace(0.0, 2.0, 21)
+    keys = jax.random.split(jax.random.PRNGKey(0), 8192)
+    sol = jax.vmap(lambda k: sdeint_fixed(
+        gbm_drift, gbm_diff, jnp.ones(1), ts, k, (jnp.asarray([MU]),),
+        substeps=8))(keys)
+    yT = np.asarray(sol.ys[:, -1, 0])
+    m_exp = np.exp(MU * 2)
+    v_exp = np.exp(2 * MU * 2) * (np.exp(SIG ** 2 * 2) - 1)
+    # MC se(mean) ~ sqrt(v/8192) ~ 0.012; allow 4 se + Euler bias margin
+    assert abs(yT.mean() - m_exp) < 0.06, (yT.mean(), m_exp)
+    assert abs(yT.var() - v_exp) < 0.15 * v_exp, (yT.var(), v_exp)
+
+
+def test_milstein_beats_euler_strong_error():
+    """Against the EXACT GBM solution driven by the same Brownian
+    increments (reconstructed from the counter-based fold_in scheme),
+    Milstein's one-path error is well below Euler's."""
+    ts = jnp.linspace(0.0, 2.0, 21)
+    substeps = 4
+    errs = {}
+    for trial in range(3):
+        k = jax.random.PRNGKey(100 + trial)
+        h = 2.0 / (20 * substeps)
+        xs = np.array([float(jax.random.normal(
+            jax.random.fold_in(k, j), (1,))[0])
+            for j in range(20 * substeps)])
+        W = np.sqrt(h) * np.cumsum(xs)
+        t_end = 2.0
+        exact = np.exp((MU - 0.5 * SIG ** 2) * t_end + SIG * W[-1])
+        for meth in ("euler", "milstein"):
+            s = sdeint_fixed(gbm_drift, gbm_diff, jnp.ones(1), ts, k,
+                             (jnp.asarray([MU]),), substeps=substeps,
+                             method=meth)
+            errs.setdefault(meth, []).append(
+                abs(float(s.ys[-1, 0]) - exact))
+    assert np.mean(errs["milstein"]) < 0.6 * np.mean(errs["euler"]), errs
+
+
+def test_sdeint_blowup_gives_nan_not_exception():
+    sol = sdeint_fixed(lambda t, y, a: y * y, lambda t, y, a: 0.0 * y,
+                       jnp.array([5.0]), jnp.linspace(0, 10, 11),
+                       jax.random.PRNGKey(0), substeps=4)
+    assert not bool(sol.ok)
+    assert bool(jnp.isnan(sol.ys[-1, 0]))
+
+
+def test_sdeint_dose_impulse():
+    """With zero diffusion, sdeint is the Euler ODE path — a dose impulse
+    must appear after its grid point (pre-dose left-limit convention)."""
+    ts = jnp.linspace(0.0, 1.0, 11)
+    dose = jnp.zeros((11, 1)).at[5, 0].set(3.0)
+    sol = sdeint_fixed(lambda t, y, a: 0.0 * y, lambda t, y, a: 0.0 * y,
+                       jnp.array([1.0]), ts, jax.random.PRNGKey(0),
+                       substeps=2, dose=dose)
+    ys = np.asarray(sol.ys[:, 0])
+    np.testing.assert_allclose(ys[:6], 1.0)
+    np.testing.assert_allclose(ys[6:], 4.0)
+
+
+def test_sdeint_validation():
+    ts = jnp.linspace(0.0, 1.0, 5)
+    with pytest.raises(ValueError, match="method"):
+        sdeint_fixed(gbm_drift, gbm_diff, jnp.ones(1), ts,
+                     jax.random.PRNGKey(0), method="srk")
+    with pytest.raises(ValueError, match="substeps"):
+        sdeint_fixed(gbm_drift, gbm_diff, jnp.ones(1), ts,
+                     jax.random.PRNGKey(0), substeps=0)
+
+
+def test_sdeint_theta_requires_diffusion():
+    spec = make_spec(lambda t, y, ps: ps[0] * y, ("mu",), ("N",))
+    with pytest.raises(ValueError, match="diffusion"):
+        sdeint_theta(spec, jnp.array([MU]), jnp.ones(1),
+                     jnp.linspace(0, 1, 5), jax.random.PRNGKey(0))
+
+
+def test_sdeint_theta_with_forcings():
+    """A 4-arg diffusion gets the forcing dict; a 3-arg one doesn't."""
+    forc = {"T": ((0.0, 2.0), (1.0, 1.0))}  # constant 1 signal
+    spec4 = make_spec(lambda t, y, ps, u: ps[0] * u["T"] * y,
+                      ("mu",), ("N",), forcings=forc,
+                      diffusion=lambda t, y, ps, u: SIG * u["T"] * y)
+    spec3 = make_spec(lambda t, y, ps, u: ps[0] * u["T"] * y,
+                      ("mu",), ("N",), forcings=forc,
+                      diffusion=lambda t, y, ps: SIG * y)
+    ts = jnp.linspace(0.0, 2.0, 21)
+    k = jax.random.PRNGKey(1)
+    y4 = sdeint_theta(spec4, jnp.array([MU]), jnp.ones(1), ts, k)
+    y3 = sdeint_theta(spec3, jnp.array([MU]), jnp.ones(1), ts, k)
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(y3))
+
+
+# ---------------------------------------------------------------------------
+# particle filter vs exact Kalman (GBM + lognormal obs == linear-Gaussian
+# in log space)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def gbm_ssm():
+    def rhs(t, y, ps):
+        return jnp.stack([ps[0] * y[0]])
+
+    def diff(t, y, ps):
+        return jnp.stack([SIG * y[0]])
+
+    spec = make_spec(rhs, ("mu",), ("N",), diffusion=diff)
+    rng = np.random.default_rng(42)
+    T_obs = np.arange(1, 9) * 0.5
+    z0 = np.log(2.0)
+    z, zs = z0, []
+    for dt in np.diff(np.concatenate([[0.0], T_obs])):
+        z = z + (MU - 0.5 * SIG ** 2) * dt + SIG * np.sqrt(dt) * rng.normal()
+        zs.append(z)
+    logO = np.array(zs) + S_OBS * rng.normal(size=len(zs))
+    times = np.linspace(0, 4.0, 41)
+    t_idx = np.array([int(round(t / 0.1)) for t in T_obs])
+    obs = ObsData(log_abundance=logO, log_sigma=np.full(len(logO), S_OBS),
+                  abundance=np.exp(logO), t_index=t_idx,
+                  state_index=np.zeros(len(logO), np.int64),
+                  sstot=np.var(np.exp(logO)) * len(logO))
+
+    def kalman_ll(mu):
+        m, P, ll, prev = z0, 0.0, 0.0, 0.0
+        for t, y in zip(T_obs, logO):
+            dt = t - prev
+            prev = t
+            m += (mu - 0.5 * SIG ** 2) * dt
+            P += SIG ** 2 * dt
+            S = P + S_OBS ** 2
+            ll += -0.5 * np.log(2 * np.pi * S) - 0.5 * (y - m) ** 2 / S
+            K = P / S
+            m += K * (y - m)
+            P *= (1 - K)
+        return ll
+
+    return spec, obs, times, logO, kalman_ll
+
+
+def test_pf_loglik_matches_kalman(gbm_ssm):
+    """The bootstrap filter's marginal-likelihood estimate equals the
+    exact Kalman likelihood within Monte-Carlo error + the (small) Euler
+    discretization bias, across parameter values."""
+    spec, obs, times, logO, kalman_ll = gbm_ssm
+    const = len(logO) * (-0.5 * np.log(2 * np.pi) - np.log(S_OBS))
+    pf = jax.jit(lambda th, k: particle_filter_chi(
+        spec, obs_blocks(obs), jnp.asarray(times), jnp.array([2.0]),
+        th, k, n_particles=1024, substeps=16))
+    keys = jax.random.split(jax.random.PRNGKey(7), 16)
+    for mu in (0.2, 0.4, 0.7):
+        ll_pf = np.array([const - float(pf(jnp.array([mu]), k))
+                          for k in keys])
+        se = ll_pf.std() / np.sqrt(len(keys))
+        kf = kalman_ll(mu)
+        assert abs(ll_pf.mean() - kf) < 4 * se + 0.05, \
+            (mu, ll_pf.mean(), kf, se)
+
+
+def test_pf_all_particles_dead_rejects(gbm_ssm):
+    """A blow-up proposal: every particle non-finite -> chi_hat = +inf
+    (never an exception), so PMMH rejects it."""
+    spec, obs, times, _, _ = gbm_ssm
+    chi = particle_filter_chi(
+        spec, obs_blocks(obs), jnp.asarray(times), jnp.array([2.0]),
+        jnp.array([1e8]), jax.random.PRNGKey(0), n_particles=32,
+        substeps=4)
+    assert not bool(jnp.isfinite(chi))
+
+
+def test_pf_filtered_means(gbm_ssm):
+    """Filtered means track the observations (coarse sanity: within a few
+    observation sigmas in log space)."""
+    spec, obs, times, logO, _ = gbm_ssm
+    chi, filt = particle_filter_chi(
+        spec, obs_blocks(obs), jnp.asarray(times), jnp.array([2.0]),
+        jnp.array([MU]), jax.random.PRNGKey(2), n_particles=2048,
+        substeps=8, return_filtered=True)
+    assert bool(jnp.isfinite(chi))
+    lf = np.log(np.asarray(filt)[:, 0])
+    assert np.all(np.abs(lf - logO) < 5 * S_OBS + 0.3), (lf, logO)
+
+
+def test_pmmh_matches_exact_posterior(gbm_ssm):
+    """PMMH with a lognormal prior reproduces the exact (Kalman x prior)
+    posterior over log mu — the pseudo-marginal algorithm's exactness on
+    a case with a closed-form oracle."""
+    spec, obs, times, _, kalman_ll = gbm_ssm
+    pm, ps = np.log(0.4), 0.5
+    us = np.linspace(-6, 2, 1601)
+
+    def logprior_theta(mu):
+        return (-np.log(mu * ps * np.sqrt(2 * np.pi))
+                - (np.log(mu) - pm) ** 2 / (2 * ps ** 2))
+
+    L = np.array([kalman_ll(np.exp(u)) + logprior_theta(np.exp(u))
+                  for u in us])
+    w = np.exp(L - L.max())
+    w /= np.trapezoid(w, us)
+    mean_u = np.trapezoid(us * w, us)
+    sd_u = np.sqrt(np.trapezoid((us - mean_u) ** 2 * w, us))
+
+    def prior_logpdf(theta):
+        mu = theta[0]
+        return (-jnp.log(mu * ps * jnp.sqrt(2 * jnp.pi))
+                - (jnp.log(mu) - pm) ** 2 / (2 * ps ** 2))
+
+    rng = np.random.default_rng(1)
+    C = 16
+    theta0 = np.exp(rng.normal(pm, 0.3, (C, 1)))
+    keys = jax.random.split(jax.random.PRNGKey(3), C)
+    out = pmmh(spec, obs, times, np.array([2.0]), jnp.asarray(theta0),
+               keys, nits=1000, burnin=400, rwalk_std=0.4,
+               n_particles=256, substeps=8, prior_logpdf=prior_logpdf,
+               use_priors=True)
+    th = np.log(np.asarray(out.theta)[:, :, 0].ravel())
+    acc = float(np.asarray(out.acceptance_ratio)[:, -1].mean())
+    # measured on this seed: mean -1.347 vs exact -1.346, sd 0.364 vs 0.363
+    assert abs(th.mean() - mean_u) < 0.1, (th.mean(), mean_u)
+    assert abs(th.std() - sd_u) < 0.15 * sd_u + 0.05, (th.std(), sd_u)
+    assert 0.2 < acc < 0.9, acc
+    assert np.isfinite(np.asarray(out.chi)).all()
+    assert np.isfinite(np.asarray(out.aic)).all()
+
+
+def test_pmmh_validation(gbm_ssm):
+    spec, obs, times, _, _ = gbm_ssm
+    theta0 = jnp.ones((2, 1)) * MU
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    with pytest.raises(ValueError, match="burnin"):
+        pmmh(spec, obs, times, np.array([2.0]), theta0, keys,
+             nits=10, burnin=9)
+    with pytest.raises(ValueError, match="prior_logpdf"):
+        pmmh(spec, obs, times, np.array([2.0]), theta0, keys,
+             nits=10, burnin=2, use_priors=True)
+    spec_det = make_spec(lambda t, y, ps: ps[0] * y, ("mu",), ("N",))
+    with pytest.raises(ValueError, match="diffusion"):
+        pmmh(spec_det, obs, times, np.array([2.0]), theta0, keys,
+             nits=10, burnin=2)
