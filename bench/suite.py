@@ -1006,6 +1006,110 @@ def config13_forcings_overhead(base):
             "vs_baseline": None}
 
 
+def config14_pmmh(base):
+    """Particle-marginal MH (stochastic model, process noise): C chains,
+    each proposal scored by a K-particle bootstrap filter over the GBM
+    state-space SDE — C x K particle trajectories per iteration as ONE
+    device program. Denominator measured inline: the same algorithm in
+    vectorized numpy, one chain at a time (particles vectorized — the
+    best a CPU re-implementation following the reference's
+    chain-per-process architecture would do; generous, since the
+    reference itself has no stochastic solver or filter at all)."""
+    import jax
+    import jax.numpy as jnp
+
+    from odelib_tpu.model import ObsData, make_spec
+    from odelib_tpu.samplers.pf import pmmh
+
+    SIG, S_OBS = 0.3, 0.15
+
+    def rhs(t, y, ps):
+        return jnp.stack([ps[0] * y[0]])
+
+    def diff(t, y, ps):
+        return jnp.stack([SIG * y[0]])
+
+    spec = make_spec(rhs, ("mu",), ("N",), diffusion=diff)
+    rng = np.random.default_rng(42)
+    T_obs = np.arange(1, 9) * 0.5
+    z = np.log(2.0)
+    zs = []
+    for dt in np.diff(np.concatenate([[0.0], T_obs])):
+        z = z + (0.4 - 0.5 * SIG ** 2) * dt + SIG * np.sqrt(dt) * rng.normal()
+        zs.append(z)
+    logO = np.array(zs) + S_OBS * rng.normal(size=len(zs))
+    times = np.linspace(0, 4.0, 41)
+    t_idx = np.array([int(round(t / 0.1)) for t in T_obs])
+    obs = ObsData(log_abundance=logO, log_sigma=np.full(len(logO), S_OBS),
+                  abundance=np.exp(logO), t_index=t_idx,
+                  state_index=np.zeros(len(logO), np.int64),
+                  sstot=float(np.var(np.exp(logO)) * len(logO)))
+
+    C, K, NITS, SUB = 1024, 128, 200, 8
+    th0 = np.exp(rng.normal(np.log(0.4), 0.3, (C, 1))).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(3), C)
+
+    def run():
+        out = pmmh(spec, obs, times, np.array([2.0], np.float32),
+                   jnp.asarray(th0), keys, nits=NITS, burnin=NITS // 2,
+                   rwalk_std=0.4, n_particles=K, substeps=SUB)
+        _sync(out.chi[-1:, -1:])
+        return out
+
+    out = run()  # compile + correctness probe
+    acc = float(np.asarray(out.acceptance_ratio)[:, -1].mean())
+    t_dev = _timed(run, reps=3)
+    rate = C * (NITS - 1) / t_dev
+
+    # ---- inline numpy denominator: same filter, one serial chain ----
+    dt_sub = np.diff(times)[0] / SUB
+
+    def np_pf(mu, rng_l):
+        parts = np.full(K, 2.0)
+        ll, prev_t = 0.0, 0.0
+        for t, y in zip(T_obs, logO):
+            nsub = int(round((t - prev_t) / dt_sub))
+            for _ in range(nsub):
+                parts = np.abs(parts + mu * parts * dt_sub
+                               + SIG * parts * np.sqrt(dt_sub)
+                               * rng_l.normal(size=K))
+            prev_t = t
+            logw = -0.5 * ((np.log(np.maximum(parts, 1e-300)) - y)
+                           / S_OBS) ** 2
+            m = logw.max()
+            w = np.exp(logw - m)
+            ll += m + np.log(w.mean())
+            cum = np.cumsum(w / w.sum())
+            pos = (np.arange(K) + rng_l.uniform()) / K
+            parts = parts[np.clip(np.searchsorted(cum, pos), 0, K - 1)]
+        return -ll
+
+    rng_l = np.random.default_rng(0)
+    NB = 30
+    mu, chi = 0.4, None
+    t0 = time.perf_counter()
+    chi = np_pf(mu, rng_l)
+    for _ in range(NB - 1):
+        prop = mu * np.exp(0.4 * rng_l.normal())
+        c_new = np_pf(prop, rng_l)
+        if np.exp(chi - c_new) > rng_l.uniform():
+            mu, chi = prop, c_new
+    t_np = (time.perf_counter() - t0) / NB
+    np_rate = 1.0 / t_np
+
+    return {"config": 14,
+            "metric": "particle-marginal MH (GBM state-space SDE): 1024 "
+                      "chains x 128-particle bootstrap filter per "
+                      "proposal, 200 iterations",
+            "value": round(rate, 0), "unit": "chain-steps/sec",
+            "n_particles": K, "mean_acceptance": round(acc, 3),
+            "numpy_serial_chain_steps_per_sec": round(np_rate, 2),
+            "vs_baseline": round(rate / np_rate, 1),
+            "note": "denominator = same algorithm in vectorized numpy, "
+                    "one chain at a time (reference architecture; the "
+                    "reference itself cannot express process noise)"}
+
+
 def config12_roofline():
     """VPU roofline of the headline kernel (bench/roofline.py): exact
     per-iteration lane-op count from the kernel body's jaxpr, converted
@@ -1043,6 +1147,7 @@ def main():
         config11_hierarchical_funnel(base),
         config12_roofline(),
         config13_forcings_overhead(base),
+        config14_pmmh(base),
     ]
     for r in results:
         print(json.dumps(r))

@@ -102,6 +102,13 @@ def _integrate_jit(spec, theta, y0, times, method, rtol, atol, max_steps,
                            atol=atol, max_steps=max_steps, substeps=substeps)
 
 
+@partial(jax.jit, static_argnums=(0, 5, 6))
+def _simulate_jit(spec, theta, y0, times, keys, substeps, method):
+    from .model import sdeint_theta
+    return jax.vmap(lambda k: sdeint_theta(
+        spec, theta, y0, times, k, substeps=substeps, method=method))(keys)
+
+
 @partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
 def _survey_jit(spec, obs, times, y0, thetas, method, rtol, atol, max_steps,
                 substeps):
@@ -123,6 +130,22 @@ def _logpred_jit(spec, obs, times, y0b, thetas, method, rtol, atol,
         return jnp.log(observe(spec, obs, ys))
 
     return jax.vmap(one)(thetas)
+
+
+@partial(jax.jit, static_argnums=(0, 6, 7))
+def _logpred_sde_jit(spec, obs, times, y0b, thetas, keys, substeps, method):
+    """(S, P) draws -> (S, N) log predictions along ONE stochastic path
+    per draw: for an SDE model the predictive replication must include
+    the process noise, not just the observation noise."""
+    from .model import observe, sdeint_theta
+
+    def one(theta, key):
+        y0 = spec.override_inits(y0b, theta)
+        ys = sdeint_theta(spec, theta, y0, times, key, substeps=substeps,
+                          method=method)
+        return jnp.log(observe(spec, obs, ys))
+
+    return jax.vmap(one)(thetas, keys)
 
 
 @partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9, 10))
@@ -306,6 +329,20 @@ class ModelFramework:
     lognormal, on XLA for every family) and excluded from R² — the
     reference's chi (``Statistics/stats.py:22-41``) can only treat a
     limit as a (biasing) exact value.
+
+    ``diffusion`` turns the ODE into a STOCHASTIC differential equation
+    (state-space model with process noise): a function with the same
+    signature convention as ``ODE`` returning the per-state diagonal
+    diffusion ``g`` of ``dy = f dt + g dW``. Demographic noise, random
+    environments and imperfectly-mixed cultures — the dominant
+    stochasticity in the reference's own microbial systems — become part
+    of the model instead of being laundered through the observation
+    error. Enables :meth:`simulate` (stochastic paths) and
+    ``MCMC(sampler='pmmh')`` (particle-marginal MH: exact Bayesian
+    inference under process noise via an in-device bootstrap particle
+    filter, :mod:`odelib_tpu.samplers.pf`). The reference's bare
+    ``odeint`` (``Framework.py:656``) cannot express process noise at
+    all.
     """
 
     _SOLVER_KEYS = ("method", "rtol", "atol", "max_steps", "substeps")
@@ -314,10 +351,12 @@ class ModelFramework:
                  state_summations=None, t_end=5, t_steps=1000, random_seed=0,
                  ode_style="auto", method="dopri5", rtol=1e-6, atol=1e-4,
                  max_steps=4096, substeps=4, obs_model="lognormal",
-                 obs_param=None, dose_events=None, forcings=None, **kwargs):
+                 obs_param=None, dose_events=None, forcings=None,
+                 diffusion=None, **kwargs):
         self._pnames = tuple(parameter_names)
         self._snames = tuple(state_names)
         self._model = ODE
+        self._diffusion = diffusion
         self._ode_style = ode_style
         self._obs_model = obs_model
         self._obs_param = obs_param
@@ -390,11 +429,29 @@ class ModelFramework:
     # ------------------------------------------------------------------
     def _build_spec(self, state_summations) -> ModelSpec:
         rhs = self._adapt_rhs(self._model)
+        diffusion = None
+        if self._diffusion is not None:
+            diffusion = self._adapt_rhs(self._diffusion)
+            if self._forcings:
+                # make_spec wraps a >=4-arg diffusion to receive the
+                # forcing dict; the adapter's (t, y, ps, *rest) signature
+                # always LOOKS 4-ary, so decide from the USER function's
+                # arity and mark the adapter as already-wrapped when the
+                # user g doesn't take covariates
+                import inspect
+                try:
+                    takes_u = len(inspect.signature(
+                        self._diffusion).parameters) >= 4
+                except (TypeError, ValueError):
+                    takes_u = False
+                if not takes_u:
+                    diffusion._odelib_forcings_applied = True
         return make_spec(rhs, self._pnames, self._snames, state_summations,
                          obs_model=self._obs_model,
                          obs_param=self._obs_param,
                          dose_events=self._dose_events,
-                         forcings=self._forcings)
+                         forcings=self._forcings,
+                         diffusion=diffusion)
 
     def _refresh_pshapes(self):
         """Rebuild the spec when a parameter's value shape changes (array
@@ -416,7 +473,8 @@ class ModelFramework:
                 obs_model=self._spec.obs_model,
                 obs_param=self._spec.obs_param or None,
                 dose_events=self._spec.dose_events,
-                forcings=self._spec.forcings)
+                forcings=self._spec.forcings,
+                diffusion=self._spec.diffusion)
 
     def _adapt_rhs(self, f):
         style = self._ode_style
@@ -705,6 +763,64 @@ class ModelFramework:
                     mod_dict[sname] = mod[:, i][self._pred_tindex[sname]]
             return mod_dict
         return mod
+
+    def simulate(self, n_paths=1, inits=None, parameters=None, seed=None,
+                 sde_method="euler", sde_substeps=4, sum_subpopulations=True,
+                 as_dataframe=True):
+        """Stochastic forward simulation: ``n_paths`` independent sample
+        paths of the model's SDE (requires ``diffusion=`` at
+        construction), on ``self.times``.
+
+        The whole batch runs as ONE vmapped fixed-grid Euler–Maruyama /
+        Milstein program (:func:`odelib_tpu.ops.sde.sdeint_fixed`) —
+        thousands of paths are a single device dispatch, where the
+        reference would need a Python loop around ``odeint`` and has no
+        process-noise solver at all. Paths are reproducible: path ``i``
+        uses ``fold_in(PRNGKey(seed), i)``, independent of ``n_paths``.
+
+        Returns a tidy DataFrame with the (post-summation, when
+        ``sum_subpopulations``) state columns plus ``time`` and ``path#``,
+        or the raw ``(n_paths, T, S)`` array when ``as_dataframe=False``.
+        Diverged paths are NaN from the failure point on (never raises) —
+        the framework-wide failure convention."""
+        if self._spec.diffusion is None:
+            raise ValueError(
+                "simulate() needs a stochastic model — construct the "
+                "ModelFramework with diffusion=g (same signature "
+                "convention as the ODE, returning per-state noise "
+                "intensities)")
+        if inits is None:
+            initials = self.get_inits()
+        else:
+            initials = np.asarray(inits, float)
+        if parameters is None:
+            theta = self._current_theta()
+        else:
+            if isinstance(parameters, tuple) and len(parameters) == 1:
+                parameters = parameters[0]
+            theta = self._spec.pack_theta(list(parameters))
+        dtype = jnp.result_type(float)
+        base = jax.random.PRNGKey(
+            self.random_seed if seed is None else int(seed))
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+            jnp.arange(int(n_paths)))
+        ys = _simulate_jit(self._spec, jnp.asarray(theta, dtype),
+                           jnp.asarray(initials, dtype),
+                           jnp.asarray(self.times, dtype), keys,
+                           int(sde_substeps), str(sde_method))
+        mod = np.asarray(ys)                      # (n_paths, T, S_raw)
+        if sum_subpopulations and self._spec.sum_matrix is not None:
+            mod = mod @ np.asarray(self._spec.sum_matrix)
+        if not as_dataframe:
+            return mod
+        snames = self.get_snames(after_summation=sum_subpopulations)
+        frames = []
+        for p in range(mod.shape[0]):
+            df = pd.DataFrame(mod[p], columns=snames)
+            df["time"] = self.times
+            df["path#"] = p
+            frames.append(df)
+        return pd.concat(frames, ignore_index=True)
 
     def get_residuals(self):
         """Model-minus-observed abundances, row-aligned with ``self.df``.
@@ -1367,10 +1483,15 @@ class ModelFramework:
         return {"log_evidence": out.log_evidence, "posterior": df,
                 "betas": out.betas, "acceptance": out.acceptance}
 
-    def _posterior_logpred(self, posterior, n_draws, solver_kw):
+    def _posterior_logpred(self, posterior, n_draws, solver_kw,
+                           stochastic=None):
         """Subsample posterior rows and re-integrate them as one vmapped
         batch: (S, N) log predictions at the observation points (shared by
-        information_criteria and posterior_predictive)."""
+        information_criteria and posterior_predictive).
+
+        ``stochastic=None``: simulate one SDE path per draw when the model
+        has a diffusion (predictive replications must include process
+        noise); ``False`` forces the deterministic drift solve."""
         pnames = list(self.get_pnames())
         rows = posterior.dropna(subset=pnames)
         if len(rows) == 0:
@@ -1381,6 +1502,18 @@ class ModelFramework:
         method, rtol, atol, max_steps, substeps = self._solver_args(
             solver_kw, len(self._times_fit) - 1)
         dtype = jnp.result_type(float)
+        if stochastic is None:
+            stochastic = self._spec.diffusion is not None
+        if stochastic:
+            base = jax.random.PRNGKey(self.random_seed)
+            keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+                jnp.arange(len(thetas)))
+            sde_sub = substeps if isinstance(substeps, int) else 4
+            return np.asarray(_logpred_sde_jit(
+                self._spec, self._obsdata_fit,
+                jnp.asarray(self._times_fit, dtype),
+                jnp.asarray(self.get_inits(), dtype),
+                jnp.asarray(thetas, dtype), keys, sde_sub, "euler"))
         return np.asarray(_logpred_jit(
             self._spec, self._obsdata_fit,
             jnp.asarray(self._times_fit, dtype),
@@ -1449,7 +1582,14 @@ class ModelFramework:
         """
         from .utils import model_comparison as _mc
 
-        logpred = self._posterior_logpred(posterior, n_draws, solver_kw)
+        if self._spec.diffusion is not None:
+            warnings.warn(
+                "information_criteria on a stochastic model uses the "
+                "drift-only (deterministic) predictions: a single path's "
+                "pointwise density is not the filtering marginal "
+                "likelihood. Treat WAIC/LOO as approximate here.")
+        logpred = self._posterior_logpred(posterior, n_draws, solver_kw,
+                                          stochastic=False)
         ll, valid = self._pointwise_loglik(logpred)
         ll = ll[:, valid]
         finite_rows = np.all(np.isfinite(ll), axis=1)
@@ -1495,6 +1635,10 @@ class ModelFramework:
         The reference's closest tool is the visual ``plot_uncertainty``
         envelope (``Framework.py:734-740``), which overlays trajectories
         but never quantifies coverage.
+
+        Stochastic models (``diffusion=``): each draw is replicated along
+        one fresh SDE sample path, so the predictive intervals include
+        the process noise, not just the observation noise.
         """
         logpred = self._posterior_logpred(posterior, n_draws, solver_kw)
         return self._predictive_summary(logpred, ci, print_report,
@@ -2142,6 +2286,7 @@ class ModelFramework:
              path_adapt=False, max_leapfrog=256, dense_mass=False,
              temperatures=(1.0, 2.0, 4.0, 8.0), swap_every=1,
              stretch_a=2.0, adapt_start=50,
+             n_particles=128, sde_method="euler", sde_substeps=4,
              until_rhat=None, until_min_ess=None, max_extensions=8,
              profile=False, pallas_interpret=False, pallas_tile_chains=None,
              **solver_kw):
@@ -2245,6 +2390,23 @@ class ModelFramework:
           it for the recorded phase, so correlated posteriors get
           ridge-aligned proposals with an exact stationary distribution
           (samplers/amh.py).
+        * ``sampler='pmmh'``: particle-marginal Metropolis-Hastings for
+          STOCHASTIC models (construct with ``diffusion=``). Each
+          proposal is scored by an ``n_particles``-particle bootstrap
+          filter over the SDE (``sde_method`` 'euler'|'milstein',
+          ``sde_substeps`` Euler substeps per observation interval) —
+          an unbiased likelihood estimate, so the chain targets the
+          EXACT posterior under process noise (Andrieu-Doucet-Holenstein
+          2010). All chains x particles run as one vmapped device
+          program (samplers/pf.py). Chain seeding still uses the
+          drift-only deterministic survey (a pre-screen, not part of
+          the target). The ``rsquared`` column is NaN by design —
+          there is no single model trajectory under process noise; the
+          ``chi`` column is the filter's -log-likelihood estimate in
+          the reference's chi convention. Pick ``n_particles`` so the
+          log-likelihood estimator's std is ~1-2 at representative
+          parameters (too few particles stall chains on lucky
+          over-estimates).
         """
         from .utils.profiling import StageTimer
         timer = StageTimer() if profile else None
@@ -2263,12 +2425,17 @@ class ModelFramework:
             # re-calibrated below from this run's own seeding draws
             substeps = self._resolve_substeps("auto", n_fit_intervals)
 
-        if sampler not in ("mh", "hmc", "pt", "ensemble", "amh"):
+        if sampler not in ("mh", "hmc", "pt", "ensemble", "amh", "pmmh"):
             raise ValueError(f"sampler must be 'mh', 'hmc', 'pt', "
-                             f"'ensemble' or 'amh', got {sampler!r}")
+                             f"'ensemble', 'amh' or 'pmmh', got {sampler!r}")
+        if sampler == "pmmh" and self._spec.diffusion is None:
+            raise ValueError(
+                "sampler='pmmh' targets the STOCHASTIC model — construct "
+                "the ModelFramework with diffusion=g (process noise); for "
+                "a deterministic ODE use sampler='mh'")
         _n_req = chain_inits if isinstance(chain_inits, int) \
             else len(chain_inits)
-        if sampler in ("hmc", "pt", "amh"):
+        if sampler in ("hmc", "pt", "amh", "pmmh"):
             if backend == "pallas":
                 raise ValueError(f"sampler={sampler!r} runs on the XLA "
                                  "backend; drop backend='pallas'")
@@ -2542,6 +2709,31 @@ class ModelFramework:
                 else:
                     from .samplers import hamiltonian_mc
                     out = hamiltonian_mc(*hargs, **hkw)
+            elif backend == "pmmh":
+                from .samplers.pf import pmmh as _pmmh
+                # obs blocks are compile-time constants (host ObsData);
+                # seeding used the drift-only deterministic survey — a
+                # valid pre-screen whose chi is merely a proposal for
+                # chain starting points, not part of the target density
+                out = _pmmh(
+                    self._spec, self._obsdata_fit_host,
+                    np.asarray(self._times_fit, float),
+                    np.asarray(self.get_inits(), float),
+                    margs[0], margs[1],
+                    nits=nits, burnin=burnin,
+                    walk_mask=jnp.asarray(mask, dtype),
+                    rwalk_std=rwalk_std, prior_logpdf=prior_logpdf,
+                    use_priors=use_priors, n_particles=int(n_particles),
+                    substeps=int(sde_substeps), sde_method=str(sde_method))
+                # R² is a deterministic-trajectory statistic; under
+                # process noise there is no single model trajectory, so
+                # the column is NaN by design (chi = the particle
+                # filter's unbiased -log-likelihood estimate)
+                out = _mh.MHOutput(
+                    theta=out.theta, chi=out.chi,
+                    rsquared=jnp.full_like(out.chi, jnp.nan),
+                    aic=out.aic, acceptance_ratio=out.acceptance_ratio,
+                    iteration=out.iteration)
             elif backend == "amh":
                 from .samplers import adaptive_metropolis
                 out = adaptive_metropolis(

@@ -288,3 +288,116 @@ def test_pmmh_validation(gbm_ssm):
     with pytest.raises(ValueError, match="diffusion"):
         pmmh(spec_det, obs, times, np.array([2.0]), theta0, keys,
              nits=10, burnin=2)
+
+
+# ---------------------------------------------------------------------------
+# ModelFramework surface: diffusion=, simulate(), MCMC(sampler='pmmh')
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def sde_framework():
+    import pandas as pd
+    import scipy.stats
+    import odelib_tpu
+
+    def gbm(y, t, ps):                     # reference-style RHS
+        return np.array([ps[0] * y[0]])
+
+    def gnoise(y, t, ps):                  # same convention for diffusion
+        return np.array([ps[1] * y[0]])
+
+    rng = np.random.default_rng(0)
+    ts = np.linspace(0.0, 2.0, 9)[1:]
+    ab = 10.0 * np.exp((0.5 - 0.5 * 0.3 ** 2) * ts
+                       + 0.3 * np.sqrt(ts) * rng.normal(size=ts.size))
+    df = __import__("pandas").DataFrame(
+        {"organism": "X", "time": ts, "abundance": ab, "log_sigma": 0.2})
+    return odelib_tpu.ModelFramework(
+        ODE=gbm, diffusion=gnoise, parameter_names=["r", "s"],
+        state_names=["X"], dataframe=df, t_steps=48, random_seed=1,
+        r=odelib_tpu.parameter(scipy.stats.lognorm,
+                               {"s": 0.5, "scale": 0.5}),
+        s=odelib_tpu.parameter(scipy.stats.lognorm,
+                               {"s": 0.5, "scale": 0.3}),
+        X=10.0)
+
+
+def test_framework_simulate(sde_framework):
+    m = sde_framework
+    sim = m.simulate(n_paths=5, seed=3)
+    assert list(sim.columns) == ["X", "time", "path#"]
+    assert sim.shape == (5 * 48, 3)
+    assert np.isfinite(sim["X"]).all()
+    # per-path reproducibility, independent of n_paths (counter-based keys)
+    a3 = m.simulate(n_paths=3, seed=3, as_dataframe=False)
+    a5 = m.simulate(n_paths=5, seed=3, as_dataframe=False)
+    assert a5.shape == (5, 48, 1)
+    np.testing.assert_array_equal(a3, a5[:3])
+    # distinct paths, distinct seeds
+    assert not np.array_equal(a5[0], a5[1])
+    assert not np.array_equal(
+        a5, m.simulate(n_paths=5, seed=4, as_dataframe=False))
+
+
+def test_framework_simulate_requires_diffusion():
+    import pandas as pd
+    import odelib_tpu
+
+    df = pd.DataFrame({"organism": "X", "time": [0.5, 1.0],
+                       "abundance": [1.5, 2.5], "log_sigma": 0.2})
+    m = odelib_tpu.ModelFramework(
+        ODE=lambda y, t, ps: np.array([ps[0] * y[0]]),
+        parameter_names=["r"], state_names=["X"], dataframe=df, t_steps=8,
+        r=0.5, X=1.0)
+    with pytest.raises(ValueError, match="diffusion"):
+        m.simulate()
+    with pytest.raises(ValueError, match="diffusion"):
+        m.MCMC(chain_inits=2, iterations_per_chain=10, sampler="pmmh",
+               print_report=False)
+
+
+def test_framework_pmmh_mcmc(sde_framework):
+    m = sde_framework
+    post = m.MCMC(chain_inits=6, iterations_per_chain=60,
+                  fitsurvey_samples=128, sampler="pmmh", n_particles=32,
+                  print_report=False)
+    assert list(post.columns) == ["r", "s", "chi", "rsquared", "aic",
+                                  "iteration", "acceptance_ratio",
+                                  "chain#", "all_rejected"]
+    assert post["chain#"].nunique() == 6
+    assert np.isfinite(post["chi"]).all()
+    # rsquared is NaN BY DESIGN: no single trajectory under process noise
+    assert post["rsquared"].isna().all()
+    # the walk moved and the posterior is in the right decade
+    assert (post["acceptance_ratio"].iloc[-1] > 0).any()
+    assert 0.1 < post["r"].mean() < 2.5
+
+
+def test_framework_pmmh_backend_validation(sde_framework):
+    with pytest.raises(ValueError, match="pallas"):
+        sde_framework.MCMC(chain_inits=2, iterations_per_chain=10,
+                           sampler="pmmh", backend="pallas",
+                           print_report=False)
+
+
+def test_framework_sde_predictive_checks(sde_framework):
+    """Predictive replications on a stochastic model include process
+    noise: one SDE path per draw. With identical parameter draws the
+    log-predictions still differ across replications (path noise), and
+    the deterministic override collapses them."""
+    m = sde_framework
+    import pandas as pd
+    same = pd.DataFrame({"r": [0.5] * 8, "s": [0.3] * 8})
+    lp = m._posterior_logpred(same, 8, {})
+    assert lp.shape[0] == 8
+    assert np.isfinite(lp).all()
+    assert np.std(lp, axis=0).max() > 1e-3     # paths differ
+    lp_det = m._posterior_logpred(same, 8, {}, stochastic=False)
+    assert np.allclose(lp_det, lp_det[0])      # drift-only: identical
+    out = m.prior_predictive(samples=32, print_report=False)
+    assert 0.0 <= out["coverage"] <= 1.0
+    with pytest.warns(UserWarning, match="drift-only"):
+        post = pd.DataFrame({"r": np.full(40, 0.5) * np.exp(
+            np.random.default_rng(0).normal(0, 0.1, 40)),
+            "s": np.full(40, 0.3)})
+        m.information_criteria(post, n_draws=40, print_report=False)
