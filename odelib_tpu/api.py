@@ -2319,7 +2319,7 @@ class ModelFramework:
           kernel path) and the per-dispatch chain tile size (default None
           = auto: the measured-optimal tile for the batch size after
           padding waste, ``ops.pallas_mh.pick_tile_chains``);
-        * ``checkpoint_every=N`` (fused backend AND the XLA MH/HMC
+        * ``checkpoint_every=N`` (fused backend AND the XLA MH/HMC/PMMH
           samplers, including stiff/adaptive methods and array
           parameters): persist chain state and records every N iterations
           to ``<checkpoint_path>.progress`` so a killed run resumes
@@ -2593,11 +2593,12 @@ class ModelFramework:
             _t0 = time.perf_counter()
 
         if checkpoint_every is not None and backend not in ("pallas",
-                                                            "xla", "hmc"):
+                                                            "xla", "hmc",
+                                                            "pmmh"):
             warnings.warn("checkpoint_every is supported on the fused "
-                          "(pallas) backend and the XLA MH/HMC samplers; "
-                          f"running sampler={sampler!r} without periodic "
-                          "checkpoints")
+                          "(pallas) backend and the XLA MH/HMC/PMMH "
+                          f"samplers; running sampler={sampler!r} without "
+                          "periodic checkpoints")
         if resume_from is not None and checkpoint_every is None:
             # without this, the XLA paths would silently drop resume_from
             # and rerun from scratch (the chunk layout E is part of the
@@ -2711,20 +2712,34 @@ class ModelFramework:
                     out = hamiltonian_mc(*hargs, **hkw)
             elif backend == "pmmh":
                 from .samplers.pf import pmmh as _pmmh
+                from .samplers.pf import pmmh_checkpointed as _pmmh_ckpt
                 # obs blocks are compile-time constants (host ObsData);
                 # seeding used the drift-only deterministic survey — a
                 # valid pre-screen whose chi is merely a proposal for
                 # chain starting points, not part of the target density
-                out = _pmmh(
-                    self._spec, self._obsdata_fit_host,
-                    np.asarray(self._times_fit, float),
-                    np.asarray(self.get_inits(), float),
-                    margs[0], margs[1],
+                pargs = (self._spec, self._obsdata_fit_host,
+                         np.asarray(self._times_fit, float),
+                         np.asarray(self.get_inits(), float),
+                         margs[0], margs[1])
+                pkw = dict(
                     nits=nits, burnin=burnin,
                     walk_mask=jnp.asarray(mask, dtype),
                     rwalk_std=rwalk_std, prior_logpdf=prior_logpdf,
                     use_priors=use_priors, n_particles=int(n_particles),
                     substeps=int(sde_substeps), sde_method=str(sde_method))
+                if checkpoint_every is not None:
+                    if checkpoint_path is None:
+                        raise ValueError(
+                            "checkpoint_every requires checkpoint_path "
+                            "(chain state is persisted to "
+                            "<checkpoint_path>.progress)")
+                    out = _pmmh_ckpt(
+                        *pargs, checkpoint_every=int(checkpoint_every),
+                        checkpoint_path=checkpoint_path + ".progress",
+                        resume_from=resume_from,
+                        config_token=config_token, **pkw)
+                else:
+                    out = _pmmh(*pargs, **pkw)
                 # R² is a deterministic-trajectory statistic; under
                 # process noise there is no single model trajectory, so
                 # the column is NaN by design (chi = the particle

@@ -47,7 +47,8 @@ from .. import stats as jstats
 from ..model import ModelSpec, ObsData, dose_matrix
 from ..ops.sde import sdeint_fixed
 
-__all__ = ["obs_blocks", "particle_filter_chi", "pmmh", "PMMHOutput"]
+__all__ = ["obs_blocks", "particle_filter_chi", "pmmh",
+           "pmmh_checkpointed", "PMMHOutput"]
 
 
 class _Block(NamedTuple):
@@ -185,12 +186,13 @@ class _Carry(NamedTuple):
     key: Any
 
 
-@partial(jax.jit, static_argnames=(
-    "spec", "blocks", "nits", "burnin", "rwalk_std", "prior_logpdf",
-    "use_priors", "num_params", "n_particles", "substeps", "sde_method"))
-def _pmmh_impl(spec, blocks, times, y0_base, theta0, keys, walk_mask, *,
-               nits, burnin, rwalk_std, prior_logpdf, use_priors,
-               num_params, n_particles, substeps, sde_method):
+def _make_pmmh_step(spec, blocks, times, y0_base, walk_mask, *,
+                    rwalk_std, prior_logpdf, use_priors, n_particles,
+                    substeps, sde_method):
+    """Build the (pf, step) pair shared by the straight-through scan and
+    the checkpoint-chunked driver. Every draw at iteration ``it`` is
+    ``fold_in(chain_key, it)``-derived (counter-based), so a chunked run
+    is bitwise identical to an uninterrupted one."""
     def pf(theta, key):
         y0 = spec.override_inits(y0_base, theta)
         return particle_filter_chi(
@@ -221,6 +223,20 @@ def _pmmh_impl(spec, blocks, times, y0_base, theta0, keys, walk_mask, *,
         record = (jnp.exp(new.log_theta), new.chi,
                   new.acc_count / it.astype(new.chi.dtype))
         return new, record
+
+    return pf, step
+
+
+@partial(jax.jit, static_argnames=(
+    "spec", "blocks", "nits", "burnin", "rwalk_std", "prior_logpdf",
+    "use_priors", "num_params", "n_particles", "substeps", "sde_method"))
+def _pmmh_impl(spec, blocks, times, y0_base, theta0, keys, walk_mask, *,
+               nits, burnin, rwalk_std, prior_logpdf, use_priors,
+               num_params, n_particles, substeps, sde_method):
+    pf, step = _make_pmmh_step(
+        spec, blocks, times, y0_base, walk_mask, rwalk_std=rwalk_std,
+        prior_logpdf=prior_logpdf, use_priors=use_priors,
+        n_particles=n_particles, substeps=substeps, sde_method=sde_method)
 
     def one_chain(th0, key):
         chi0 = pf(th0, jax.random.fold_in(key, 0))
@@ -279,3 +295,168 @@ def pmmh(spec: ModelSpec, obs: ObsData, times, y0_base, theta0, keys, *,
     iterations = jnp.arange(1, nits)[burnin:]
     return PMMHOutput(theta=theta_s, chi=chi_s, aic=aic_s,
                       acceptance_ratio=ar_s, iteration=iterations)
+
+
+@partial(jax.jit, static_argnames=(
+    "spec", "blocks", "n_particles", "substeps", "sde_method"))
+def _pmmh_init_state(spec, blocks, times, y0_base, theta0, keys, *,
+                     n_particles, substeps, sde_method):
+    pf, _ = _make_pmmh_step(
+        spec, blocks, times, y0_base, jnp.ones_like(theta0[0]),
+        rwalk_std=0.0, prior_logpdf=None, use_priors=False,
+        n_particles=n_particles, substeps=substeps, sde_method=sde_method)
+
+    def one(th0, key):
+        chi0 = pf(th0, jax.random.fold_in(key, 0))
+        return (jnp.log(th0), chi0, jnp.asarray(0.0, th0.dtype))
+
+    return jax.vmap(one)(theta0, keys)
+
+
+@partial(jax.jit, static_argnames=(
+    "spec", "blocks", "rwalk_std", "prior_logpdf", "use_priors",
+    "n_particles", "substeps", "sde_method", "record"))
+def _pmmh_chunk_impl(spec, blocks, times, y0_base, state, keys, its,
+                     walk_mask, *, rwalk_std, prior_logpdf, use_priors,
+                     n_particles, substeps, sde_method, record=True):
+    """One checkpoint chunk of the PMMH scan over traced iteration
+    numbers ``its`` (equal-length chunks share one compiled program).
+    Counter-based draws (chain key folded with the GLOBAL iteration, see
+    :func:`_make_pmmh_step`) make chunk boundaries bitwise-invisible —
+    the same guarantee as the XLA MH chunker (samplers/mh.py)."""
+    _, step = _make_pmmh_step(
+        spec, blocks, times, y0_base, walk_mask, rwalk_std=rwalk_std,
+        prior_logpdf=prior_logpdf, use_priors=use_priors,
+        n_particles=n_particles, substeps=substeps, sde_method=sde_method)
+
+    def one_chain(st, key):
+        lt, chi, acc = st
+        carry = _Carry(log_theta=lt, chi=chi, acc_count=acc, key=key)
+        if record:
+            carry, recs = jax.lax.scan(step, carry, its)
+        else:
+            carry, recs = jax.lax.scan(
+                lambda c, it: (step(c, it)[0], None), carry, its)
+        return (carry.log_theta, carry.chi, carry.acc_count), recs
+
+    return jax.vmap(one_chain)(state, keys)
+
+
+def pmmh_checkpointed(
+        spec: ModelSpec, obs: ObsData, times, y0_base, theta0, keys, *,
+        nits: int = 1000, burnin: Optional[int] = None, walk_mask=None,
+        rwalk_std: float = 0.05, prior_logpdf: Optional[Callable] = None,
+        use_priors: bool = False, n_particles: int = 128,
+        substeps: int = 4, sde_method: str = "euler",
+        config_token: str = "", checkpoint_every: int = 100,
+        checkpoint_path: Optional[str] = None,
+        resume_from: Optional[str] = None,
+        _stop_after_chunks: Optional[int] = None) -> Optional[PMMHOutput]:
+    """Periodically-checkpointed :func:`pmmh`: the per-chain scan is
+    split into chunks of ``checkpoint_every`` proposals; after each chunk
+    the chain state (log-theta, incumbent PF chi estimate, acceptance
+    count) and the records so far persist to ``checkpoint_path`` (npz,
+    atomic rename), so a killed multi-hour particle-filter run — PMMH
+    iterations cost ``n_particles`` full SDE propagations each, the most
+    expensive per-step sampler in the framework — resumes via
+    ``resume_from`` BITWISE identical to an uninterrupted run (every
+    draw, including the filter's, is a pure function of (chain key,
+    global iteration), see the module RNG-discipline note). The persisted
+    signature fingerprints the sampler/filter configuration plus the
+    caller's ``config_token`` (data/prior digest), so resuming against a
+    different posterior fails loudly. The reference has no persistence at
+    all (SURVEY.md section 5.4).
+
+    ``_stop_after_chunks``: test hook simulating a mid-run kill.
+    """
+    import os
+
+    if burnin is None:
+        burnin = int(nits / 2)
+    if nits - 1 <= burnin:
+        raise ValueError(f"nits={nits} leaves no recorded iterations after "
+                         f"burnin={burnin}")
+    E = int(checkpoint_every)
+    if E < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    theta0 = jnp.atleast_2d(theta0)
+    P = theta0.shape[-1]
+    if walk_mask is None:
+        walk_mask = jnp.ones((P,), theta0.dtype)
+    walk_mask = jnp.asarray(walk_mask, theta0.dtype)
+    if use_priors and prior_logpdf is None:
+        raise ValueError("use_priors=True requires prior_logpdf")
+    num_params = int(jnp.count_nonzero(theta0[0]))
+    blocks = obs_blocks(obs)
+    times = jnp.asarray(times)
+    y0_base = jnp.asarray(y0_base)
+    pkw = dict(n_particles=int(n_particles), substeps=int(substeps),
+               sde_method=str(sde_method))
+
+    R = nits - 1
+    n_chunks = -(-R // E)
+    sig = repr(("pmmh", spec.pnames, spec.pshapes, P,
+                int(theta0.shape[0]), nits, int(burnin), E,
+                float(rwalk_std),
+                tuple(float(w) for w in np.asarray(walk_mask)),
+                bool(use_priors), pkw["n_particles"], pkw["substeps"],
+                pkw["sde_method"], str(config_token)))
+
+    k0, state, recs = 0, None, []
+    if resume_from:
+        with np.load(resume_from, allow_pickle=False) as z:
+            saved_sig = bytes(z["sig"]).decode()
+            if saved_sig != sig:
+                raise ValueError(
+                    "checkpoint was written by a different PMMH "
+                    f"configuration:\n  saved: {saved_sig}\n  this:  {sig}")
+            k0 = int(z["next_chunk"])
+            state = tuple(jnp.asarray(z[f"state{i}"]) for i in range(3))
+            keys = jax.random.wrap_key_data(jnp.asarray(z["key_data"]))
+            if "rec0" in z:
+                recs = [tuple(z[f"rec{i}"] for i in range(3))]
+    if state is None:
+        state = _pmmh_init_state(spec, blocks, times, y0_base, theta0,
+                                 keys, **pkw)
+
+    for k in range(k0, n_chunks):
+        lo, hi = 1 + k * E, 1 + min((k + 1) * E, R)
+        # a chunk straddling the burnin boundary is split: the warmup
+        # part runs the no-record program variant
+        for a, b in ((lo, min(hi, burnin + 1)), (max(lo, burnin + 1), hi)):
+            if a >= b:
+                continue
+            its = jnp.arange(a, b, dtype=jnp.int32)
+            state, out = _pmmh_chunk_impl(
+                spec, blocks, times, y0_base, state, keys, its, walk_mask,
+                rwalk_std=float(rwalk_std), prior_logpdf=prior_logpdf,
+                use_priors=bool(use_priors), record=(a > burnin), **pkw)
+            if out is not None:
+                recs.append(tuple(np.asarray(o) for o in out))
+        if checkpoint_path:
+            save = dict(sig=np.frombuffer(sig.encode(), np.uint8),
+                        next_chunk=np.asarray(k + 1),
+                        key_data=np.asarray(jax.random.key_data(keys)),
+                        **{f"state{i}": np.asarray(state[i])
+                           for i in range(3)})
+            if recs:
+                merged = tuple(
+                    np.concatenate([r[i] for r in recs], axis=1)
+                    for i in range(3))
+                recs = [merged]
+                save.update({f"rec{i}": merged[i] for i in range(3)})
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez_compressed(f, **save)
+            os.replace(tmp, checkpoint_path)
+        if (_stop_after_chunks is not None
+                and k + 1 - k0 >= _stop_after_chunks and k + 1 < n_chunks):
+            return None
+
+    th, chi, ar = (np.concatenate([r[i] for r in recs], axis=1)
+                   for i in range(3))
+    iterations = jnp.arange(1, nits)[burnin:]
+    return PMMHOutput(theta=jnp.asarray(th), chi=jnp.asarray(chi),
+                      aic=jstats.AIC(jnp.asarray(chi), num_params),
+                      acceptance_ratio=jnp.asarray(ar),
+                      iteration=iterations)

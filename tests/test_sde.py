@@ -14,7 +14,8 @@ import pytest
 
 from odelib_tpu.model import ObsData, make_spec, sdeint_theta
 from odelib_tpu.ops.sde import sdeint_fixed
-from odelib_tpu.samplers.pf import obs_blocks, particle_filter_chi, pmmh
+from odelib_tpu.samplers.pf import (obs_blocks, particle_filter_chi, pmmh,
+                                    pmmh_checkpointed)
 
 MU, SIG, S_OBS = 0.4, 0.3, 0.15
 
@@ -290,6 +291,49 @@ def test_pmmh_validation(gbm_ssm):
              nits=10, burnin=2)
 
 
+def test_pmmh_checkpointed_bitwise_and_resume(gbm_ssm, tmp_path):
+    """Chunked PMMH == straight-through PMMH bitwise; a killed run
+    resumes from the persisted npz to the identical posterior; resuming
+    with a different configuration fails loudly."""
+    spec, obs, times, _, _ = gbm_ssm
+    C = 4
+    rng = np.random.default_rng(5)
+    theta0 = jnp.asarray(np.exp(rng.normal(np.log(MU), 0.3, (C, 1))))
+    keys = jax.random.split(jax.random.PRNGKey(9), C)
+    kw = dict(nits=13, burnin=4, rwalk_std=0.4, n_particles=16, substeps=2)
+    y0 = np.array([2.0])
+    ref = pmmh(spec, obs, times, y0, theta0, keys, **kw)
+
+    ck = str(tmp_path / "pm.npz")
+    out = pmmh_checkpointed(spec, obs, times, y0, theta0, keys,
+                            checkpoint_every=3, checkpoint_path=ck, **kw)
+    for name in ("theta", "chi", "aic", "acceptance_ratio"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(out, name)),
+            err_msg=name)
+
+    # kill after 2 of 4 chunks, resume, compare bitwise
+    ck2 = str(tmp_path / "pm_killed.npz")
+    r = pmmh_checkpointed(spec, obs, times, y0, theta0, keys,
+                          checkpoint_every=3, checkpoint_path=ck2,
+                          _stop_after_chunks=2, **kw)
+    assert r is None
+    out2 = pmmh_checkpointed(spec, obs, times, y0, theta0, keys,
+                             checkpoint_every=3, checkpoint_path=ck2,
+                             resume_from=ck2, **kw)
+    for name in ("theta", "chi", "aic", "acceptance_ratio"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(out2, name)),
+            err_msg=name)
+
+    # a different sampler configuration must refuse the checkpoint
+    kw_bad = dict(kw, rwalk_std=0.2)
+    with pytest.raises(ValueError, match="different PMMH configuration"):
+        pmmh_checkpointed(spec, obs, times, y0, theta0, keys,
+                          checkpoint_every=3, checkpoint_path=ck2,
+                          resume_from=ck2, **kw_bad)
+
+
 # ---------------------------------------------------------------------------
 # ModelFramework surface: diffusion=, simulate(), MCMC(sampler='pmmh')
 # ---------------------------------------------------------------------------
@@ -371,6 +415,25 @@ def test_framework_pmmh_mcmc(sde_framework):
     # the walk moved and the posterior is in the right decade
     assert (post["acceptance_ratio"].iloc[-1] > 0).any()
     assert 0.1 < post["r"].mean() < 2.5
+
+
+def test_framework_pmmh_checkpoint_every(sde_framework, tmp_path):
+    """MCMC(sampler='pmmh', checkpoint_every=...) persists progress and
+    returns the same posterior as the uncheckpointed run (same seed ->
+    same seeding draws -> bitwise-equal chunked scan)."""
+    import os
+    m = sde_framework
+    kw = dict(chain_inits=4, iterations_per_chain=40,
+              fitsurvey_samples=64, sampler="pmmh", n_particles=16,
+              print_report=False)
+    ref = m.MCMC(**kw)
+    p = str(tmp_path / "pm_post.npz")
+    post = m.MCMC(checkpoint_path=p, checkpoint_every=7, **kw)
+    assert os.path.exists(p + ".progress")
+    np.testing.assert_array_equal(ref["chi"].to_numpy(),
+                                  post["chi"].to_numpy())
+    np.testing.assert_array_equal(ref["r"].to_numpy(),
+                                  post["r"].to_numpy())
 
 
 def test_framework_pmmh_backend_validation(sde_framework):
