@@ -2372,7 +2372,14 @@ class ModelFramework:
           multimodal posteriors — each chain carries a ``temperatures``
           ladder of replicas with parity-alternating swap moves every
           ``swap_every`` iterations; returned samples are the T=1 replica
-          (samplers/pt.py). Cold-swap acceptance is logged.
+          (samplers/pt.py). Cold-swap acceptance is logged. On TPU
+          (under the usual fused-path eligibility) the whole ladder runs
+          as its own fully-fused Pallas kernel — the K rungs are
+          unrolled VMEM scratch planes, so swap moves are elementwise
+          plane exchanges with zero cross-lane traffic
+          (``ops.pallas_pt.parallel_tempering_fused``), at the fused MH
+          kernel's per-replica throughput; ``backend='xla'`` keeps the
+          ladder sampler (stiff/adaptive methods, exotic priors).
         * ``sampler='ensemble'``: affine-invariant ensemble sampler
           (Goodman-Weare stretch moves, the emcee algorithm) — the
           ``chain_inits`` count becomes the walker count (rounded up to
@@ -2435,13 +2442,13 @@ class ModelFramework:
                 "a deterministic ODE use sampler='mh'")
         _n_req = chain_inits if isinstance(chain_inits, int) \
             else len(chain_inits)
-        if sampler in ("hmc", "pt", "amh", "pmmh"):
+        if sampler in ("hmc", "amh", "pmmh"):
             if backend == "pallas":
                 raise ValueError(f"sampler={sampler!r} runs on the XLA "
                                  "backend; drop backend='pallas'")
             backend = sampler
-        # sampler='ensemble' has its own fused kernel: keep 'pallas'/'auto'
-        # flowing into the backend-selection block below
+        # sampler='ensemble'/'pt' have their own fused kernels: keep
+        # 'pallas'/'auto' flowing into the backend-selection block below
 
         pallas_priors = None
         if use_priors:
@@ -2493,6 +2500,8 @@ class ModelFramework:
                      or _n_req >= int(pallas_tile_chains or 1024))) else "xla"
         if sampler == "ensemble" and backend not in ("pallas",):
             backend = "ensemble"
+        if sampler == "pt" and backend not in ("pallas",):
+            backend = "pt"
         if backend == "pallas" and use_priors and pallas_priors is None:
             raise ValueError(
                 "backend='pallas' with use_priors=True requires every prior "
@@ -2592,13 +2601,14 @@ class ModelFramework:
             timer.times["survey+seeding"] = time.perf_counter() - _t0
             _t0 = time.perf_counter()
 
-        if checkpoint_every is not None and backend not in ("pallas",
-                                                            "xla", "hmc",
-                                                            "pmmh"):
+        if checkpoint_every is not None and (
+                backend not in ("pallas", "xla", "hmc", "pmmh")
+                or (backend == "pallas" and sampler == "pt")):
             warnings.warn("checkpoint_every is supported on the fused "
-                          "(pallas) backend and the XLA MH/HMC/PMMH "
-                          f"samplers; running sampler={sampler!r} without "
-                          "periodic checkpoints")
+                          "(pallas) MH/ensemble kernels and the XLA "
+                          f"MH/HMC/PMMH samplers; running sampler="
+                          f"{sampler!r} without periodic checkpoints")
+            checkpoint_every = None
         if resume_from is not None and checkpoint_every is None:
             # without this, the XLA paths would silently drop resume_from
             # and rerun from scratch (the chunk layout E is part of the
@@ -2641,6 +2651,29 @@ class ModelFramework:
                 resume_from=resume_from, config_token=config_token,
                 mesh=chain_mesh() if (jax.device_count() > 1
                                       and not pallas_interpret) else None)
+        elif backend == "pallas" and sampler == "pt":
+            from .ops.pallas_pt import parallel_tempering_fused
+            out, swap_rate = parallel_tempering_fused(
+                self._spec, self._obsdata_fit_host, self._times_fit,
+                self.get_inits(), np.asarray(theta0, np.float32),
+                seed=int(self.random_seed),
+                temperatures=tuple(temperatures), swap_every=swap_every,
+                nits=nits, burnin=burnin,
+                walk_mask=mask, rwalk_std=rwalk_std,
+                stepper=method if method in ("rk4", "kvaerno3")
+                    else "dopri5",
+                substeps=substeps,
+                priors=pallas_priors if use_priors else None,
+                tile_chains=(None if pallas_tile_chains is None
+                             else int(pallas_tile_chains)),
+                interpret=bool(pallas_interpret),
+                mesh=chain_mesh() if (jax.device_count() > 1
+                                      and not pallas_interpret) else None)
+            from .utils.profiling import get_logger
+            get_logger().info(
+                "parallel tempering (fused): mean cold-swap acceptance "
+                "%.3f over %d temperatures",
+                float(np.mean(np.asarray(swap_rate))), len(temperatures))
         elif backend == "pallas":
             from .ops.pallas_mh import metropolis_hastings_fused
             progress_path = None

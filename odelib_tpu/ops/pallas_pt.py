@@ -1,0 +1,356 @@
+"""Fused Pallas parallel-tempering kernel — the whole replica-exchange
+MCMC loop in ONE TPU dispatch.
+
+The XLA sampler (samplers/pt.py) vectorizes the temperature ladder as one
+more array axis; this kernel goes further and holds the ladder in VMEM
+*registers*: each chain lane carries K replica states as K unrolled copies
+of the (log-theta, chi, R^2, log-prior) scratch, stepped back-to-back in
+the same iteration. The swap phase then needs NO cross-lane communication
+at all — exchanging replicas k and k+1 is an elementwise ``where`` between
+two scratch planes (compare the XLA path's gather-permute,
+samplers/pt.py:95-105, or the ensemble kernel's cross-lane partner rolls).
+That makes tempering the cheapest possible add-on to the fused MH design
+(ops/pallas_mh.py): per iteration the kernel runs K proposal/solve/score
+passes and a handful of VPU-elementwise swap ops, so throughput is the
+fused MH rate / K — with none of the XLA path's per-iteration dispatch or
+HBM round-trips.
+
+Semantics match samplers/pt.py: replica k targets ``exp(-(chi - log
+prior)/T_k)``, walk std scales with sqrt(T_k), swaps propose
+parity-alternating disjoint adjacent pairs every ``swap_every``
+iterations, and only the T=1 rung is recorded (theta/chi/R^2/AIC/
+acceptance-ratio rows identical in layout to the fused MH kernel, plus a
+running swap count for the cold rung). The reference has no tempering at
+all — its only answer to multimodality is many independent chains
+(/root/reference/ODElib/Framework.py:946-1061).
+
+RNG is the same counter-based per-lane stream as the MH kernel, keyed on
+the GLOBAL tile index, so mesh-sharded and single-device runs are bitwise
+identical.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..model import ModelSpec, ObsData
+from .pallas_mh import (_LANES, _DEF_SUB, _FIXED_STEPPERS, _Rng,
+                        _build_plan, _kernel_logpdf, _make_scorer_from_key,
+                        _normalize_substeps, _static_prior,
+                        kernel_priors_supported, pick_tile_chains)
+
+
+def _cached_pt_grid(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
+                    walk, rwalk_std, num, stepper, substeps, interpret,
+                    temps, swap_every, priors=None):
+    """Build (once per static config) the whole-run PT pallas_call.
+
+    Grid = (chain tiles, segments), both sequential; ladder state lives in
+    VMEM scratch across the segment axis exactly like the MH kernel's
+    chain state (ops/pallas_mh.py:944-1132). Outputs are the T=1 rung's
+    record blocks: theta/chi/rsq/aic/acc-ratio/swap-count."""
+    sub = tile // _LANES
+    shape = (sub, _LANES)
+    K = len(temps)
+    betas = [1.0 / float(t) for t in temps]
+    stds = [float(rwalk_std) * float(t) ** 0.5 for t in temps]
+    step_fn = _FIXED_STEPPERS[stepper]
+    score = _make_scorer_from_key(spec, plan, y0_key, step_fn)
+    lps = [None] * P if priors is None else [_kernel_logpdf(d)
+                                             for d in priors]
+    use_priors = any(f is not None for f in lps)
+
+    def logprior(theta_list):
+        tot = jnp.zeros(shape, jnp.float32)
+        for f, th in zip(lps, theta_list):
+            if f is not None:
+                tot = tot + f(th)
+        return tot
+
+    def kernel(seed_ref, off_ref, theta_in, theta_out, chi_out, rsq_out,
+               aic_out, ar_out, sw_out, lt_s, chi_s, rsq_s, lp_s, acc_s,
+               sw_s):
+        rng = _Rng(shape, seed_ref[0], pl.program_id(0) + off_ref[0], tile)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            theta = [theta_in[p] for p in range(P)]
+            chi0, rsq0 = score(theta, shape)
+            lp0 = (logprior(theta) if use_priors
+                   else jnp.zeros(shape, jnp.float32))
+            # every rung starts from the chain's seed point
+            # (samplers/pt.py:116 tiles z0 across the ladder)
+            for k in range(K):
+                for p in range(P):
+                    lt_s[k, p] = jnp.log(theta[p])
+                chi_s[k] = chi0
+                rsq_s[k] = rsq0
+                lp_s[k] = lp0
+            acc_s[...] = jnp.zeros(shape, jnp.float32)
+            sw_s[...] = jnp.zeros(shape, jnp.float32)
+
+        it0 = 1 + j * L_SEG
+
+        def body(i, carry):
+            lt, chi, rsq, lp, acc, sw = carry
+            it = it0 + i
+            active = it < nits
+
+            # walk phase: every rung proposes/solves/scores in-register.
+            # RNG draw sites are a static Python (k, p) order, so streams
+            # never depend on acceptance.
+            for k in range(K):
+                prop = [lt[k][p] + (stds[k] * walk[p]) * rng.normal(it)
+                        if walk[p] != 0.0 else lt[k][p]
+                        for p in range(P)]
+                theta_p = [jnp.exp(x) for x in prop]
+                chi_n, rsq_n = score(theta_p, shape)
+                u = rng.uniform(it)
+                log_ratio = chi[k] - chi_n
+                if use_priors:
+                    lp_n = logprior(theta_p)
+                    log_ratio = log_ratio + (lp_n - lp[k])
+                # tempered accept: exp(dE * beta_k); NaN compares False
+                accept = (jnp.exp(log_ratio * betas[k]) > u) & active
+                lt[k] = [jnp.where(accept, pn, lo)
+                         for pn, lo in zip(prop, lt[k])]
+                chi[k] = jnp.where(accept, chi_n, chi[k])
+                rsq[k] = jnp.where(accept, rsq_n, rsq[k])
+                if use_priors:
+                    lp[k] = jnp.where(accept, lp_n, lp[k])
+                if k == 0:
+                    acc = acc + accept.astype(jnp.float32)
+
+            # swap phase: parity-alternating disjoint adjacent pairs —
+            # pure elementwise exchanges between rung planes
+            do_swap = (it % swap_every) == 0
+            parity = (it // swap_every) % 2
+            for k in range(K - 1):
+                pair_on = do_swap & (parity == (k % 2)) & active
+                delta = (betas[k] - betas[k + 1]) * (
+                    (chi[k] - lp[k]) - (chi[k + 1] - lp[k + 1]))
+                u = rng.uniform(it)
+                sflag = ((jnp.exp(delta) > u) & pair_on
+                         & jnp.isfinite(delta))
+                for p in range(P):
+                    a, b = lt[k][p], lt[k + 1][p]
+                    lt[k][p] = jnp.where(sflag, b, a)
+                    lt[k + 1][p] = jnp.where(sflag, a, b)
+                for arr in (chi, rsq, lp):
+                    a, b = arr[k], arr[k + 1]
+                    arr[k] = jnp.where(sflag, b, a)
+                    arr[k + 1] = jnp.where(sflag, a, b)
+                if k == 0:
+                    sw = sw + sflag.astype(jnp.float32)
+
+            for p in range(P):
+                theta_out[i, p] = jnp.exp(lt[0][p])
+            chi_out[i, 0] = chi[0]
+            rsq_out[i, 0] = rsq[0]
+            aic_out[i, 0] = 2.0 * chi[0] + 2.0 * num
+            ar_out[i, 0] = acc / it.astype(jnp.float32)
+            sw_out[i, 0] = sw
+            return lt, chi, rsq, lp, acc, sw
+
+        carry0 = ([[lt_s[k, p] for p in range(P)] for k in range(K)],
+                  [chi_s[k] for k in range(K)],
+                  [rsq_s[k] for k in range(K)],
+                  [lp_s[k] for k in range(K)],
+                  acc_s[...], sw_s[...])
+        lt, chi, rsq, lp, acc, sw = jax.lax.fori_loop(
+            0, L_SEG, body, carry0)
+        for k in range(K):
+            for p in range(P):
+                lt_s[k, p] = lt[k][p]
+            chi_s[k] = chi[k]
+            rsq_s[k] = rsq[k]
+            lp_s[k] = lp[k]
+        acc_s[...] = acc
+        sw_s[...] = sw
+
+    n_rows = C // _LANES
+
+    def spec_in(k):
+        return pl.BlockSpec((k, sub, _LANES), lambda i, j: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_rec(k):
+        return pl.BlockSpec((L_SEG, k, sub, _LANES),
+                            lambda i, j: (j, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    padded_R = n_segs * L_SEG
+    out_shapes = \
+        [jax.ShapeDtypeStruct((padded_R, P, n_rows, _LANES), jnp.float32)] + \
+        [jax.ShapeDtypeStruct((padded_R, 1, n_rows, _LANES),
+                              jnp.float32)] * 5
+
+    return pl.pallas_call(
+        kernel,
+        grid=(C // tile, n_segs),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # global tile offset
+            spec_in(P),                                 # theta0
+        ],
+        out_specs=[spec_rec(P)] + [spec_rec(1)] * 5,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((K, P, sub, _LANES), jnp.float32),   # ladder log-theta
+            pltpu.VMEM((K, sub, _LANES), jnp.float32),      # ladder chi
+            pltpu.VMEM((K, sub, _LANES), jnp.float32),      # ladder rsq
+            pltpu.VMEM((K, sub, _LANES), jnp.float32),      # ladder log-prior
+            pltpu.VMEM((sub, _LANES), jnp.float32),         # T=1 accept count
+            pltpu.VMEM((sub, _LANES), jnp.float32),         # T=1 swap count
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.ARBITRARY, pltpu.ARBITRARY)),
+        interpret=interpret,
+    )
+
+
+@lru_cache(maxsize=32)
+def _cached_pt_run(spec, plan, y0_key, P, tile, C, L_SEG, n_segs, nits,
+                   walk, rwalk_std, num, stepper, substeps, interpret,
+                   C0, burnin, mesh, temps, swap_every, priors=None):
+    """One jitted program = PT pallas kernel + record layout, optionally
+    shard_map'd over a 1-D chain mesh (same pattern as _cached_mh_run)."""
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    C_local = C // n_dev
+    inner = _cached_pt_grid(spec, plan, y0_key, P, tile, C_local, L_SEG,
+                            n_segs, nits, walk, rwalk_std, num, stepper,
+                            substeps, interpret, temps, swap_every, priors)
+    padded_R = n_segs * L_SEG
+    lo, hi = burnin, nits - 1
+
+    def local_run(seed_arr, off_arr, theta_tiles):
+        outs = inner(seed_arr, off_arr, theta_tiles)
+        th_r = outs[0].reshape(padded_R, -1, C_local)
+        theta_s = jnp.transpose(th_r, (2, 0, 1))[:, lo:hi]
+        sq = lambda a: jnp.transpose(
+            a.reshape(padded_R, -1, C_local)[:, 0, :], (1, 0))[:, lo:hi]
+        return (theta_s,) + tuple(sq(o) for o in outs[1:])
+
+    if mesh is None:
+        def run(seed_arr, theta_tiles):
+            outs = local_run(seed_arr, jnp.zeros((1,), jnp.int32),
+                             theta_tiles)
+            return tuple(o[:C0] for o in outs)
+    else:
+        from jax.sharding import PartitionSpec as PS
+        axis = mesh.axis_names[0]
+        tiles_local = C_local // tile
+
+        def shard_body(seed_arr, theta_tiles):
+            off = (jax.lax.axis_index(axis) * tiles_local)[None].astype(
+                jnp.int32)
+            return local_run(seed_arr, off, theta_tiles)
+
+        smap = jax.shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(PS(), PS(None, axis, None)),
+            out_specs=tuple([PS(axis)] * 6), check_vma=False)
+
+        def run(seed_arr, theta_tiles):
+            return tuple(o[:C0] for o in smap(seed_arr, theta_tiles))
+
+    return jax.jit(run)
+
+
+def parallel_tempering_fused(
+        spec: ModelSpec, obs: ObsData, times, y0_base, theta0, seed: int, *,
+        temperatures=(1.0, 2.0, 4.0, 8.0), swap_every: int = 1,
+        nits: int = 1000, burnin: Optional[int] = None,
+        walk_mask: Optional[Sequence[float]] = None, rwalk_std: float = 0.05,
+        substeps: int = 4, stepper: str = "dopri5",
+        tile_chains: Optional[int] = None, interpret: bool = False,
+        mesh=None, priors=None):
+    """Run C tempered ladders fully inside one Pallas kernel.
+
+    Same conventions as :func:`~odelib_tpu.ops.pallas_mh.
+    metropolis_hastings_fused` (flat theta slots, per-slot priors /
+    walk_mask, mesh sharding with sharding-invariant RNG); ``temperatures``
+    / ``swap_every`` follow :func:`~odelib_tpu.samplers.pt.
+    parallel_tempering`. Returns ``(MHOutput for the T=1 rung,
+    per-chain cold-swap acceptance rate (C,))``.
+
+    Device work per iteration is K solves per chain (inherent to
+    tempering), so expect ~fused-MH-rate / K.
+    """
+    if burnin is None:
+        burnin = int(nits / 2)
+    temperatures = tuple(float(t) for t in temperatures)
+    if len(temperatures) < 2:
+        raise ValueError("parallel tempering needs >= 2 temperatures")
+    if temperatures[0] != 1.0:
+        raise ValueError("temperatures[0] must be 1.0 (the posterior rung)")
+    if any(b >= a for b, a in zip(temperatures, temperatures[1:])):
+        raise ValueError("temperatures must be strictly increasing")
+    P = spec.theta_size
+    theta0 = np.asarray(theta0, np.float32)
+    C0 = theta0.shape[0]
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    if tile_chains is None:
+        tile_chains = pick_tile_chains(C0, n_dev)
+    tile = int(tile_chains)
+    min_tile = _LANES if interpret else _DEF_SUB * _LANES
+    assert tile % min_tile == 0, \
+        f"tile_chains must be a multiple of {min_tile}"
+    if n_dev == 1:
+        mesh = None
+    C = int(-(-C0 // (tile * n_dev)) * (tile * n_dev))
+    if C > C0:
+        theta0 = np.concatenate(
+            [theta0, np.tile(theta0[-1:], (C - C0, 1))], axis=0)
+    num = int(np.count_nonzero(theta0[0]))
+    if walk_mask is None:
+        walk_mask = [1.0] * P
+    walk = tuple(float(w) for w in walk_mask)
+
+    substeps = _normalize_substeps(substeps, len(np.asarray(times)) - 1)
+    plan = _build_plan(spec, obs, times, substeps)
+    y0_key = tuple(float(v) for v in np.asarray(y0_base))
+
+    R = nits - 1
+    if R <= burnin:
+        raise ValueError(f"nits={nits} leaves no recorded iterations after "
+                         f"burnin={burnin}")
+    L_SEG = max(1, min(64, R, (2 * 1024 * 1024) // ((P + 5) * tile * 4)))
+    n_segs = -(-R // L_SEG)
+
+    if priors is not None:
+        priors = tuple(priors)
+        if len(priors) != P:
+            raise ValueError(f"priors must have one entry per theta slot "
+                             f"({P}), got {len(priors)}")
+        if not kernel_priors_supported(priors):
+            raise ValueError(
+                "unsupported prior family for the fused kernel; use the "
+                "XLA backend")
+        if not any(d is not None for d in priors):
+            priors = None
+        else:
+            priors = tuple(None if d is None else _static_prior(d)
+                           for d in priors)
+    theta_tiles = jnp.asarray(theta0.T.reshape(P, C // _LANES, _LANES))
+
+    run = _cached_pt_run(spec, plan, y0_key, P, tile, C, L_SEG, n_segs,
+                         int(nits), walk, float(rwalk_std), num, stepper,
+                         substeps, bool(interpret), C0, int(burnin), mesh,
+                         temperatures, int(swap_every), priors)
+    theta_s, chi_s, rsq_s, aic_s, ar_s, sw_s = run(
+        jnp.asarray([seed], jnp.int32), theta_tiles)
+    iterations = jnp.arange(1, nits)[burnin:]
+    n_rounds = max(1, (nits - 1) // int(swap_every))
+    swap_rate = sw_s[:, -1] / n_rounds
+    from ..samplers.mh import MHOutput
+    out = MHOutput(theta=theta_s, chi=chi_s, rsquared=rsq_s, aic=aic_s,
+                   acceptance_ratio=ar_s, iteration=iterations)
+    return out, swap_rate

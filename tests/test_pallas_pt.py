@@ -1,0 +1,194 @@
+"""Fused Pallas parallel-tempering kernel (ops/pallas_pt.py) —
+interpret-mode tests on CPU.
+
+Same oracles as the XLA sampler's suite (test_pt.py): exact-Gaussian
+invariance of the cold chain, mode-hopping on a constructed bimodal
+posterior, plus the fused-kernel-specific guarantees (determinism,
+mesh-sharding bitwise invariance, API wiring).
+"""
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from odelib_tpu.data import (build_obsdata_host, compact_observation_grid,
+                             format_dataframe)  # noqa: E402
+from odelib_tpu.model import make_spec  # noqa: E402
+from odelib_tpu.ops.pallas_pt import parallel_tempering_fused  # noqa: E402
+from odelib_tpu.parallel import chain_mesh  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def gaussian_problem():
+    """Constant RHS + S0 init-parameter: the log-theta posterior is
+    exactly Gaussian (same oracle as test_pt.py / test_hmc.py)."""
+    def const_rhs(t, y, ps):
+        return jnp.stack([0.0 * y[0]])
+
+    spec = make_spec(const_rhs, ("S0",), ("S",))
+    rng = np.random.default_rng(17)
+    sig = 0.3
+    tobs = np.linspace(0.0, 3.0, 10)
+    logobs = np.log(1e6) + rng.normal(0, sig, len(tobs))
+    rows = [{"organism": "S", "time": t, "abundance": np.exp(la),
+             "log_sigma": sig} for t, la in zip(tobs, logobs)]
+    df = format_dataframe(pd.DataFrame(rows), ("S",))
+    times = np.linspace(0.0, 3.0, 11)
+    obs_host, _ = build_obsdata_host(df, times, spec.post_snames)
+    return (spec, obs_host, times, np.asarray([1.0]),
+            float(np.mean(logobs)), sig / np.sqrt(len(tobs)))
+
+
+K_LO = 2.0 - np.sqrt(0.5)
+K_HI = 2.0 + np.sqrt(0.5)
+
+
+@pytest.fixture(scope="module")
+def bimodal_problem():
+    """dy/dt = -((k-2)^2 + 0.5) y: two exact posterior modes at
+    k = 2 +- sqrt(0.5) separated by a chi barrier (test_pt.py)."""
+    def rhs(t, y, ps):
+        (k,) = ps
+        g = (k - 2.0) ** 2 + 0.5
+        return jnp.stack([-g * y[0]])
+
+    spec = make_spec(rhs, ("k",), ("y",))
+    sig = 0.3
+    tobs = np.linspace(0.0, 3.0, 10)
+    rows = [{"organism": "y", "time": t, "abundance": 1e6 * np.exp(-t),
+             "log_sigma": sig} for t in tobs]
+    df = format_dataframe(pd.DataFrame(rows), ("y",))
+    times = np.linspace(0.0, 3.0, 16)
+    obs_host, _ = build_obsdata_host(df, times, spec.post_snames)
+    return spec, obs_host, times, np.asarray([1e6])
+
+
+def test_pt_fused_cold_chain_recovers_exact_gaussian(gaussian_problem):
+    spec, obs_host, times, y0, post_mean, post_std = gaussian_problem
+    C = 32
+    rng = np.random.default_rng(21)
+    th0 = np.exp(post_mean + rng.normal(0, 0.2, (C, 1)))
+    out, swap_rate = parallel_tempering_fused(
+        spec, obs_host, times, y0, th0, seed=21,
+        temperatures=(1.0, 2.0, 4.0), nits=1500, burnin=750,
+        substeps=1, rwalk_std=0.08, tile_chains=128, interpret=True)
+    z = np.log(np.asarray(out.theta)).ravel()
+    se = post_std / np.sqrt(C)
+    assert abs(z.mean() - post_mean) < 5 * se
+    np.testing.assert_allclose(z.std(), post_std, rtol=0.35)
+    assert float(np.mean(np.asarray(swap_rate))) > 0.05
+    assert np.all(np.asarray(swap_rate) <= 1.0)
+
+
+def test_pt_fused_hops_between_modes(bimodal_problem):
+    spec, obs_host, times, y0 = bimodal_problem
+    C = 16
+    th0 = np.full((C, 1), K_LO)   # ALL chains start in the low mode
+    out, swap_rate = parallel_tempering_fused(
+        spec, obs_host, times, y0, th0, seed=6,
+        temperatures=(1.0, 2.0, 4.0, 8.0, 16.0),
+        nits=1200, burnin=600, substeps=2, rwalk_std=0.05,
+        tile_chains=128, interpret=True)
+    k = np.asarray(out.theta).ravel()
+    frac_lo = (np.abs(np.log(k) - np.log(K_LO)) < 0.25).mean()
+    frac_hi = (np.abs(np.log(k) - np.log(K_HI)) < 0.25).mean()
+    assert frac_hi > 0.10, (
+        f"fused tempering failed to reach the second mode (hi={frac_hi}, "
+        f"swap={float(np.mean(np.asarray(swap_rate))):.3f})")
+    assert frac_lo > 0.10
+    assert 0.1 < frac_hi / max(frac_lo + frac_hi, 1e-9) < 0.9
+
+
+def test_pt_fused_deterministic_and_conventions(bimodal_problem):
+    spec, obs_host, times, y0 = bimodal_problem
+    th0 = np.full((4, 1), K_LO)
+    kw = dict(seed=9, temperatures=(1.0, 3.0), nits=24, burnin=12,
+              substeps=1, rwalk_std=0.05, tile_chains=128, interpret=True)
+    a, swa = parallel_tempering_fused(spec, obs_host, times, y0, th0, **kw)
+    b, swb = parallel_tempering_fused(spec, obs_host, times, y0, th0, **kw)
+    # reference iteration convention: records for it in (burnin, nits-1]
+    np.testing.assert_array_equal(np.asarray(a.iteration),
+                                  np.arange(13, 24))
+    assert a.theta.shape == (4, 11, 1)
+    assert np.isfinite(np.asarray(a.chi)).all()
+    np.testing.assert_array_equal(np.asarray(a.theta), np.asarray(b.theta))
+    np.testing.assert_array_equal(np.asarray(swa), np.asarray(swb))
+    # AIC column follows the 2*chi + 2*k convention
+    np.testing.assert_allclose(np.asarray(a.aic),
+                               2 * np.asarray(a.chi) + 2.0, rtol=1e-6)
+
+
+def test_pt_fused_sharded_matches_unsharded(bimodal_problem):
+    """RNG streams are keyed on the GLOBAL tile index: mesh-sharded and
+    single-device runs of the same chain batch are bitwise identical."""
+    spec, obs_host, times, y0 = bimodal_problem
+    th0 = np.full((1024, 1), K_LO)
+    kw = dict(seed=3, temperatures=(1.0, 4.0), nits=13, burnin=4,
+              substeps=1, tile_chains=128, interpret=True)
+    ref, sw_ref = parallel_tempering_fused(spec, obs_host, times, y0, th0,
+                                           **kw)
+    mesh = chain_mesh(jax.devices()[:8])
+    out, sw = parallel_tempering_fused(spec, obs_host, times, y0, th0,
+                                       mesh=mesh, **kw)
+    np.testing.assert_array_equal(np.asarray(out.theta),
+                                  np.asarray(ref.theta))
+    np.testing.assert_array_equal(np.asarray(sw), np.asarray(sw_ref))
+
+
+def test_pt_fused_validation_errors(bimodal_problem):
+    spec, obs_host, times, y0 = bimodal_problem
+    th0 = np.full((2, 1), K_LO)
+    with pytest.raises(ValueError, match="temperatures\\[0\\]"):
+        parallel_tempering_fused(spec, obs_host, times, y0, th0, seed=0,
+                                 temperatures=(2.0, 4.0), nits=10, burnin=2,
+                                 tile_chains=128, interpret=True)
+    with pytest.raises(ValueError, match="increasing"):
+        parallel_tempering_fused(spec, obs_host, times, y0, th0, seed=0,
+                                 temperatures=(1.0, 4.0, 2.0), nits=10,
+                                 burnin=2, tile_chains=128, interpret=True)
+    with pytest.raises(ValueError, match=">= 2"):
+        parallel_tempering_fused(spec, obs_host, times, y0, th0, seed=0,
+                                 temperatures=(1.0,), nits=10, burnin=2,
+                                 tile_chains=128, interpret=True)
+
+
+def test_mcmc_sampler_pt_fused_end_to_end():
+    """API wiring: sampler='pt' + backend='pallas' runs the fused kernel
+    (with in-kernel priors) and returns the reference posterior layout."""
+    from helpers import demo_df
+    from odelib_tpu import models
+
+    mf = models.get("zero_i").framework(demo_df(), t_steps=288)
+    post = mf.MCMC(chain_inits=4, iterations_per_chain=60,
+                   fitsurvey_samples=128, sd_fitdistance=6.0,
+                   print_report=False, sampler="pt",
+                   temperatures=(1.0, 3.0, 9.0),
+                   backend="pallas", pallas_interpret=True,
+                   pallas_tile_chains=128)
+    assert len(post) == 4 * 29
+    assert np.isfinite(post["chi"]).all()
+    for col in ("mu", "phi", "beta", "chi", "rsquared", "aic",
+                "acceptance_ratio", "iteration", "chain#"):
+        assert col in post.columns
+
+
+def test_mcmc_sampler_pt_fused_with_priors():
+    """Prior-aware tempered acceptance fully in-kernel."""
+    from helpers import demo_df
+    from odelib_tpu import models
+
+    mf = models.get("zero_i").framework(demo_df(), t_steps=288)
+    post = mf.MCMC(chain_inits=4, iterations_per_chain=40,
+                   fitsurvey_samples=128, sd_fitdistance=6.0,
+                   print_report=False, sampler="pt", use_priors=True,
+                   temperatures=(1.0, 4.0),
+                   backend="pallas", pallas_interpret=True,
+                   pallas_tile_chains=128)
+    assert np.isfinite(post["chi"]).all()
