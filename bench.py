@@ -42,19 +42,10 @@ def build_problem():
         dV = beta * phi * S * V - phi * S * V
         return jnp.stack([dS, dV])
 
-    path = "/root/reference/demo/demodata.csv"
-    if os.path.exists(path):
-        df = pd.read_csv(path).replace({"virus": "V", "host": "S"})
-    else:
-        rng = np.random.default_rng(0)
-        rows = []
-        for org, scale in (("S", 5e6), ("V", 1e7)):
-            for t in np.arange(0.0, 3.2, 0.2):
-                rows.append({"organism": org, "time": t,
-                             "abundance": scale * np.exp(rng.normal(0, .2)),
-                             "log_sigma": 0.2})
-        df = pd.DataFrame(rows)
-    df = format_dataframe(df, ("S", "V"))
+    from odelib_tpu.data import load_demo_dataframe
+
+    df = format_dataframe(load_demo_dataframe(host="S", virus="V"),
+                          ("S", "V"))
     times = np.linspace(0.0, df["time"].max(), 288)
     spec = make_spec(zero_i, ("mu", "phi", "beta"), ("S", "V"))
     # host-side obs only: issuing a device->host read before the timed

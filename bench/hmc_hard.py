@@ -31,14 +31,8 @@ def build_hard_problem(seed=0):
         dV = beta * lam * I1 - phi * S * V
         return jnp.stack([dS, dI1, dV])
 
-    df = None
-    try:
-        import pandas as pd
-        df = pd.read_csv("/root/reference/demo/demodata.csv").replace(
-            {"virus": "V", "host": "H"})
-    except Exception:
-        from tests.helpers import synthetic_df
-        df = synthetic_df().replace({"S": "H"})
+    from odelib_tpu.data import load_demo_dataframe
+    df = load_demo_dataframe(host="H", virus="V")
 
     ln = scipy.stats.lognorm
     fw = odelib_tpu.ModelFramework(

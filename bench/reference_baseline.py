@@ -37,7 +37,9 @@ def zero_i(y, t, ps):
 
 
 def load_demo():
-    path = "/root/reference/demo/demodata.csv"
+    path = os.path.join(os.path.dirname(__file__), "..", "odelib_tpu",
+                        "demodata.csv")
+    path = os.environ.get("ODELIB_DEMODATA", path)
     if os.path.exists(path):
         df = pd.read_csv(path).replace({"virus": "V", "host": "S"})
     else:  # synthetic stand-in with the same shape

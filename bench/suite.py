@@ -198,20 +198,9 @@ def config4b_full_grid_adaptive(base):
 
     spec, obs_host, times_fit, y0_h = B.build_problem()
     # rebuild the FULL-grid observation data (bench.build_problem compacts)
-    import pandas as pd
-    path = "/root/reference/demo/demodata.csv"
-    if os.path.exists(path):
-        df = pd.read_csv(path).replace({"virus": "V", "host": "S"})
-        df = format_dataframe(df, ("S", "V"))
-    else:
-        rng = np.random.default_rng(0)
-        rows = []
-        for org, scale in (("S", 5e6), ("V", 1e7)):
-            for t in np.arange(0.0, 3.2, 0.2):
-                rows.append({"organism": org, "time": t,
-                             "abundance": scale * np.exp(rng.normal(0, .2)),
-                             "log_sigma": 0.2})
-        df = format_dataframe(pd.DataFrame(rows), ("S", "V"))
+    from odelib_tpu.data import load_demo_dataframe
+    df = format_dataframe(load_demo_dataframe(host="S", virus="V"),
+                          ("S", "V"))
     times_full = np.linspace(0.0, df["time"].max(), 288)
     obs_full_host, _ = build_obsdata_host(df, times_full, spec.post_snames)
 

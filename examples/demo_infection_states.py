@@ -54,14 +54,8 @@ def two_i(y, t, ps):
 
 
 def load_data():
-    path = "/root/reference/demo/demodata.csv"
-    if os.path.exists(path):
-        return pd.read_csv(path)
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
-                                    "tests"))
-    from helpers import synthetic_df
-    df = synthetic_df()
-    return df.replace({"S": "host", "V": "virus"})
+    from odelib_tpu.data import load_demo_dataframe
+    return load_demo_dataframe()
 
 
 def lognorm(s, scale):

@@ -96,13 +96,11 @@ Host and virus abundances over ~3 days with per-point log-space standard
 deviations (`log_sigma` schema; the framework also accepts the replicate
 schema and computes log-moments itself)."""),
     (C, """\
-path = '/root/reference/demo/demodata.csv'
-if os.path.exists(path):
-    df = pd.read_csv(path)
-else:                       # synthetic stand-in with the same shape
-    sys.path.insert(0, os.path.abspath('../tests'))
-    from helpers import synthetic_df
-    df = synthetic_df().replace({'S': 'host', 'V': 'virus'})
+# The dataset ships with the package (odelib_tpu/demodata.csv — a
+# committed synthetic with the reference demo's exact shape/schema;
+# set ODELIB_DEMODATA to substitute another file).
+from odelib_tpu.data import load_demo_dataframe
+df = load_demo_dataframe()
 df"""),
     (C, """\
 df = df.replace({'virus': 'V', 'host': 'S'})  # match the model state names

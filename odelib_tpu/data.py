@@ -232,6 +232,38 @@ def compact_observation_grid(obs: ObsData, times,
     return uniq, obs._replace(t_index=new_tidx)
 
 
+def demo_data_path() -> str:
+    """Path to the demo host/virus dataset.
+
+    Defaults to the synthetic dataset committed inside the package
+    (``odelib_tpu/demodata.csv``, generated by
+    ``examples/make_demodata.py`` — same shape and schema as the
+    reference's ``demo/demodata.csv:1-38`` but freshly generated, not
+    copied).  Set ``ODELIB_DEMODATA=/path/to.csv`` to point the demo,
+    bench, and test workloads at another file (e.g. the reference's real
+    lab data, when mounted).
+    """
+    import os
+
+    override = os.environ.get("ODELIB_DEMODATA", "")
+    if override:
+        return override
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "demodata.csv")
+
+
+def load_demo_dataframe(host: str = "host",
+                        virus: str = "virus") -> pd.DataFrame:
+    """Load the demo dataset, renaming organisms to model state names.
+
+    ``load_demo_dataframe(host="S", virus="V")`` yields a frame ready for
+    the two-state ``zero_i`` model (the reference notebook's
+    ``df.replace({'virus': 'V', 'host': 'S'})`` step, cell 7).
+    """
+    df = pd.read_csv(demo_data_path())
+    return df.replace({"host": host, "virus": virus})
+
+
 def initial_states_from_df(df: pd.DataFrame) -> Dict[str, float]:
     """Initial states from the t==0 rows (``Framework.py:246-249``; first
     occurrence wins)."""

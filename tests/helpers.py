@@ -5,7 +5,12 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-DEMODATA = "/root/reference/demo/demodata.csv"
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from odelib_tpu.data import demo_data_path  # noqa: E402
+
+DEMODATA = demo_data_path()
 
 
 def zero_i(t, y, ps):
