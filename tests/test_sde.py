@@ -464,3 +464,135 @@ def test_framework_sde_predictive_checks(sde_framework):
             np.random.default_rng(0).normal(0, 0.1, 40)),
             "s": np.full(40, 0.3)})
         m.information_criteria(post, n_draws=40, print_report=False)
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: proposal adaptation, particle-count tuning, sharding
+# ---------------------------------------------------------------------------
+
+def _phase_acceptance(out):
+    """Mean FROZEN-phase acceptance rate from the running-ratio records
+    (the recorded column is acc_count/it since iteration 1, burn-in
+    included; difference out the pre-record segment)."""
+    ar = np.asarray(out.acceptance_ratio)
+    it = np.asarray(out.iteration, float)
+    acc_first = ar[:, 0] * it[0]
+    acc_last = ar[:, -1] * it[-1]
+    return float(np.mean((acc_last - acc_first) / (it[-1] - it[0])))
+
+
+def test_pmmh_adapt_proposal_targets_acceptance(gbm_ssm):
+    """A far-too-timid proposal (acceptance ~1) is adapted during burn-in
+    toward target_accept and FROZEN for the recorded phase."""
+    spec, obs, times, logO, _ = gbm_ssm
+    C = 24
+    rng = np.random.default_rng(5)
+    th0 = np.exp(rng.normal(np.log(MU), 0.2, (C, 1))).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(7), C)
+    kw = dict(nits=400, burnin=200, n_particles=32, substeps=2)
+    timid = pmmh(spec, obs, times, np.array([2.0], np.float32),
+                 jnp.asarray(th0), keys, rwalk_std=0.005,
+                 adapt_proposal=False, **kw)
+    a0 = _phase_acceptance(timid)
+    # the un-adapted timid walk over-accepts (the residual rejections are
+    # pure pseudo-marginal estimator noise at K=32)
+    assert a0 > 0.55
+    adapted = pmmh(spec, obs, times, np.array([2.0], np.float32),
+                   jnp.asarray(th0), keys, rwalk_std=0.005,
+                   adapt_proposal=True, target_accept=0.3,
+                   adapt_rate=0.25, **kw)
+    a1 = _phase_acceptance(adapted)
+    assert 0.15 < a1 < 0.5, a1
+    assert a1 < a0 - 0.1     # adaptation moved acceptance toward target
+
+
+def test_pmmh_adapt_checkpoint_bitwise(gbm_ssm, tmp_path):
+    """Chunked PMMH with adaptation on == straight-through, bitwise (the
+    per-chain log proposal scale rides the persisted state)."""
+    spec, obs, times, _, _ = gbm_ssm
+    C = 4
+    rng = np.random.default_rng(6)
+    th0 = np.exp(rng.normal(np.log(MU), 0.2, (C, 1))).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(8), C)
+    kw = dict(nits=41, burnin=20, rwalk_std=0.1, n_particles=16,
+              substeps=2, adapt_proposal=True, adapt_rate=0.2)
+    ref = pmmh(spec, obs, times, np.array([2.0], np.float32),
+               jnp.asarray(th0), keys, **kw)
+    out = pmmh_checkpointed(spec, obs, times, np.array([2.0], np.float32),
+                            jnp.asarray(th0), keys, checkpoint_every=7,
+                            checkpoint_path=str(tmp_path / "a.npz"), **kw)
+    for a, b in zip(ref[:4], out[:4]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tune_particles_rule(gbm_ssm):
+    """var(log-lik) shrinks ~1/K and the recommendation follows the
+    K* = K_pilot * var / target rule."""
+    from odelib_tpu.samplers.pf import tune_particles
+
+    spec, obs, times, _, _ = gbm_ssm
+    th = jnp.asarray([MU], jnp.float32)
+    y0 = np.array([2.0], np.float32)
+    k16, v16 = tune_particles(spec, obs, times, y0, th,
+                              jax.random.PRNGKey(0), pilot_particles=16,
+                              n_reps=48, substeps=2)
+    k128, v128 = tune_particles(spec, obs, times, y0, th,
+                                jax.random.PRNGKey(0), pilot_particles=128,
+                                n_reps=48, substeps=2)
+    assert v128 < v16                     # variance decreases with K
+    assert k16 % 8 == 0 and k16 >= 16
+    # recommendation reproduces the scaling rule
+    expect = int(np.ceil(16 * v16 / 1.2))
+    expect = -(-max(16, min(expect, 8192)) // 8) * 8
+    assert k16 == expect
+    with pytest.raises(ValueError, match="single"):
+        tune_particles(spec, obs, times, y0, jnp.ones((2, 1)),
+                       jax.random.PRNGKey(0))
+
+
+def test_framework_tune_particles(sde_framework):
+    m = sde_framework
+    m.set_parameters(r=0.5, s=0.3)
+    k, v = m.tune_particles(pilot_particles=16, n_reps=16,
+                            sde_substeps=2, print_report=True)
+    assert isinstance(k, int) and k % 8 == 0 and v >= 0.0
+
+
+def test_framework_tune_particles_requires_diffusion():
+    import scipy.stats
+    import odelib_tpu
+    from helpers import synthetic_df, zero_i
+
+    m = odelib_tpu.ModelFramework(
+        ODE=zero_i, parameter_names=["mu", "phi", "beta"],
+        state_names=["S", "V"], dataframe=synthetic_df(),
+        mu=odelib_tpu.parameter(scipy.stats.lognorm, {"s": 1, "scale": 1}))
+    with pytest.raises(ValueError, match="diffusion"):
+        m.tune_particles()
+
+
+def test_pmmh_sharded_matches_unsharded(gbm_ssm):
+    """PMMH inputs sharded over the virtual 8-device mesh produce the
+    SAME posterior as the single-device run (counter-based PF RNG is a
+    pure function of (chain key, iteration, block) — sharding is
+    bitwise-invisible). VERDICT r3 push item 5."""
+    from odelib_tpu.parallel import chain_mesh, shard_chain_batch
+
+    spec, obs, times, _, _ = gbm_ssm
+    C = 8
+    rng = np.random.default_rng(9)
+    th0 = jnp.asarray(np.exp(rng.normal(np.log(MU), 0.2, (C, 1))),
+                      jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(11), C)
+    kw = dict(nits=30, burnin=10, rwalk_std=0.2, n_particles=16,
+              substeps=2, adapt_proposal=True)
+    ref = pmmh(spec, obs, times, np.array([2.0], np.float32), th0, keys,
+               **kw)
+    mesh = chain_mesh()
+    s_th0, s_keys = shard_chain_batch((th0, keys), mesh)
+    out = pmmh(spec, obs, times, np.array([2.0], np.float32), s_th0,
+               s_keys, **kw)
+    assert len(out.theta.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(out.theta),
+                                  np.asarray(ref.theta))
+    np.testing.assert_array_equal(np.asarray(out.chi), np.asarray(ref.chi))
