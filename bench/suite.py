@@ -721,7 +721,11 @@ def config15_fused_pt(base):
     (ops/pallas_pt.py). Two claims measured: (a) replica-step throughput
     at parity with the fused MH kernel (K solves per iteration cost K MH
     iterations — nothing lost to the ladder), (b) a large multiple over
-    the XLA ladder sampler at the same shape."""
+    the XLA ladder sampler. NOTE the XLA comparison runs at a SMALLER
+    shape (1024 chains x 200 iters vs the kernel's 10240 x 500 — the
+    full shape is infeasibly slow for the XLA ladder to rep 3x), so the
+    fused_over_xla multiple is per-chain-step and shape-sensitive: the
+    small XLA batch may not fully saturate the device."""
     import jax
 
     import bench as B
@@ -1124,19 +1128,40 @@ def config14_pmmh(base):
                   state_index=np.zeros(len(logO), np.int64),
                   sstot=float(np.var(np.exp(logO)) * len(logO)))
 
-    C, K, NITS, SUB = 1024, 128, 200, 8
+    C, K, NITS, SUB = 10240, 128, 200, 8
     th0 = np.exp(rng.normal(np.log(0.4), 0.3, (C, 1))).astype(np.float32)
     keys = jax.random.split(jax.random.PRNGKey(3), C)
+
+    # Prior-aware target (lognormal on mu) with burn-in proposal-scale
+    # adaptation toward the pseudo-marginal 0.3 optimum. r3 ran this row
+    # likelihood-only at a hand-picked step; that target is nearly flat
+    # as mu -> 0 (the process noise absorbs drift misfit), so acceptance
+    # saturated ~0.74 no matter the step — the 'timid proposal' finding
+    # was really a flat-tail artifact. The proper posterior both pins the
+    # chain and lets adaptation land acceptance on target.
+    PRI_MU, PRI_SD = np.log(0.4), 0.5
+
+    def prior_lp(th):
+        z = (jnp.log(th[0]) - PRI_MU) / PRI_SD
+        return -0.5 * z * z - jnp.log(th[0])   # + const
 
     def run():
         out = pmmh(spec, obs, times, np.array([2.0], np.float32),
                    jnp.asarray(th0), keys, nits=NITS, burnin=NITS // 2,
-                   rwalk_std=0.4, n_particles=K, substeps=SUB)
+                   rwalk_std=0.4, n_particles=K, substeps=SUB,
+                   use_priors=True, prior_logpdf=prior_lp,
+                   adapt_proposal=True, target_accept=0.3,
+                   adapt_rate=0.15)
         _sync(out.chi[-1:, -1:])
         return out
 
     out = run()  # compile + correctness probe
-    acc = float(np.asarray(out.acceptance_ratio)[:, -1].mean())
+    # frozen-phase acceptance (records carry the running ratio since
+    # iteration 1; difference out the burn-in segment)
+    ar = np.asarray(out.acceptance_ratio)
+    it = np.asarray(out.iteration, float)
+    acc = float(np.mean((ar[:, -1] * it[-1] - ar[:, 0] * it[0])
+                        / (it[-1] - it[0])))
     t_dev = _timed(run, reps=3)
     rate = C * (NITS - 1) / t_dev
 
@@ -1163,6 +1188,10 @@ def config14_pmmh(base):
             parts = parts[np.clip(np.searchsorted(cum, pos), 0, K - 1)]
         return -ll
 
+    def np_prior_lp(mu):
+        z = (np.log(mu) - PRI_MU) / PRI_SD
+        return -0.5 * z * z - np.log(mu)
+
     rng_l = np.random.default_rng(0)
     NB = 30
     mu, chi = 0.4, None
@@ -1171,15 +1200,17 @@ def config14_pmmh(base):
     for _ in range(NB - 1):
         prop = mu * np.exp(0.4 * rng_l.normal())
         c_new = np_pf(prop, rng_l)
-        if np.exp(chi - c_new) > rng_l.uniform():
+        if np.exp(chi - c_new + np_prior_lp(prop)
+                  - np_prior_lp(mu)) > rng_l.uniform():
             mu, chi = prop, c_new
     t_np = (time.perf_counter() - t0) / NB
     np_rate = 1.0 / t_np
 
     return {"config": 14,
-            "metric": "particle-marginal MH (GBM state-space SDE): 1024 "
+            "metric": "particle-marginal MH (GBM state-space SDE): 10240 "
                       "chains x 128-particle bootstrap filter per "
-                      "proposal, 200 iterations",
+                      "proposal, 200 iterations, prior-aware, "
+                      "adapted proposal",
             "value": round(rate, 0), "unit": "chain-steps/sec",
             "n_particles": K, "mean_acceptance": round(acc, 3),
             "numpy_serial_chain_steps_per_sec": round(np_rate, 2),
