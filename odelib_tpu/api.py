@@ -1379,6 +1379,13 @@ class ModelFramework(InferenceMixin):
                 "sampler='pmmh' targets the STOCHASTIC model — construct "
                 "the ModelFramework with diffusion=g (process noise); for "
                 "a deterministic ODE use sampler='mh'")
+        if sampler != "pmmh" and self._spec.diffusion is not None:
+            warnings.warn(
+                f"MCMC(sampler={sampler!r}) on a model with diffusion= "
+                "fits the DRIFT ONLY: the deterministic likelihood "
+                "mis-attributes process noise to observation error "
+                "(the bias ops/sde.py documents). Use sampler='pmmh' "
+                "for the exact stochastic posterior.")
         _n_req = chain_inits if isinstance(chain_inits, int) \
             else len(chain_inits)
         if sampler in ("hmc", "amh", "pmmh"):

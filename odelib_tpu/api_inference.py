@@ -63,6 +63,29 @@ def _logpred_sde_jit(spec, obs, times, y0b, thetas, keys, substeps, method):
 class InferenceMixin:
     """Model-criticism methods mixed into :class:`~odelib_tpu.api.ModelFramework`."""
 
+    def _require_deterministic(self, what, drift_only, hint=""):
+        """Stochastic-feature-matrix guard: a method whose math assumes a
+        deterministic likelihood must either refuse LOUDLY on a
+        ``diffusion=`` model or be explicitly opted into the drift-only
+        approximation — silently fitting the drift skeleton is exactly
+        the noise-misattribution bias process noise exists to avoid
+        (ops/sde.py module note)."""
+        if self._spec.diffusion is None:
+            return
+        if not drift_only:
+            raise ValueError(
+                f"{what} assumes a deterministic likelihood, but this "
+                "model has process noise (diffusion=...): a single "
+                "drift trajectory's fit statistic is not the marginal "
+                f"likelihood of the SDE. {hint}Pass drift_only=True to "
+                "run it anyway on the drift skeleton (the diffusion "
+                "term is IGNORED and results do not account for "
+                "process noise).")
+        warnings.warn(
+            f"{what}: drift_only=True on a stochastic model — the "
+            "diffusion term is ignored; treat the result as an analysis "
+            "of the deterministic skeleton, not of the SDE.")
+
     def tune_particles(self, theta=None, pilot_particles=64, n_reps=32,
                        target_var=1.2, sde_substeps=4, sde_method="euler",
                        seed=None, print_report=True):
@@ -105,7 +128,7 @@ class InferenceMixin:
 
     def fit_map(self, starts=64, steps=500, learning_rate=0.05,
                 use_priors=False, static_parameters=(), set_best=True,
-                **solver_kw) -> pd.DataFrame:
+                drift_only=False, **solver_kw) -> pd.DataFrame:
         """Multi-start gradient (Adam) point estimation: maximum likelihood,
         or MAP with ``use_priors=True``.
 
@@ -117,6 +140,9 @@ class InferenceMixin:
         ``set_best_params``. The reference's only point-estimate route is
         min-chi over MCMC samples (``Framework.py:725-731``).
         """
+        self._require_deterministic(
+            'fit_map', drift_only,
+            hint="Fit the SDE with MCMC(sampler='pmmh'). ")
         from .samplers import map_fit
 
         ps = self._lhs_samples(starts)
@@ -167,7 +193,7 @@ class InferenceMixin:
         return df
 
     def laplace_approximation(self, parameters=None, use_priors=False,
-                              **solver_kw):
+                              drift_only=False, **solver_kw):
         """Gaussian (Laplace) posterior approximation around a point
         estimate: Hessian of U(z) = chi [- log prior] in log-parameter
         space via ``jax.hessian`` through the fixed-step solve.
@@ -183,6 +209,9 @@ class InferenceMixin:
         ``p[i]`` (zero entries are pinned, the reference convention).
         Another autodiff capability with no reference counterpart.
         """
+        self._require_deterministic(
+            'laplace_approximation', drift_only,
+            hint="Fit the SDE with MCMC(sampler='pmmh'). ")
         if parameters is None:
             theta = np.asarray(self._current_theta(), float)
         else:
@@ -254,7 +283,7 @@ class InferenceMixin:
     def fit_advi(self, steps=800, learning_rate=0.05, n_mc=8,
                  rank="full", draws=1000, use_priors=True,
                  static_parameters=(), resample=False, print_report=True,
-                 **solver_kw) -> pd.DataFrame:
+                 drift_only=False, **solver_kw) -> pd.DataFrame:
         """Variational (ADVI) posterior: fit a Gaussian to the
         log-parameter posterior by reparameterized ELBO ascent through
         the differentiable solve, then return ``draws`` posterior draws
@@ -288,6 +317,9 @@ class InferenceMixin:
         only inference engine is random-walk MH
         (``Statistics/Samplers.py:53-174``).
         """
+        self._require_deterministic(
+            'fit_advi', drift_only,
+            hint="Fit the SDE with MCMC(sampler='pmmh'). ")
         from .samplers import advi as _advi
         if rank not in ("full", "diag"):
             raise ValueError(f"rank must be 'full' or 'diag', got {rank!r}")
@@ -366,7 +398,8 @@ class InferenceMixin:
     def profile_likelihood(self, parameter_name, p_range=None, points=21,
                            starts=8, steps=400, learning_rate=0.05,
                            confidence=0.95, use_priors=False,
-                           print_report=True, **solver_kw):
+                           print_report=True, drift_only=False,
+                           **solver_kw):
         """Profile-likelihood identifiability analysis for one parameter
         (Raue et al. 2009): fix ``parameter_name`` at each grid value, and
         re-optimize every other parameter by the vmapped multi-start Adam
@@ -388,6 +421,10 @@ class InferenceMixin:
         re-optimizing the rest, which conflates sloppiness with
         sensitivity.
         """
+        self._require_deterministic(
+            'profile_likelihood', drift_only,
+            hint="Profile the SDE posterior from MCMC(sampler='pmmh') "
+                 "draws instead. ")
         from scipy.stats import chi2 as _chi2
 
         from .samplers import map_fit
@@ -502,7 +539,7 @@ class InferenceMixin:
 
     def model_evidence(self, particles=1024, n_moves=5, ess_target=0.5,
                        static_parameters=(), print_report=True,
-                       **solver_kw):
+                       drift_only=False, **solver_kw):
         """Log model evidence (marginal likelihood) + posterior particles
         via tempered Sequential Monte Carlo (samplers/smc.py).
 
@@ -524,6 +561,10 @@ class InferenceMixin:
         Every non-static parameter must carry a prior distribution —
         evidence is undefined without one.
         """
+        self._require_deterministic(
+            'model_evidence', drift_only,
+            hint="SMC evidence over a particle-filter likelihood (SMC^2) "
+                 "is not implemented. ")
         from .samplers.smc import smc_sample
 
         static_parameters = list(static_parameters)
@@ -842,7 +883,7 @@ class InferenceMixin:
 
     def sbc(self, reps=128, iterations_per_chain=2000, thin=10, bins=16,
             rwalk_std=0.05, burnin=None, static_parameters=(),
-            print_report=True, **solver_kw) -> dict:
+            print_report=True, drift_only=False, **solver_kw) -> dict:
         """Simulation-based calibration of the WHOLE inference pipeline
         (Talts et al. 2018): for each of ``reps`` replications, draw true
         parameters from the priors, simulate data with this framework's
@@ -860,6 +901,10 @@ class InferenceMixin:
         The reference ships zero tests of its inference loop (SURVEY §4);
         this is the statistical test a user runs before trusting a fit.
         """
+        self._require_deterministic(
+            'sbc', drift_only,
+            hint="Calibration of the stochastic pipeline would need "
+                 "per-replication PMMH (data-dependent filters). ")
         from .utils.sbc import rank_uniformity_pvalue, sbc_ranks
 
         offsets = self._spec.theta_offsets
@@ -939,6 +984,13 @@ class InferenceMixin:
         ``lik * prior``. No reference counterpart."""
         from .utils.sensitivity import power_scale_sensitivity as _ps
 
+        if self._spec.diffusion is not None:
+            warnings.warn(
+                "power_scale_sensitivity on a PMMH posterior reweights "
+                "by the particle filter's NOISY log-likelihood estimate "
+                "(the chi column): the power-scaled shifts are "
+                "approximate — treat flags near the threshold with "
+                "caution.")
         jdists = tuple(self.parameters[p].jdist
                        if self.parameters[p] is not None else None
                        for p in self._pnames)
@@ -1011,7 +1063,8 @@ class InferenceMixin:
         return df
 
     def sobol_sensitivity(self, samples=512, target="chi", n_boot=200,
-                          print_report=True, **solver_kw) -> pd.DataFrame:
+                          print_report=True, drift_only=False,
+                          **solver_kw) -> pd.DataFrame:
         """Variance-based global sensitivity over the priors: first-order
         (S1) and total-order (ST) Sobol indices per parameter, with
         bootstrap standard errors (utils/sensitivity.py).
@@ -1027,6 +1080,9 @@ class InferenceMixin:
         ``gradient()`` sweep (``Framework.py:1063-1127``); ST - S1 > 0
         here quantifies the interactions such sweeps cannot see.
         """
+        self._require_deterministic(
+            'sobol_sensitivity', drift_only,
+            hint="Sensitivity targets are drift statistics. ")
         from .utils import sensitivity as _sens
 
         # one Sobol dimension per FLAT theta slot with a prior: scalars
@@ -1097,7 +1153,7 @@ class InferenceMixin:
         return out
 
     def local_sensitivity(self, parameters=None, log_scale=True,
-                          **solver_kw):
+                          drift_only=False, **solver_kw):
         """Time-resolved local sensitivities d state / d (log) parameter
         along the current trajectory, by forward-mode AD through the
         solve: ``{state_name: DataFrame(index=times, columns=labels)}``.
@@ -1106,6 +1162,9 @@ class InferenceMixin:
         reference's non-zero-entry convention, ``Samplers.py:31-32``).
         (utils/sensitivity.py.)
         """
+        self._require_deterministic(
+            'local_sensitivity', drift_only,
+            hint="Sensitivities are along the drift trajectory. ")
         from .utils import sensitivity as _sens
 
         if parameters is None:

@@ -79,6 +79,17 @@ class JointFit:
         self.hierarchical = list(hierarchical)
         self.random_seed = random_seed
         names = list(self.frameworks)
+        stoch = [nm for nm, fw in self.frameworks.items()
+                 if fw._spec.diffusion is not None]
+        if stoch:
+            raise NotImplementedError(
+                f"experiment(s) {stoch} carry process noise (diffusion=) "
+                "— JointFit's joint likelihood is the deterministic "
+                "chi sum and would silently fit the drift skeleton. "
+                "Joint PMMH over tied parameters is not implemented; "
+                "fit stochastic experiments individually with "
+                "MCMC(sampler='pmmh'), or rebuild them without "
+                "diffusion= to jointly fit the drift.")
         overlap = set(self.shared) & set(self.hierarchical)
         if overlap:
             raise ValueError(f"parameter(s) {sorted(overlap)} cannot be "
