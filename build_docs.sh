@@ -10,7 +10,8 @@ MODULES="odelib_tpu odelib_tpu.api odelib_tpu.distributions \
  odelib_tpu.stats odelib_tpu.model odelib_tpu.data \
  odelib_tpu.native odelib_tpu.ops.integrate \
  odelib_tpu.ops.runge_kutta odelib_tpu.ops.pallas_mh \
- odelib_tpu.ops.pallas_joint odelib_tpu.ops.schedule \
+ odelib_tpu.ops.pallas_joint odelib_tpu.ops.pallas_pt \
+ odelib_tpu.ops.schedule \
  odelib_tpu.ops.sde odelib_tpu.samplers.pf \
  odelib_tpu.samplers.lhs odelib_tpu.samplers.mh \
  odelib_tpu.samplers.hmc odelib_tpu.samplers.pt \

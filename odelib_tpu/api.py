@@ -1216,7 +1216,8 @@ class ModelFramework(InferenceMixin):
              backend="auto", burnin=None, sampler="mh", n_leapfrog=4,
              step_size=0.02, target_accept=None, mass_adapt=True,
              path_adapt=False, max_leapfrog=256, dense_mass=False,
-             temperatures=(1.0, 2.0, 4.0, 8.0), swap_every=1,
+             temperatures=(1.0, 2.0, 4.0, 8.0), swap_every=1, n_temps=4,
+             pilot_iters=150, ladder_rounds=6,
              stretch_a=2.0, adapt_start=50,
              n_particles=128, sde_method="euler", sde_substeps=4,
              adapt_proposal=None, adapt_rate=0.05,
@@ -1305,7 +1306,12 @@ class ModelFramework(InferenceMixin):
           multimodal posteriors — each chain carries a ``temperatures``
           ladder of replicas with parity-alternating swap moves every
           ``swap_every`` iterations; returned samples are the T=1 replica
-          (samplers/pt.py). Cold-swap acceptance is logged. On TPU
+          (samplers/pt.py). Mean per-PROPOSAL swap acceptance is logged.
+          ``temperatures='auto'`` tunes a geometric ladder of ``n_temps``
+          rungs toward ~0.3 swap acceptance with short pilot runs before
+          the production run (samplers/pt.py:tune_ladder) instead of
+          hand-guessing the ladder. ``checkpoint_every`` persists the
+          FULL ladder state on both backends with bitwise resume. On TPU
           (under the usual fused-path eligibility) the whole ladder runs
           as its own fully-fused Pallas kernel — the K rungs are
           unrolled VMEM scratch planes, so swap moves are elementwise
@@ -1543,16 +1549,46 @@ class ModelFramework(InferenceMixin):
 
         dtype = jnp.result_type(float)
 
+        if sampler == "pt" and isinstance(temperatures, str):
+            # temperatures='auto': adapt a geometric ladder toward ~0.3
+            # per-proposal swap acceptance with short XLA pilots before
+            # the production run (the fused kernel bakes the ladder in
+            # as static constants, so adaptation is a pre-phase —
+            # samplers/pt.py:tune_ladder)
+            if temperatures != "auto":
+                raise ValueError("temperatures must be a ladder tuple or "
+                                 "'auto'")
+            from .samplers.pt import tune_ladder
+            pilot_n = min(n_chains, 32)
+            pkeys = jax.random.split(
+                jax.random.PRNGKey(int(self.random_seed) ^ 0x7A5), pilot_n)
+            temperatures, tuned_acc = tune_ladder(
+                self._spec, self._obsdata_fit,
+                jnp.asarray(self._times_fit, dtype),
+                jnp.asarray(self.get_inits(), dtype),
+                jnp.asarray(np.asarray(theta0)[:pilot_n], dtype), pkeys,
+                n_temps=int(n_temps), target_swap=0.3,
+                pilot_iters=int(pilot_iters),
+                max_rounds=int(ladder_rounds),
+                walk_mask=jnp.asarray(mask, dtype), rwalk_std=rwalk_std,
+                prior_logpdf=prior_logpdf, use_priors=use_priors,
+                swap_every=swap_every, method=method, rtol=rtol,
+                atol=atol, max_steps=max_steps, substeps=substeps)
+            from .utils.profiling import get_logger
+            get_logger().info(
+                "temperatures='auto': tuned geometric ladder %s "
+                "(pilot mean swap acceptance %.3f)",
+                [round(t, 3) for t in temperatures], tuned_acc)
+
         if timer is not None:
             timer.times["survey+seeding"] = time.perf_counter() - _t0
             _t0 = time.perf_counter()
 
-        if checkpoint_every is not None and (
-                backend not in ("pallas", "xla", "hmc", "pmmh")
-                or (backend == "pallas" and sampler == "pt")):
+        if checkpoint_every is not None and backend not in (
+                "pallas", "xla", "hmc", "pmmh", "pt"):
             warnings.warn("checkpoint_every is supported on the fused "
-                          "(pallas) MH/ensemble kernels and the XLA "
-                          f"MH/HMC/PMMH samplers; running sampler="
+                          "(pallas) MH/ensemble/PT kernels and the XLA "
+                          f"MH/HMC/PMMH/PT samplers; running sampler="
                           f"{sampler!r} without periodic checkpoints")
             checkpoint_every = None
         if resume_from is not None and checkpoint_every is None:

@@ -150,10 +150,13 @@ def run_pallas_pt(fw, theta0, cfg: RunConfig):
         tile_chains=(None if cfg.pallas_tile_chains is None
                      else int(cfg.pallas_tile_chains)),
         interpret=bool(cfg.pallas_interpret),
-        mesh=_pallas_mesh(cfg))
+        mesh=_pallas_mesh(cfg),
+        checkpoint_every=cfg.checkpoint_every,
+        checkpoint_path=_progress_path(cfg),
+        resume_from=cfg.resume_from, config_token=cfg.config_token)
     get_logger().info(
-        "parallel tempering (fused): mean cold-swap acceptance %.3f "
-        "over %d temperatures",
+        "parallel tempering (fused): mean cold-pair swap acceptance "
+        "%.3f per proposal over %d temperatures",
         float(np.mean(np.asarray(swap_rate))), len(cfg.temperatures))
     return out
 
@@ -311,16 +314,26 @@ def run_xla_pt(fw, theta0, cfg: RunConfig, n_chains: int):
     from .samplers import parallel_tempering
     from .utils.profiling import get_logger
     margs, *_ = _xla_setup(fw, theta0, cfg, n_chains)
-    out, swap_rate = parallel_tempering(
-        *_common_args(fw, cfg, margs),
-        temperatures=tuple(cfg.temperatures), swap_every=cfg.swap_every,
-        nits=cfg.nits, burnin=cfg.burnin,
-        walk_mask=jnp.asarray(cfg.mask, cfg.dtype),
-        rwalk_std=cfg.rwalk_std, prior_logpdf=cfg.prior_logpdf,
-        use_priors=cfg.use_priors, method=cfg.method, rtol=cfg.rtol,
-        atol=cfg.atol, max_steps=cfg.max_steps, substeps=cfg.substeps)
+    kw = dict(temperatures=tuple(cfg.temperatures),
+              swap_every=cfg.swap_every, nits=cfg.nits, burnin=cfg.burnin,
+              walk_mask=jnp.asarray(cfg.mask, cfg.dtype),
+              rwalk_std=cfg.rwalk_std, prior_logpdf=cfg.prior_logpdf,
+              use_priors=cfg.use_priors, method=cfg.method, rtol=cfg.rtol,
+              atol=cfg.atol, max_steps=cfg.max_steps,
+              substeps=cfg.substeps)
+    if cfg.checkpoint_every is not None:
+        from .samplers.pt import parallel_tempering_checkpointed
+        out, swap_rate = parallel_tempering_checkpointed(
+            *_common_args(fw, cfg, margs),
+            checkpoint_every=int(cfg.checkpoint_every),
+            checkpoint_path=_progress_path(cfg),
+            resume_from=cfg.resume_from, config_token=cfg.config_token,
+            **kw)
+    else:
+        out, swap_rate = parallel_tempering(
+            *_common_args(fw, cfg, margs), **kw)
     get_logger().info(
-        "parallel tempering: mean cold-swap acceptance %.3f "
+        "parallel tempering: mean swap acceptance %.3f per proposal "
         "over %d temperatures",
         float(jnp.mean(swap_rate)), len(cfg.temperatures))
     return out

@@ -90,6 +90,11 @@ def test_all_samplers_agree_on_gaussian_posterior(problem):
     outs["fused_ensemble"] = ensemble_fused(
         spec, obs_host, times, y0, np.tile(th0, (8, 1)), seed=14,
         nits=600, burnin=300, substeps=1, tile_chains=256, interpret=True)
+    from odelib_tpu.ops.pallas_pt import parallel_tempering_fused
+    outs["fused_pt"], _ = parallel_tempering_fused(
+        spec, obs_host, times, y0, th0, seed=15, nits=1200, burnin=600,
+        temperatures=(1.0, 2.0, 4.0), substeps=1, tile_chains=128,
+        interpret=True)
 
     for label, out in outs.items():
         z = np.log(np.asarray(out.theta)).ravel()
