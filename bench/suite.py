@@ -1145,7 +1145,20 @@ def config14_pmmh(base):
         z = (jnp.log(th[0]) - PRI_MU) / PRI_SD
         return -0.5 * z * z - jnp.log(th[0])   # + const
 
-    def run():
+    from odelib_tpu import distributions as _D
+    from odelib_tpu.ops.pallas_pf import pmmh_fused
+    pri = (_D.LogNormal(s=PRI_SD, loc=0.0, scale=float(np.exp(PRI_MU))),)
+
+    def run_fused():
+        out = pmmh_fused(spec, obs, times, np.array([2.0], np.float32),
+                         th0, seed=3, nits=NITS, burnin=NITS // 2,
+                         rwalk_std=0.4, n_particles=K, substeps=SUB,
+                         priors=pri, adapt_proposal=True,
+                         target_accept=0.3, adapt_rate=0.15)
+        _sync(out.chi[-1:, -1:])
+        return out
+
+    def run_xla():
         out = pmmh(spec, obs, times, np.array([2.0], np.float32),
                    jnp.asarray(th0), keys, nits=NITS, burnin=NITS // 2,
                    rwalk_std=0.4, n_particles=K, substeps=SUB,
@@ -1155,15 +1168,18 @@ def config14_pmmh(base):
         _sync(out.chi[-1:, -1:])
         return out
 
-    out = run()  # compile + correctness probe
+    out = run_fused()  # compile + correctness probe
     # frozen-phase acceptance (records carry the running ratio since
     # iteration 1; difference out the burn-in segment)
     ar = np.asarray(out.acceptance_ratio)
     it = np.asarray(out.iteration, float)
     acc = float(np.mean((ar[:, -1] * it[-1] - ar[:, 0] * it[0])
                         / (it[-1] - it[0])))
-    t_dev = _timed(run, reps=3)
+    t_dev = _timed(run_fused, reps=3)
     rate = C * (NITS - 1) / t_dev
+    run_xla()
+    t_xla = _timed(run_xla, reps=3)
+    xla_rate = C * (NITS - 1) / t_xla
 
     # ---- inline numpy denominator: same filter, one serial chain ----
     dt_sub = np.diff(times)[0] / SUB
@@ -1210,9 +1226,11 @@ def config14_pmmh(base):
             "metric": "particle-marginal MH (GBM state-space SDE): 10240 "
                       "chains x 128-particle bootstrap filter per "
                       "proposal, 200 iterations, prior-aware, "
-                      "adapted proposal",
+                      "adapted proposal, fused Pallas kernel",
             "value": round(rate, 0), "unit": "chain-steps/sec",
             "n_particles": K, "mean_acceptance": round(acc, 3),
+            "xla_chain_steps_per_sec": round(xla_rate, 0),
+            "fused_over_xla": round(rate / xla_rate, 2),
             "numpy_serial_chain_steps_per_sec": round(np_rate, 2),
             "vs_baseline": round(rate / np_rate, 1),
             "note": "denominator = same algorithm in vectorized numpy, "

@@ -1394,7 +1394,14 @@ class ModelFramework(InferenceMixin):
                 "for the exact stochastic posterior.")
         _n_req = chain_inits if isinstance(chain_inits, int) \
             else len(chain_inits)
-        if sampler in ("hmc", "amh", "pmmh"):
+        pmmh_mode = "auto"
+        if sampler == "pmmh":
+            # the pmmh arm owns its own fused-vs-XLA selection
+            # (dispatch._pmmh_fused_eligible); 'pallas'/'xla' force it
+            if backend in ("pallas", "xla"):
+                pmmh_mode = backend
+            backend = "pmmh"
+        elif sampler in ("hmc", "amh"):
             if backend == "pallas":
                 raise ValueError(f"sampler={sampler!r} runs on the XLA "
                                  "backend; drop backend='pallas'")
@@ -1633,7 +1640,7 @@ class ModelFramework(InferenceMixin):
             adapt_start=adapt_start, n_particles=n_particles,
             sde_method=sde_method, sde_substeps=sde_substeps,
             adapt_proposal=bool(adapt_proposal),
-            adapt_rate=float(adapt_rate))
+            adapt_rate=float(adapt_rate), pmmh_mode=pmmh_mode)
         out = _dispatch.dispatch(self, backend, sampler, theta0,
                                  n_chains, cfg)
 

@@ -72,6 +72,7 @@ class RunConfig:
     sde_substeps: int = 4
     adapt_proposal: bool = False   # PMMH burn-in proposal-scale adaptation
     adapt_rate: float = 0.05
+    pmmh_mode: str = "auto"        # 'auto' | 'pallas' | 'xla'
 
 
 def fused_stepper(method: str) -> str:
@@ -228,10 +229,63 @@ def run_hmc(fw, theta0, cfg: RunConfig, n_chains: int):
     return hamiltonian_mc(*hargs, **hkw)
 
 
+def _pmmh_fused_eligible(fw, cfg: RunConfig) -> Tuple[bool, str]:
+    """Static eligibility of the fused PMMH kernel for this run."""
+    import jax as _jax
+
+    from .ops.pallas_mh import mosaic_supported
+    from .ops.pallas_pf import pmmh_supported
+    if cfg.checkpoint_every is not None or cfg.resume_from is not None:
+        return False, "checkpointing runs on the XLA PMMH sampler"
+    if not pmmh_supported(fw._spec, cfg.n_particles, cfg.sde_method):
+        return False, ("fused PMMH needs euler, n_particles a multiple "
+                       "of 8 in [8, 128], and a tile-traceable "
+                       "drift/diffusion")
+    if cfg.use_priors and cfg.pallas_priors is None:
+        return False, "priors are not a kernel-supported family"
+    if not isinstance(cfg.sde_substeps, (int, np.integer)):
+        return False, "sde_substeps must be an int for the fused kernel"
+    if not (cfg.pallas_interpret
+            or (_jax.default_backend() not in ("cpu", "gpu", "cuda",
+                                               "rocm")
+                and mosaic_supported())):
+        return False, "no Mosaic-capable device"
+    return True, ""
+
+
 def run_pmmh(fw, theta0, cfg: RunConfig, n_chains: int):
-    """Particle-marginal MH over the stochastic model (samplers/pf.py)."""
+    """Particle-marginal MH over the stochastic model: the fused Pallas
+    kernel (ops/pallas_pf.py) when eligible, else the XLA scan sampler
+    (samplers/pf.py). ``cfg.pmmh_mode`` forces a backend."""
     from .samplers.pf import pmmh as _pmmh
     from .samplers.pf import pmmh_checkpointed as _pmmh_ckpt
+
+    ok, why = _pmmh_fused_eligible(fw, cfg)
+    if cfg.pmmh_mode == "pallas" and not ok:
+        raise ValueError(f"backend='pallas' for sampler='pmmh' is not "
+                         f"available here: {why}")
+    if cfg.pmmh_mode != "xla" and ok:
+        from .ops.pallas_pf import pmmh_fused
+        out = pmmh_fused(
+            fw._spec, fw._obsdata_fit_host,
+            np.asarray(fw._times_fit, float),
+            np.asarray(fw.get_inits(), float),
+            np.asarray(theta0, np.float32),
+            seed=int(fw.random_seed) + cfg.seed_offset,
+            nits=cfg.nits, burnin=cfg.burnin, walk_mask=cfg.mask,
+            rwalk_std=cfg.rwalk_std, n_particles=int(cfg.n_particles),
+            substeps=int(cfg.sde_substeps),
+            priors=cfg.pallas_priors if cfg.use_priors else None,
+            adapt_proposal=bool(cfg.adapt_proposal),
+            target_accept=float(cfg.target_accept),
+            adapt_rate=float(cfg.adapt_rate),
+            interpret=bool(cfg.pallas_interpret), mesh=_pallas_mesh(cfg))
+        return _mh.MHOutput(
+            theta=out.theta, chi=out.chi,
+            rsquared=jnp.full_like(out.chi, jnp.nan),
+            aic=out.aic, acceptance_ratio=out.acceptance_ratio,
+            iteration=out.iteration)
+
     margs, *_ = _xla_setup(fw, theta0, cfg, n_chains)
     # obs blocks are compile-time constants (host ObsData); seeding used
     # the drift-only deterministic survey — a valid pre-screen whose chi

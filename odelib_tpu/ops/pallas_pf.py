@@ -1,0 +1,534 @@
+"""Fused Pallas particle-marginal MH kernel — the whole PMMH loop
+(proposal, K-particle bootstrap filter, pseudo-marginal accept) in ONE
+TPU dispatch.
+
+Layout is the transpose of the fused MH kernel's: PARTICLES live on the
+sublane axis and CHAINS on the lane axis, so each filter plane is a
+(K, 128) VREG block per state. That orientation makes every reduction
+the hardware wants to do cheap:
+
+* per-chain weight normalization (max / logsumexp over particles) is a
+  sublane reduction ending in a natural (1, 128) per-chain lane row;
+* the systematic-resampling prefix sum is a log2(K) masked sublane-roll
+  ladder;
+* selection needs NO gather and NO transpose: output slot ``i`` copies
+  particle ``j`` iff ``cum_{j-1} <= pos_i < cum_j``, so each of the K
+  output rows is one masked sublane reduction of the particle plane —
+  the same one-hot contraction the XLA path does on the MXU
+  (samplers/pf.py), unrolled here as K VPU reductions with everything
+  resident in registers/VMEM.
+
+Chain state that persists across iterations is only (log-theta, chi,
+accept count, log proposal scale) — particle planes are rebuilt from the
+initial condition for every proposal, so the filter never touches HBM:
+the XLA path's per-substep (C, K, S) array traffic and threefry calls
+(the measured bottlenecks, BASELINE.md config 14) disappear entirely.
+RNG is the counter-based per-lane SplitMix stream of ops/pallas_mh.py
+keyed on the GLOBAL tile index (sharding-invariant), with a per-kernel
+slot stride sized to the filter's draw count. The step schedule,
+observation constants and dose plan are the SAME host-side `_build_plan`
+the fused MH kernel compiles against.
+
+Semantics match :func:`odelib_tpu.samplers.pf.pmmh` (likelihood-only or
+prior-aware acceptance, burn-in Robbins-Monro proposal-scale adaptation
+frozen for the recording phase, all-particles-dead -> -inf estimate ->
+rejection) with a different — but equally counter-based — RNG stream, so
+fused and XLA runs agree statistically, not bitwise. Reference: has no
+stochastic models at all (/root/reference/ODElib/Framework.py:622-683
+integrates one deterministic trajectory per likelihood).
+"""
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..model import ModelSpec, ObsData
+from .pallas_mh import (_LANES, _Rng, _assemble_params, _build_plan,
+                        _kernel_logpdf, _log_ndtr_kernel,
+                        _normalize_substeps, _static_prior,
+                        kernel_priors_supported)
+
+_TC = _LANES          # chains per tile = lane count
+
+
+class _RngS(_Rng):
+    """_Rng with a configurable per-iteration slot stride: the filter
+    draws two slots per (substep, state) plane, which overflows the MH
+    kernel's fixed 1024-slot budget on fine grids."""
+
+    def __init__(self, shape, seed, program_id, tile, stride):
+        super().__init__(shape, seed, program_id, tile)
+        self._stride = int(stride)
+
+    def bits(self, it):
+        if self._slot >= self._stride:
+            raise ValueError("PF kernel RNG slot stride exhausted (bug: "
+                             "stride sized too small)")
+        ctr = (it.astype(jnp.uint32) * jnp.uint32(self._stride)
+               + jnp.uint32(self._slot))
+        self._slot += 1
+        from .pallas_mh import _mix
+        return _mix(self._lane ^ _mix(ctr))
+
+    def normal_pair(self, it):
+        """BOTH Box-Muller halves for the price of one transcendental
+        set (cos AND sin of the same angle) — the filter consumes
+        hundreds of normal planes per iteration, so the discarded-sin
+        convention of _Rng.normal would waste ~1/3 of the VPU's
+        transcendental budget."""
+        u1 = self.uniform(it)
+        u2 = self.uniform(it)
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        a = (2.0 * jnp.pi) * u2
+        return r * jnp.cos(a), r * jnp.sin(a)
+
+
+@lru_cache(maxsize=256)
+def sde_supports_tiles(spec: ModelSpec) -> bool:
+    """True when BOTH the drift and the diffusion trace elementwise in
+    the kernel's (K, 128) tiled layout (mirrors rhs_supports_tiles)."""
+    if spec.diffusion is None:
+        return False
+    try:
+        shape = (8, _TC)
+        theta_list = [jnp.zeros((1, _TC), jnp.float32)
+                      for _ in range(spec.theta_size)]
+
+        def f(y, *tl):
+            ps = _assemble_params(spec, list(tl))
+            a = jnp.stack(list(spec.rhs(0.0, y, ps)))
+            b = jnp.stack(list(spec.diffusion(0.0, y, ps)))
+            return a + b
+
+        y = jnp.zeros((len(spec.snames),) + shape, jnp.float32)
+        out = jax.eval_shape(f, y, *theta_list)
+        return tuple(out.shape) == (len(spec.snames),) + shape
+    except Exception:
+        return False
+
+
+def _plan_obs_grid_indices(plan):
+    """Grid indices carrying at least one observation, ascending."""
+    return [gi for gi in range(plan.n_grid) if plan.obs_after[gi]]
+
+
+def _count_slots(plan, S, P_walked, n_obs):
+    """Per-iteration RNG slot consumption (trace-time bookkeeping)."""
+    return (2 * P_walked + 1            # proposal normals + accept u
+            + 2 * S * len(plan.step_ts)  # filter increments (Box-Muller)
+            + n_obs)                     # one resample uniform per block
+
+
+@lru_cache(maxsize=64)
+def _cached_pf_grid(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
+                    burnin, walk, rwalk_std, num, interpret, priors,
+                    use_adapt, target_accept, adapt_rate):
+    """Build (once per static config) the whole-run PMMH pallas_call."""
+    S = len(spec.snames)
+    row_shape = (1, _TC)
+    plane = (K, _TC)
+    obs_model, obs_param = spec.obs_model, spec.obs_param
+    init_pidx = spec.init_pidx
+    y0_base = tuple(float(v) for v in y0_key)
+    obs_gis = _plan_obs_grid_indices(plan)
+    last_obs_gi = obs_gis[-1] if obs_gis else -1
+    LOGK = float(np.log(K))
+    stride = 1 << int(math.ceil(math.log2(max(
+        2, _count_slots(plan, S, sum(1 for w in walk if w != 0.0),
+                        len(obs_gis))))))
+    if float(nits) * stride >= 2.0 ** 32:
+        raise ValueError("nits * RNG stride exceeds the 32-bit counter — "
+                         "use the XLA PMMH sampler for this run length")
+
+    lps = [None] * P if priors is None else [_kernel_logpdf(d)
+                                             for d in priors]
+    use_priors = any(f is not None for f in lps)
+
+    def logprior(theta_rows):
+        tot = jnp.zeros(row_shape, jnp.float32)
+        for f, th in zip(lps, theta_rows):
+            if f is not None:
+                tot = tot + f(th)
+        return tot
+
+    def weigh(y, gi, chi_b):
+        """Accumulate the block's per-particle chi: the MH scorer's
+        contrib formulas (ops/pallas_mh.py:_make_scorer) on (K, TC)
+        particle planes."""
+        for mem, lab, lsig, ab, cen in plan.obs_after[gi]:
+            pred = sum(y[m] for m in mem) if len(mem) > 1 else y[mem[0]]
+            if obs_model == "student_t":
+                t = (lab - jnp.log(pred)) / lsig
+                chi_b = chi_b + (0.5 * (obs_param + 1.0)
+                                 * jnp.log1p(t * t / obs_param))
+            elif obs_model == "poisson":
+                term = pred - (ab * jnp.log(pred) if ab > 0 else 0.0)
+                chi_b = chi_b + jnp.where(pred >= 0, term, jnp.nan)
+            elif obs_model == "negbinom":
+                r = obs_param
+                term = r * jnp.log1p(pred / r)
+                if ab > 0:
+                    term = term + ab * jnp.log1p(r / pred)
+                chi_b = chi_b + jnp.where(pred >= 0, term, jnp.nan)
+            elif cen:
+                z = (lab - jnp.log(pred)) / lsig
+                if cen == 2:
+                    z = -z
+                chi_b = chi_b - _log_ndtr_kernel(z)
+            else:
+                c = jnp.log(pred)
+                chi_b = chi_b + (lab - c) ** 2 / (2.0 * lsig * lsig)
+        return chi_b
+
+    def apply_dose(y, gi):
+        if not plan.dose_after or not plan.dose_after[gi]:
+            return y
+        adds = [0.0] * S
+        for s_idx, amt in plan.dose_after[gi]:
+            adds[s_idx] += amt
+        return [y[s] + adds[s] if adds[s] != 0.0 else y[s]
+                for s in range(S)]
+
+    def resample_block(y, gi, loglik, rng, it):
+        """Weight + normalize + (systematic) resample one observation
+        block. Returns (new particle planes, updated (1,TC) loglik)."""
+        chi_b = weigh(y, gi, jnp.zeros(plane, jnp.float32))
+        # dead particle -> weight 0 (NaN/inf never propagates: the
+        # comparisons below are False for NaN)
+        finite = (chi_b == chi_b) & (chi_b < 1e30)
+        logw = jnp.where(finite, -chi_b, -jnp.inf)
+        m = jnp.max(logw, axis=0, keepdims=True)              # (1, TC)
+        lw = logw - m
+        w = jnp.where(lw > -60.0, jnp.exp(lw), 0.0)           # NaN -> 0
+        sumw = jnp.sum(w, axis=0, keepdims=True)
+        loglik = loglik + m + jnp.log(sumw) - LOGK
+        if gi == last_obs_gi:
+            return y, loglik       # nothing downstream needs the cloud
+        # inclusive prefix sum over particles: log2(K) masked sublane
+        # rolls (pltpu.roll is circular; rows < d take 0)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, plane, 0)
+        cum = w
+        d = 1
+        while d < K:
+            rolled = pltpu.roll(cum, d, 0)
+            cum = cum + jnp.where(row_iota >= d, rolled, 0.0)
+            d *= 2
+        u = rng.uniform(it)[0:1, :]
+        total = cum[K - 1:K, :]
+        pos = ((row_iota.astype(jnp.float32) + u) * (1.0 / K)) * total
+        cumprev = cum - w
+        # selection, 8 output rows per pass: sel (8, K, TC) contracted
+        # over the source-particle axis -> one (8, TC) f32 tile each
+        rows = [[] for _ in range(S)]
+        for c0 in range(0, K, 8):
+            pos_c = pos[c0:c0 + 8, :]                         # (8, TC)
+            sel = ((pos_c[:, None, :] >= cumprev[None, :, :])
+                   & (pos_c[:, None, :] < cum[None, :, :]))   # (8, K, TC)
+            for s in range(S):
+                rows[s].append(jnp.sum(
+                    jnp.where(sel, y[s][None, :, :], 0.0), axis=1))
+        return [jnp.concatenate(rows[s], axis=0)
+                for s in range(S)], loglik
+
+    def particle_filter(theta_rows, rng, it):
+        """chi estimate (1, TC) for one proposal across the tile."""
+        ps = _assemble_params(spec, theta_rows)
+        y = [jnp.broadcast_to(
+                theta_rows[init_pidx[s]] if init_pidx[s] >= 0
+                else jnp.full(row_shape, y0_base[s], jnp.float32),
+                plane)
+             for s in range(S)]
+        loglik = jnp.zeros(row_shape, jnp.float32)
+        stash = []
+
+        def xi(it_):
+            # consume Box-Muller pairs fully (trace-time stash)
+            if stash:
+                return stash.pop()
+            a, b = rng.normal_pair(it_)
+            stash.append(b)
+            return a
+
+        if plan.obs_after[0]:
+            y, loglik = resample_block(y, 0, loglik, rng, it)
+        y = apply_dose(y, 0)
+        for t, h, gi in plan.step_ts:
+            sqrt_h = float(np.sqrt(h))
+            ys = jnp.stack(y)
+            f = list(spec.rhs(t, ys, ps))
+            g = list(spec.diffusion(t, ys, ps))
+            y = [y[s] + h * f[s] + sqrt_h * g[s] * xi(it)
+                 for s in range(S)]
+            if gi >= 0:
+                if plan.obs_after[gi]:
+                    y, loglik = resample_block(y, gi, loglik, rng, it)
+                y = apply_dose(y, gi)
+        return -loglik
+
+    def kernel(seed_ref, off_ref, theta_in, theta_out, chi_out, ar_out,
+               lt_s, chi_s, acc_s, lsc_s):
+        # both instances constructed at kernel top level (program_id is
+        # not available inside lax control-flow bodies in interpret
+        # mode); draw SITES get static slot ids at trace time, so every
+        # fori iteration reuses the same slots with a different `it` —
+        # the _Rng discipline of ops/pallas_mh.py. The init instance
+        # only ever draws at it=0; the loop instance at it>=1.
+        # Per-chain values are (1, TC) rows internally; every block-I/O
+        # boundary pads the sublane dim to 8 (Mosaic's f32 min tile) by
+        # row-replication on store / row-0 reads on load.
+        pid = pl.program_id(0) + off_ref[0]
+        rng0 = _RngS(plane, seed_ref[0], pid, _TC, stride)
+        rng = _RngS(plane, seed_ref[0], pid, _TC, stride)
+        j = pl.program_id(1)
+        rep = lambda v: jnp.broadcast_to(v, (8, _TC))
+
+        @pl.when(j == 0)
+        def _init():
+            theta = [theta_in[0, p, 0:1, :] for p in range(P)]
+            it0_ = jnp.asarray(0, jnp.int32)
+            chi0 = particle_filter(theta, rng0, it0_)
+            for p in range(P):
+                lt_s[p] = rep(jnp.log(theta[p]))
+            chi_s[...] = rep(chi0)
+            acc_s[...] = jnp.zeros((8, _TC), jnp.float32)
+            lsc_s[...] = jnp.zeros((8, _TC), jnp.float32)
+
+        it0 = 1 + j * L_SEG
+
+        def body(i, carry):
+            lt, chi, acc, lsc = carry
+            it = it0 + i
+            active = it < nits
+            std = rwalk_std * jnp.exp(lsc)
+            prop = [lt[p] + (std * walk[p]) * rng.normal(it)[0:1, :]
+                    if walk[p] != 0.0 else lt[p]
+                    for p in range(P)]
+            theta_p = [jnp.exp(x) for x in prop]
+            u = rng.uniform(it)[0:1, :]
+            chi_new = particle_filter(theta_p, rng, it)
+            log_ratio = chi - chi_new
+            if use_priors:
+                log_ratio = log_ratio + (logprior(theta_p)
+                                         - logprior([jnp.exp(x)
+                                                     for x in lt]))
+            accept = (jnp.exp(log_ratio) > u) & active
+            lt = [jnp.where(accept, pn, lo) for pn, lo in zip(prop, lt)]
+            chi = jnp.where(accept, chi_new, chi)
+            acc = acc + accept.astype(jnp.float32)
+            if use_adapt:
+                lsc_new = lsc + adapt_rate * (
+                    accept.astype(jnp.float32) - target_accept)
+                lsc = jnp.where((it <= burnin) & active, lsc_new, lsc)
+            for p in range(P):
+                theta_out[0, i, p] = rep(jnp.exp(lt[p]))
+            chi_out[0, i, 0] = rep(chi)
+            ar_out[0, i, 0] = rep(acc / it.astype(jnp.float32))
+            return lt, chi, acc, lsc
+
+        carry0 = ([lt_s[p, 0:1, :] for p in range(P)], chi_s[0:1, :],
+                  acc_s[0:1, :], lsc_s[0:1, :])
+        lt, chi, acc, lsc = jax.lax.fori_loop(0, L_SEG, body, carry0)
+        for p in range(P):
+            lt_s[p] = rep(lt[p])
+        chi_s[...] = rep(chi)
+        acc_s[...] = rep(acc)
+        lsc_s[...] = rep(lsc)
+
+    n_tiles = C // _TC
+
+    padded_R = n_segs * L_SEG
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_tiles, padded_R, P, 8, _TC), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, padded_R, 1, 8, _TC), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, padded_R, 1, 8, _TC), jnp.float32),
+    ]
+
+    def spec_rec(k):
+        return pl.BlockSpec((1, L_SEG, k, 8, _TC),
+                            lambda i, j: (i, j, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_segs),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # global tile offset
+            pl.BlockSpec((1, P, 8, _TC), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),      # theta0
+        ],
+        out_specs=[spec_rec(P), spec_rec(1), spec_rec(1)],
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((P, 8, _TC), jnp.float32),       # log-theta
+            pltpu.VMEM((8, _TC), jnp.float32),          # chi
+            pltpu.VMEM((8, _TC), jnp.float32),          # accept count
+            pltpu.VMEM((8, _TC), jnp.float32),          # log prop scale
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.ARBITRARY, pltpu.ARBITRARY)),
+        interpret=interpret,
+    )
+
+
+@lru_cache(maxsize=64)
+def _cached_pf_run(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
+                   burnin, walk, rwalk_std, num, interpret, C0, mesh,
+                   priors, use_adapt, target_accept, adapt_rate):
+    """One jitted program: PF pallas kernel + record layout, optionally
+    shard_map'd over a 1-D chain mesh (same pattern as _cached_mh_run)."""
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    C_local = C // n_dev
+    inner = _cached_pf_grid(spec, plan, y0_key, P, K, C_local, L_SEG,
+                            n_segs, nits, burnin, walk, rwalk_std, num,
+                            interpret, priors, use_adapt, target_accept,
+                            adapt_rate)
+    padded_R = n_segs * L_SEG
+    lo, hi = burnin, nits - 1
+
+    def local_run(seed_arr, off_arr, theta_tiles):
+        # records: (n_tiles, padded_R, k, 8, TC) with identical sublane
+        # rows; keep row 0 and flatten (tile, lane) -> chain
+        th_r, chi_r, ar_r = inner(seed_arr, off_arr, theta_tiles)
+        th = th_r[:, :, :, 0, :]                 # (tiles, R, P, TC)
+        theta_s = jnp.transpose(th, (0, 3, 1, 2)).reshape(
+            C_local, padded_R, P)[:, lo:hi]
+        sq = lambda a: jnp.transpose(
+            a[:, :, 0, 0, :], (0, 2, 1)).reshape(
+                C_local, padded_R)[:, lo:hi]
+        return theta_s, sq(chi_r), sq(ar_r)
+
+    if mesh is None:
+        def run(seed_arr, theta_tiles):
+            outs = local_run(seed_arr, jnp.zeros((1,), jnp.int32),
+                             theta_tiles)
+            return tuple(o[:C0] for o in outs)
+    else:
+        from jax.sharding import PartitionSpec as PS
+        axis = mesh.axis_names[0]
+        tiles_local = C_local // _TC
+
+        def shard_body(seed_arr, theta_tiles):
+            off = (jax.lax.axis_index(axis) * tiles_local)[None].astype(
+                jnp.int32)
+            return local_run(seed_arr, off, theta_tiles)
+
+        smap = jax.shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(PS(), PS(axis, None, None, None)),
+            out_specs=tuple([PS(axis)] * 3), check_vma=False)
+
+        def run(seed_arr, theta_tiles):
+            return tuple(o[:C0] for o in smap(seed_arr, theta_tiles))
+
+    return jax.jit(run)
+
+
+def pmmh_supported(spec: ModelSpec, n_particles: int,
+                   sde_method: str) -> bool:
+    """Static eligibility of the fused kernel for this PMMH run."""
+    return (spec.diffusion is not None
+            and sde_method == "euler"
+            and 8 <= int(n_particles) <= 128
+            and int(n_particles) % 8 == 0
+            and sde_supports_tiles(spec))
+
+
+def pmmh_fused(spec: ModelSpec, obs: ObsData, times, y0_base, theta0,
+               seed: int, *, nits: int = 1000,
+               burnin: Optional[int] = None, walk_mask=None,
+               rwalk_std: float = 0.05, n_particles: int = 128,
+               substeps: int = 4, sde_method: str = "euler",
+               priors=None, adapt_proposal: bool = False,
+               target_accept: float = 0.3, adapt_rate: float = 0.05,
+               interpret: bool = False, mesh=None):
+    """Run C chains of particle-marginal MH fully inside a Pallas kernel.
+
+    ``theta0``: (C, P) float32 flat theta slots (C padded to a multiple
+    of 128 chains per device internally). ``obs`` must be a HOST
+    (numpy) ObsData — observation constants compile into the kernel.
+    Priors are per-slot static distribution objects like the MH
+    kernel's. Returns the same record structure as
+    :func:`odelib_tpu.samplers.pf.pmmh` (PMMHOutput).
+    """
+    if spec.diffusion is None:
+        raise ValueError("pmmh_fused requires a spec with diffusion=")
+    if sde_method != "euler":
+        raise ValueError("the fused PMMH kernel integrates "
+                         "Euler-Maruyama only; use the XLA sampler for "
+                         f"sde_method={sde_method!r}")
+    K = int(n_particles)
+    if not (8 <= K <= 128 and K % 8 == 0):
+        raise ValueError("fused PMMH needs n_particles in [8, 128] and "
+                         "a multiple of 8 (particles are sublanes); use "
+                         "the XLA sampler otherwise")
+    if burnin is None:
+        burnin = int(nits / 2)
+    R = nits - 1
+    if R <= burnin:
+        raise ValueError(f"nits={nits} leaves no recorded iterations "
+                         f"after burnin={burnin}")
+    P = spec.theta_size
+    theta0 = np.asarray(theta0, np.float32)
+    C0 = theta0.shape[0]
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    if n_dev == 1:
+        mesh = None
+    C = int(-(-C0 // (_TC * n_dev)) * (_TC * n_dev))
+    if C > C0:
+        theta0 = np.concatenate(
+            [theta0, np.tile(theta0[-1:], (C - C0, 1))], axis=0)
+    num = int(np.count_nonzero(theta0[0]))
+    if walk_mask is None:
+        walk_mask = [1.0] * P
+    walk = tuple(float(w) for w in np.asarray(walk_mask).ravel())
+
+    substeps = _normalize_substeps(substeps, len(np.asarray(times)) - 1)
+    plan = _build_plan(spec, obs, times, substeps)
+    y0_key = tuple(float(v) for v in np.asarray(y0_base))
+
+    if priors is not None:
+        priors = tuple(priors)
+        if len(priors) != P:
+            raise ValueError(f"priors must have one entry per theta "
+                             f"slot ({P}), got {len(priors)}")
+        if not kernel_priors_supported(priors):
+            raise ValueError("unsupported prior family for the fused "
+                             "kernel; use the XLA sampler")
+        if not any(d is not None for d in priors):
+            priors = None
+        else:
+            priors = tuple(None if d is None else _static_prior(d)
+                           for d in priors)
+
+    # record block is (L_SEG, P+2, 8, TC) double-buffered in VMEM
+    L_SEG = max(1, min(64, R,
+                       (2 * 1024 * 1024) // ((P + 2) * 8 * _TC * 4)))
+    n_segs = -(-R // L_SEG)
+    # kernel-native layout: (n_tiles, P, 8, TC) — chains are LANES;
+    # the sublane dim is row-replicated padding to the f32 min tile
+    arr = theta0.T.reshape(P, C // _TC, _TC).transpose(1, 0, 2)
+    theta_tiles = jnp.asarray(
+        np.broadcast_to(arr[:, :, None, :],
+                        (C // _TC, P, 8, _TC)).copy())
+
+    run = _cached_pf_run(spec, plan, y0_key, P, K, C, L_SEG, n_segs,
+                         int(nits), int(burnin), walk, float(rwalk_std),
+                         num, bool(interpret), C0, mesh, priors,
+                         bool(adapt_proposal), float(target_accept),
+                         float(adapt_rate))
+    theta_s, chi_s, ar_s = run(jnp.asarray([seed], jnp.int32),
+                               theta_tiles)
+    from .. import stats as jstats
+    from ..samplers.pf import PMMHOutput
+    iterations = jnp.arange(1, nits)[burnin:]
+    return PMMHOutput(theta=theta_s, chi=chi_s,
+                      aic=jstats.AIC(chi_s, num),
+                      acceptance_ratio=ar_s, iteration=iterations)
