@@ -11,6 +11,7 @@ MODULES="odelib_tpu odelib_tpu.api odelib_tpu.distributions \
  odelib_tpu.native odelib_tpu.ops.integrate \
  odelib_tpu.ops.runge_kutta odelib_tpu.ops.pallas_mh \
  odelib_tpu.ops.pallas_joint odelib_tpu.ops.pallas_pt \
+ odelib_tpu.ops.pallas_pf \
  odelib_tpu.ops.schedule \
  odelib_tpu.ops.sde odelib_tpu.samplers.pf \
  odelib_tpu.samplers.lhs odelib_tpu.samplers.mh \
@@ -18,6 +19,7 @@ MODULES="odelib_tpu odelib_tpu.api odelib_tpu.distributions \
  odelib_tpu.samplers.ensemble odelib_tpu.samplers.amh \
  odelib_tpu.samplers.smc odelib_tpu.samplers.optimize \
  odelib_tpu.samplers.advi odelib_tpu.samplers.joint odelib_tpu.joint \
+ odelib_tpu.api_inference odelib_tpu.dispatch \
  odelib_tpu.models odelib_tpu.models.base \
  odelib_tpu.models.infection odelib_tpu.models.ecology \
  odelib_tpu.models.epidemiology odelib_tpu.models.chemistry \
