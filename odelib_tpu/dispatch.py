@@ -235,8 +235,6 @@ def _pmmh_fused_eligible(fw, cfg: RunConfig) -> Tuple[bool, str]:
 
     from .ops.pallas_mh import mosaic_supported
     from .ops.pallas_pf import pmmh_supported
-    if cfg.checkpoint_every is not None or cfg.resume_from is not None:
-        return False, "checkpointing runs on the XLA PMMH sampler"
     if not pmmh_supported(fw._spec, cfg.n_particles, cfg.sde_method):
         return False, ("fused PMMH needs euler, n_particles a multiple "
                        "of 8 in [8, 128], and a tile-traceable "
@@ -279,7 +277,10 @@ def run_pmmh(fw, theta0, cfg: RunConfig, n_chains: int):
             adapt_proposal=bool(cfg.adapt_proposal),
             target_accept=float(cfg.target_accept),
             adapt_rate=float(cfg.adapt_rate),
-            interpret=bool(cfg.pallas_interpret), mesh=_pallas_mesh(cfg))
+            interpret=bool(cfg.pallas_interpret), mesh=_pallas_mesh(cfg),
+            checkpoint_every=cfg.checkpoint_every,
+            checkpoint_path=_progress_path(cfg),
+            resume_from=cfg.resume_from, config_token=cfg.config_token)
         return _mh.MHOutput(
             theta=out.theta, chi=out.chi,
             rsquared=jnp.full_like(out.chi, jnp.nan),

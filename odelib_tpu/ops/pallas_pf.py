@@ -129,8 +129,18 @@ def _count_slots(plan, S, P_walked, n_obs):
 @lru_cache(maxsize=64)
 def _cached_pf_grid(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
                     burnin, walk, rwalk_std, num, interpret, priors,
-                    use_adapt, target_accept, adapt_rate):
-    """Build (once per static config) the whole-run PMMH pallas_call."""
+                    use_adapt, target_accept, adapt_rate, R_chunk=None,
+                    resume=False):
+    """Build (once per static config) the whole-run PMMH pallas_call.
+
+    ``R_chunk``: checkpointed-chunk mode (the _cached_mh_grid pattern) —
+    covers R_chunk proposals from global iteration ``it_base+1``, emits
+    the P+3 chain-state planes (log-theta, chi, accept count, log
+    proposal scale) as an extra output; ``resume=True`` loads them from
+    an extra input. Counter-based RNG on the global iteration keeps
+    chunked runs bitwise identical to the single dispatch."""
+    stateful = R_chunk is not None
+    NS = P + 3
     S = len(spec.snames)
     row_shape = (1, _TC)
     plane = (K, _TC)
@@ -272,8 +282,19 @@ def _cached_pf_grid(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
                 y = apply_dose(y, gi)
         return -loglik
 
-    def kernel(seed_ref, off_ref, theta_in, theta_out, chi_out, ar_out,
-               lt_s, chi_s, acc_s, lsc_s):
+    def kernel(*refs):
+        if stateful and resume:
+            (seed_ref, off_ref, itb_ref, state_in, theta_in, theta_out,
+             chi_out, ar_out, state_out, lt_s, chi_s, acc_s,
+             lsc_s) = refs
+        elif stateful:
+            (seed_ref, off_ref, itb_ref, theta_in, theta_out, chi_out,
+             ar_out, state_out, lt_s, chi_s, acc_s, lsc_s) = refs
+            state_in = None
+        else:
+            (seed_ref, off_ref, theta_in, theta_out, chi_out, ar_out,
+             lt_s, chi_s, acc_s, lsc_s) = refs
+            itb_ref = state_in = state_out = None
         # both instances constructed at kernel top level (program_id is
         # not available inside lax control-flow bodies in interpret
         # mode); draw SITES get static slot ids at trace time, so every
@@ -291,6 +312,13 @@ def _cached_pf_grid(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
 
         @pl.when(j == 0)
         def _init():
+            if stateful and resume:
+                for p in range(P):
+                    lt_s[p] = state_in[0, p]
+                chi_s[...] = state_in[0, P]
+                acc_s[...] = state_in[0, P + 1]
+                lsc_s[...] = state_in[0, P + 2]
+                return
             theta = [theta_in[0, p, 0:1, :] for p in range(P)]
             it0_ = jnp.asarray(0, jnp.int32)
             chi0 = particle_filter(theta, rng0, it0_)
@@ -301,11 +329,16 @@ def _cached_pf_grid(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
             lsc_s[...] = jnp.zeros((8, _TC), jnp.float32)
 
         it0 = 1 + j * L_SEG
+        if stateful:
+            it0 = it0 + itb_ref[0]
 
         def body(i, carry):
             lt, chi, acc, lsc = carry
             it = it0 + i
             active = it < nits
+            if stateful:
+                # rows past this CHUNK belong to the next chunk
+                active = active & (j * L_SEG + i < R_chunk)
             std = rwalk_std * jnp.exp(lsc)
             prop = [lt[p] + (std * walk[p]) * rng.normal(it)[0:1, :]
                     if walk[p] != 0.0 else lt[p]
@@ -340,6 +373,14 @@ def _cached_pf_grid(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
         chi_s[...] = rep(chi)
         acc_s[...] = rep(acc)
         lsc_s[...] = rep(lsc)
+        if stateful:
+            # state block's index map ignores j (resident across the
+            # segment axis); the last write wins
+            for p in range(P):
+                state_out[0, p] = rep(lt[p])
+            state_out[0, P] = rep(chi)
+            state_out[0, P + 1] = rep(acc)
+            state_out[0, P + 2] = rep(lsc)
 
     n_tiles = C // _TC
 
@@ -355,16 +396,31 @@ def _cached_pf_grid(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
                             lambda i, j: (i, j, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    def spec_state():
+        return pl.BlockSpec((1, NS, 8, _TC), lambda i, j: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # global tile offset
+    ]
+    out_specs = [spec_rec(P), spec_rec(1), spec_rec(1)]
+    if stateful:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # it_base
+        if resume:
+            in_specs.append(spec_state())           # incoming chain state
+        out_shapes = out_shapes + [
+            jax.ShapeDtypeStruct((n_tiles, NS, 8, _TC), jnp.float32)]
+        out_specs = out_specs + [spec_state()]
+    in_specs.append(
+        pl.BlockSpec((1, P, 8, _TC), lambda i, j: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM))      # theta0
+
     return pl.pallas_call(
         kernel,
         grid=(n_tiles, n_segs),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # global tile offset
-            pl.BlockSpec((1, P, 8, _TC), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),      # theta0
-        ],
-        out_specs=[spec_rec(P), spec_rec(1), spec_rec(1)],
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((P, 8, _TC), jnp.float32),       # log-theta
@@ -431,6 +487,147 @@ def _cached_pf_run(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
     return jax.jit(run)
 
 
+@lru_cache(maxsize=64)
+def _cached_pf_run_chunk(spec, plan, y0_key, P, K, C, L_SEG, n_segs,
+                         nits, burnin, walk, rwalk_std, num, interpret,
+                         C0, mesh, priors, use_adapt, target_accept,
+                         adapt_rate, R_chunk, resume):
+    """Jitted program for ONE PMMH checkpoint chunk (mirrors
+    _cached_mh_run_chunk)."""
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    C_local = C // n_dev
+    inner = _cached_pf_grid(spec, plan, y0_key, P, K, C_local, L_SEG,
+                            n_segs, nits, burnin, walk, rwalk_std, num,
+                            interpret, priors, use_adapt, target_accept,
+                            adapt_rate, R_chunk=R_chunk, resume=resume)
+    padded_R = n_segs * L_SEG
+
+    def local_run(seed_arr, off_arr, itb_arr, theta_tiles, state_in):
+        ins = (seed_arr, off_arr, itb_arr)
+        if resume:
+            ins = ins + (state_in,)
+        th_r, chi_r, ar_r, state = inner(*ins, theta_tiles)
+        th = th_r[:, :, :, 0, :]
+        theta_s = jnp.transpose(th, (0, 3, 1, 2)).reshape(
+            C_local, padded_R, P)[:, :R_chunk]
+        sq = lambda a: jnp.transpose(
+            a[:, :, 0, 0, :], (0, 2, 1)).reshape(
+                C_local, padded_R)[:, :R_chunk]
+        return theta_s, sq(chi_r), sq(ar_r), state
+
+    if mesh is None:
+        def run(seed_arr, itb_arr, theta_tiles, state_in=None):
+            outs = local_run(seed_arr, jnp.zeros((1,), jnp.int32),
+                             itb_arr, theta_tiles, state_in)
+            return tuple(o[:C0] for o in outs[:3]) + (outs[3],)
+    else:
+        from jax.sharding import PartitionSpec as PS
+        axis = mesh.axis_names[0]
+        tiles_local = C_local // _TC
+        state_spec = PS(axis, None, None, None)
+
+        def shard_body(seed_arr, itb_arr, theta_tiles, state_in):
+            off = (jax.lax.axis_index(axis) * tiles_local)[None].astype(
+                jnp.int32)
+            return local_run(seed_arr, off, itb_arr, theta_tiles,
+                             state_in)
+
+        in_specs = (PS(), PS(), PS(axis, None, None, None),
+                    state_spec if resume else PS())
+        smap = jax.shard_map(
+            shard_body, mesh=mesh, in_specs=in_specs,
+            out_specs=tuple([PS(axis)] * 3) + (state_spec,),
+            check_vma=False)
+
+        def run(seed_arr, itb_arr, theta_tiles, state_in=None):
+            if state_in is None:
+                state_in = jnp.zeros((0,), jnp.float32)
+            outs = smap(seed_arr, itb_arr, theta_tiles, state_in)
+            return tuple(o[:C0] for o in outs[:3]) + (outs[3],)
+
+    return jax.jit(run)
+
+
+def _pf_fused_chunked(spec, plan, y0_key, P, K, C, nits, burnin, walk,
+                      rwalk_std, num, interpret, C0, mesh, priors,
+                      use_adapt, target_accept, adapt_rate, theta_tiles,
+                      seed, checkpoint_every, checkpoint_path,
+                      resume_from, _stop_after_chunks=None,
+                      config_token="", l_seg_cap=64):
+    """Checkpointed fused PMMH: chunks of ``checkpoint_every`` proposals,
+    chain state persisted after each chunk (npz, atomic rename), bitwise
+    resume — the _mh_fused_chunked discipline for the costliest
+    per-iteration sampler in the framework."""
+    import os
+
+    R = nits - 1
+    E = int(checkpoint_every)
+    if E < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    n_chunks = -(-R // E)
+    sig = repr(("pmmh-fused", spec.pnames, P, K, C, nits, int(burnin), E,
+                walk, rwalk_std, num, C0, int(seed), priors,
+                bool(use_adapt), float(target_accept), float(adapt_rate),
+                None if mesh is None else int(mesh.devices.size),
+                str(config_token)))
+    seed_arr = jnp.asarray([seed], jnp.int32)
+
+    k0, state, recs = 0, None, []
+    if resume_from:
+        with np.load(resume_from, allow_pickle=False) as z:
+            saved_sig = bytes(z["sig"]).decode()
+            if saved_sig != sig:
+                raise ValueError(
+                    "checkpoint was written by a different PMMH "
+                    f"configuration:\n  saved: {saved_sig}\n  this:  {sig}")
+            k0 = int(z["next_chunk"])
+            state = z["state"]
+            if k0 > 0:
+                recs = [tuple(z[f"rec{i}"] for i in range(3))]
+
+    for k in range(k0, n_chunks):
+        R_chunk = min(E, R - k * E)
+        L_SEG = max(1, min(int(l_seg_cap), R_chunk))
+        n_segs = -(-R_chunk // L_SEG)
+        run = _cached_pf_run_chunk(
+            spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits, burnin,
+            walk, rwalk_std, num, interpret, C0, mesh, priors, use_adapt,
+            target_accept, adapt_rate, R_chunk, resume=(k > 0))
+        itb = jnp.asarray([k * E], jnp.int32)
+        if k == 0:
+            outs = run(seed_arr, itb, theta_tiles)
+        else:
+            outs = run(seed_arr, itb, theta_tiles, jnp.asarray(state))
+        rec = tuple(np.asarray(o) for o in outs[:3])
+        state = np.asarray(outs[3])
+        recs.append(rec)
+        if checkpoint_path:
+            merged = tuple(np.concatenate([r[i] for r in recs], axis=1)
+                           for i in range(3))
+            recs = [merged]
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez_compressed(
+                    f, sig=np.frombuffer(sig.encode(), np.uint8),
+                    next_chunk=np.asarray(k + 1), state=state,
+                    **{f"rec{i}": merged[i] for i in range(3)})
+            os.replace(tmp, checkpoint_path)
+        if (_stop_after_chunks is not None
+                and k + 1 - k0 >= _stop_after_chunks and k + 1 < n_chunks):
+            return None
+
+    th, chi, ar = (np.concatenate([r[i] for r in recs], axis=1)
+                   for i in range(3))
+    from .. import stats as jstats
+    from ..samplers.pf import PMMHOutput
+    iterations = jnp.arange(1, nits)[burnin:]
+    chi_b = jnp.asarray(chi[:, burnin:])
+    return PMMHOutput(theta=jnp.asarray(th[:, burnin:]), chi=chi_b,
+                      aic=jstats.AIC(chi_b, num),
+                      acceptance_ratio=jnp.asarray(ar[:, burnin:]),
+                      iteration=iterations)
+
+
 def pmmh_supported(spec: ModelSpec, n_particles: int,
                    sde_method: str) -> bool:
     """Static eligibility of the fused kernel for this PMMH run."""
@@ -448,7 +645,11 @@ def pmmh_fused(spec: ModelSpec, obs: ObsData, times, y0_base, theta0,
                substeps: int = 4, sde_method: str = "euler",
                priors=None, adapt_proposal: bool = False,
                target_accept: float = 0.3, adapt_rate: float = 0.05,
-               interpret: bool = False, mesh=None):
+               interpret: bool = False, mesh=None,
+               checkpoint_every: Optional[int] = None,
+               checkpoint_path: Optional[str] = None,
+               resume_from: Optional[str] = None, config_token: str = "",
+               _stop_after_chunks: Optional[int] = None):
     """Run C chains of particle-marginal MH fully inside a Pallas kernel.
 
     ``theta0``: (C, P) float32 flat theta slots (C padded to a multiple
@@ -518,6 +719,16 @@ def pmmh_fused(spec: ModelSpec, obs: ObsData, times, y0_base, theta0,
     theta_tiles = jnp.asarray(
         np.broadcast_to(arr[:, :, None, :],
                         (C // _TC, P, 8, _TC)).copy())
+
+    if checkpoint_every is not None or resume_from is not None:
+        return _pf_fused_chunked(
+            spec, plan, y0_key, P, K, C, int(nits), int(burnin), walk,
+            float(rwalk_std), num, bool(interpret), C0, mesh, priors,
+            bool(adapt_proposal), float(target_accept),
+            float(adapt_rate), theta_tiles, int(seed),
+            checkpoint_every if checkpoint_every is not None else nits,
+            checkpoint_path, resume_from, _stop_after_chunks,
+            config_token=config_token, l_seg_cap=L_SEG)
 
     run = _cached_pf_run(spec, plan, y0_key, P, K, C, L_SEG, n_segs,
                          int(nits), int(burnin), walk, float(rwalk_std),

@@ -207,3 +207,34 @@ def test_mcmc_pmmh_pallas_backend_end_to_end():
     with pytest.raises(ValueError, match="pallas"):
         m.MCMC(backend="pallas", pallas_interpret=True,
                sde_method="milstein", **kw)
+
+
+def test_fused_pmmh_checkpoint_bitwise_and_resume(gbm_ssm, tmp_path):
+    """Chunked fused PMMH == straight-through, bitwise; a killed run
+    resumes bit-exact; wrong-config resume fails loudly."""
+    spec, obs, times, _ = gbm_ssm
+    rng = np.random.default_rng(3)
+    th0 = np.exp(rng.normal(np.log(MU), 0.2, (8, 1))).astype(np.float32)
+    kw = dict(seed=9, nits=41, burnin=20, rwalk_std=0.2, n_particles=16,
+              substeps=1, adapt_proposal=True, interpret=True)
+    ref = pmmh_fused(spec, obs, times, np.array([2.0], np.float32), th0,
+                     **kw)
+    ck = str(tmp_path / "pf.npz")
+    out = pmmh_fused(spec, obs, times, np.array([2.0], np.float32), th0,
+                     checkpoint_every=7, checkpoint_path=ck, **kw)
+    for a, b in zip(ref[:4], out[:4]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ck2 = str(tmp_path / "pf2.npz")
+    r = pmmh_fused(spec, obs, times, np.array([2.0], np.float32), th0,
+                   checkpoint_every=7, checkpoint_path=ck2,
+                   _stop_after_chunks=2, **kw)
+    assert r is None
+    out2 = pmmh_fused(spec, obs, times, np.array([2.0], np.float32), th0,
+                      checkpoint_every=7, checkpoint_path=ck2,
+                      resume_from=ck2, **kw)
+    for a, b in zip(ref[:4], out2[:4]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="different PMMH configuration"):
+        pmmh_fused(spec, obs, times, np.array([2.0], np.float32), th0,
+                   checkpoint_every=7, checkpoint_path=ck2,
+                   resume_from=ck2, **{**kw, "rwalk_std": 0.25})
