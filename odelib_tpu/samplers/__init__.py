@@ -9,8 +9,10 @@ from .hmc import (hamiltonian_mc, hamiltonian_mc_checkpointed,
 from .lhs import lhs_unit, sample_lhs
 from .mh import MHOutput, equilibriums, metropolis_hastings, survey
 from .optimize import MAPResult, map_fit, map_fit_custom
-from .pf import PMMHOutput, obs_blocks, particle_filter_chi, pmmh
-from .pt import parallel_tempering
+from .pf import (PMMHOutput, obs_blocks, particle_filter_chi,
+                 pmmh, pmmh_checkpointed, tune_particles)
+from .pt import (parallel_tempering,
+                 parallel_tempering_checkpointed, tune_ladder)
 from .smc import SMCOutput, smc_sample
 
 __all__ = ["lhs_unit", "sample_lhs", "MHOutput", "metropolis_hastings",
@@ -22,4 +24,6 @@ __all__ = ["lhs_unit", "sample_lhs", "MHOutput", "metropolis_hastings",
            "joint_metropolis_hastings", "joint_survey", "JointOutput",
            "advi", "advi_custom", "ADVIResult", "map_fit_custom",
            "psis_weights", "resample_indices",
-           "pmmh", "PMMHOutput", "particle_filter_chi", "obs_blocks"]
+           "pmmh", "PMMHOutput", "particle_filter_chi", "obs_blocks",
+           "pmmh_checkpointed", "tune_particles",
+           "parallel_tempering_checkpointed", "tune_ladder"]
