@@ -1343,8 +1343,12 @@ class ModelFramework(InferenceMixin):
           ``sde_substeps`` Euler substeps per observation interval) —
           an unbiased likelihood estimate, so the chain targets the
           EXACT posterior under process noise (Andrieu-Doucet-Holenstein
-          2010). All chains x particles run as one vmapped device
-          program (samplers/pf.py). Chain seeding still uses the
+          2010). On TPU the whole loop (proposal, filter, in-kernel
+          systematic resampling, accept) runs as ONE fused Pallas
+          dispatch when eligible (euler, n_particles a multiple of 8 up
+          to 128 — ops/pallas_pf.py; backend='pallas'/'xla' force the
+          choice); otherwise all chains x particles run as one vmapped
+          XLA program (samplers/pf.py). Chain seeding still uses the
           drift-only deterministic survey (a pre-screen, not part of
           the target). The ``rsquared`` column is NaN by design —
           there is no single model trajectory under process noise; the
