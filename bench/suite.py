@@ -533,11 +533,21 @@ def config7b_hmc_hard(base):
     hmc_rate, mh_rate = ess_h / t_h, ess_m / t_m
     chees_rate = ess_c / t_c
     dense_rate = ess_d / t_d
+    from hmc_hard import demo_data_source
     return {"config": "7b",
             "metric": "HMC vs random-walk MH on the HARD demo posterior "
                       "(one_i + summation + init-params, 7 correlated "
                       "dims, prior-aware): min-over-parameters effective "
                       "samples/sec",
+            "dataset": demo_data_source(),
+            "dataset_note": "this row is DATA-SENSITIVE: on the "
+                            "committed synthetic dataset the one_i fit "
+                            "has a practically-unidentified lam-I10 "
+                            "ridge (all samplers' chains freeze at "
+                            "different lam; split-R-hat ~7), so the "
+                            "efficiency comparison is only meaningful "
+                            "on the reference's real lab data "
+                            "(preferred automatically when mounted)",
             "value": round(hmc_rate, 1), "unit": "ESS/sec (HMC)",
             "mh_ess_per_s": round(mh_rate, 1),
             "hmc_over_mh": round(hmc_rate / mh_rate, 2) if mh_rate else None,
