@@ -673,6 +673,30 @@ print(f"posterior r = {post_sde['r'].median():.3f} "
       f"(+/- {post_sde['r'].std():.3f}), truth 0.5  "
       f"[rsquared is NaN by design: no single trajectory exists]")"""),
     (M, """\
+PMMH has exactly two tuning knobs, and the framework sets both for you:
+
+* **How many particles?** The pseudo-marginal sweet spot puts the
+  variance of the log-likelihood estimate near ~1.2 at the parameters
+  the chain will visit — fewer particles stall chains on lucky
+  over-estimates, more waste compute linearly. `tune_particles()`
+  measures that variance with pilot filters and recommends a count.
+* **How big a step?** Each chain Robbins–Monro-adapts a multiplier on
+  `rwalk_std` toward 30% acceptance during burn-in (the pseudo-marginal
+  optimum sits below the deterministic 0.23–0.44 band) and freezes it
+  for the recorded phase. This is on by default; the acceptance column
+  below shows where it landed.
+
+On a TPU the whole PMMH loop — proposal, filter, resampling, accept —
+runs as one fused Pallas kernel (862k chain-steps/s at 10k chains x
+128 particles; `ops/pallas_pf.py`)."""),
+    (C, """\
+sdeM.set_best_params(post_sde)
+k_rec, loglik_var = sdeM.tune_particles(pilot_particles=32, n_reps=24,
+                                        sde_substeps=2)
+acc = post_sde.groupby('chain#')['acceptance_ratio'].last().mean()
+print(f"recorded-phase acceptance {acc:.2f} "
+      f"(burn-in adaptation targets 0.30)")"""),
+    (M, """\
 # Scaling out
 
 Everything above also runs (a) **fused on a real TPU chip** — `MCMC`

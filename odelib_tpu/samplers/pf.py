@@ -255,11 +255,22 @@ def _make_pmmh_step(spec, blocks, times, y0_base, walk_mask, *,
             spec, blocks, times, y0, theta, key, n_particles=n_particles,
             substeps=substeps, sde_method=sde_method)
 
-    def step_fn(adapting):
+    def step_fn(adapting, scale_active=None):
+        # scale_active: STATIC flag — whether the per-chain proposal
+        # scale can differ from 1.0 anywhere in this run (i.e. whether
+        # adaptation is/was enabled). When False the multiplier is
+        # omitted from the graph entirely, keeping the adapt-off program
+        # arithmetic (and thus its FMA fusion) identical across the
+        # straight/chunked drivers — the bitwise-resume guarantee rides
+        # on identical lowering, not just identical values.
+        if scale_active is None:
+            scale_active = adapting
+
         def step(carry, it):
             k_eps, k_u, k_pf = jax.random.split(
                 jax.random.fold_in(carry.key, it.astype(jnp.int32)), 3)
-            std = rwalk_std * jnp.exp(carry.log_scale)
+            std = (rwalk_std * jnp.exp(carry.log_scale) if scale_active
+                   else rwalk_std)
             eps = std * jax.random.normal(
                 k_eps, carry.log_theta.shape, carry.log_theta.dtype)
             prop_log = carry.log_theta + eps * walk_mask
@@ -310,7 +321,7 @@ def _pmmh_impl(spec, blocks, times, y0_base, theta0, keys, walk_mask, *,
         n_particles=n_particles, substeps=substeps, sde_method=sde_method,
         target_accept=target_accept, adapt_rate=adapt_rate)
     warm = step_fn(adapt_proposal)
-    frozen = step_fn(False)
+    frozen = step_fn(False, scale_active=adapt_proposal)
 
     def one_chain(th0, key):
         chi0 = pf(th0, jax.random.fold_in(key, 0))
@@ -405,11 +416,12 @@ def _pmmh_init_state(spec, blocks, times, y0_base, theta0, keys, *,
 @partial(jax.jit, static_argnames=(
     "spec", "blocks", "rwalk_std", "prior_logpdf", "use_priors",
     "n_particles", "substeps", "sde_method", "record", "adapting",
-    "target_accept", "adapt_rate"))
+    "scale_active", "target_accept", "adapt_rate"))
 def _pmmh_chunk_impl(spec, blocks, times, y0_base, state, keys, its,
                      walk_mask, *, rwalk_std, prior_logpdf, use_priors,
                      n_particles, substeps, sde_method, record=True,
-                     adapting=False, target_accept=0.3, adapt_rate=0.05):
+                     adapting=False, scale_active=False,
+                     target_accept=0.3, adapt_rate=0.05):
     """One checkpoint chunk of the PMMH scan over traced iteration
     numbers ``its`` (equal-length chunks share one compiled program).
     Counter-based draws (chain key folded with the GLOBAL iteration, see
@@ -422,7 +434,7 @@ def _pmmh_chunk_impl(spec, blocks, times, y0_base, state, keys, its,
         prior_logpdf=prior_logpdf, use_priors=use_priors,
         n_particles=n_particles, substeps=substeps, sde_method=sde_method,
         target_accept=target_accept, adapt_rate=adapt_rate)
-    step = step_fn(adapting)
+    step = step_fn(adapting, scale_active=scale_active)
 
     def one_chain(st, key):
         lt, chi, acc, ls = st
@@ -537,6 +549,7 @@ def pmmh_checkpointed(
                 rwalk_std=float(rwalk_std), prior_logpdf=prior_logpdf,
                 use_priors=bool(use_priors), record=rec,
                 adapting=adapt_kw["adapting"] and not rec,
+                scale_active=adapt_kw["adapting"],
                 target_accept=adapt_kw["target_accept"],
                 adapt_rate=adapt_kw["adapt_rate"], **pkw)
             if out is not None:
