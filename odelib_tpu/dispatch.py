@@ -236,9 +236,9 @@ def _pmmh_fused_eligible(fw, cfg: RunConfig) -> Tuple[bool, str]:
     from .ops.pallas_mh import mosaic_supported
     from .ops.pallas_pf import pmmh_supported
     if not pmmh_supported(fw._spec, cfg.n_particles, cfg.sde_method):
-        return False, ("fused PMMH needs euler, n_particles a multiple "
-                       "of 8 in [8, 128], and a tile-traceable "
-                       "drift/diffusion")
+        return False, ("fused PMMH needs euler or milstein, n_particles "
+                       "a multiple of 8 in [8, 512], and a "
+                       "tile-traceable drift/diffusion")
     if cfg.use_priors and cfg.pallas_priors is None:
         return False, "priors are not a kernel-supported family"
     if not isinstance(cfg.sde_substeps, (int, np.integer)):

@@ -60,6 +60,17 @@ class JointFit:
     parameters..., hyperparameters...]``; posterior columns use the same
     naming. Priors for shared parameters come from the FIRST framework.
 
+    Stochastic experiments (``diffusion=``) are supported: any mix of
+    deterministic and SDE experiments fits jointly through
+    particle-marginal MH (:func:`~odelib_tpu.samplers.joint.joint_pmmh`)
+    — deterministic experiments keep exact chi terms while stochastic
+    ones contribute unbiased bootstrap-particle-filter estimates, so the
+    chain targets the exact joint posterior. ``MCMC`` knobs
+    ``n_particles`` / ``sde_substeps`` / ``sde_method`` /
+    ``adapt_proposal`` mirror ``ModelFramework.MCMC(sampler='pmmh')``;
+    gradient surfaces (``fit_map``/``fit_advi``) refuse stochastic
+    experiments unless ``drift_only=True``.
+
     Array-valued parameters are supported throughout: each contributes
     one FLAT joint slot per entry (the joint theta mirrors
     ``ModelSpec.theta_offsets`` packing), posterior/survey columns hold
@@ -79,17 +90,15 @@ class JointFit:
         self.hierarchical = list(hierarchical)
         self.random_seed = random_seed
         names = list(self.frameworks)
-        stoch = [nm for nm, fw in self.frameworks.items()
-                 if fw._spec.diffusion is not None]
-        if stoch:
-            raise NotImplementedError(
-                f"experiment(s) {stoch} carry process noise (diffusion=) "
-                "— JointFit's joint likelihood is the deterministic "
-                "chi sum and would silently fit the drift skeleton. "
-                "Joint PMMH over tied parameters is not implemented; "
-                "fit stochastic experiments individually with "
-                "MCMC(sampler='pmmh'), or rebuild them without "
-                "diffusion= to jointly fit the drift.")
+        # experiments with process noise (diffusion=) route MCMC through
+        # the joint particle-marginal sampler (samplers/joint.joint_pmmh):
+        # their chi terms become unbiased bootstrap-PF estimates while
+        # deterministic experiments keep exact chi — the sum is a valid
+        # pseudo-marginal target. Gradient/optimization surfaces
+        # (fit_map/fit_advi) follow the single-framework policy: refuse
+        # unless drift_only=True (then warn).
+        self._stoch = {nm for nm, fw in self.frameworks.items()
+                       if fw._spec.diffusion is not None}
         overlap = set(self.shared) & set(self.hierarchical)
         if overlap:
             raise ValueError(f"parameter(s) {sorted(overlap)} cannot be "
@@ -195,6 +204,30 @@ class JointFit:
                 t_d = _LN(s=1.0, loc=0.0, scale=0.3)
             self._hyper_priors[lab_m] = self._as_jdist(m_d)
             self._hyper_priors[lab_t] = self._as_jdist(t_d)
+
+    def _require_deterministic(self, what, drift_only):
+        """Stochastic-feature-matrix guard (the single-framework policy,
+        api_inference.py): a joint method whose math assumes
+        deterministic likelihoods must refuse loudly when any experiment
+        carries process noise, unless explicitly opted into the
+        drift-only approximation (then warn)."""
+        if not self._stoch:
+            return
+        import warnings
+        if not drift_only:
+            raise ValueError(
+                f"{what} assumes deterministic likelihoods, but "
+                f"experiment(s) {sorted(self._stoch)} carry process "
+                "noise (diffusion=...): a single drift trajectory's fit "
+                "statistic is not the SDE's marginal likelihood. Use "
+                "MCMC() (joint particle-marginal MH), or pass "
+                "drift_only=True to run on the drift skeletons (the "
+                "diffusion terms are IGNORED).")
+        warnings.warn(
+            f"{what}: drift_only=True with stochastic experiment(s) "
+            f"{sorted(self._stoch)} — diffusion terms are ignored; "
+            "treat the result as an analysis of the deterministic "
+            "skeletons, not of the SDEs.")
 
     @staticmethod
     def _as_jdist(d):
@@ -518,7 +551,7 @@ class JointFit:
 
     def fit_map(self, starts=64, steps=500, learning_rate=0.05,
                 use_priors=False, static_parameters=(), set_best=True,
-                **solver_kw) -> pd.DataFrame:
+                drift_only=False, **solver_kw) -> pd.DataFrame:
         """Multi-start gradient (Adam) point estimation of the JOINT
         posterior: maximum likelihood over the summed multi-experiment
         chi, or MAP with ``use_priors=True``. Mirrors
@@ -526,6 +559,7 @@ class JointFit:
         joint priors + the current values) optimize as one vmapped
         program with gradients flowing through every experiment's solve.
         ``set_best=True`` pushes the winner into every framework."""
+        self._require_deterministic("fit_map", drift_only)
         from .samplers import map_fit_custom, sample_lhs
 
         dists = self._dists()
@@ -558,7 +592,7 @@ class JointFit:
     def fit_advi(self, steps=800, learning_rate=0.05, n_mc=8,
                  rank="full", draws=1000, use_priors=True,
                  static_parameters=(), resample=False, print_report=True,
-                 **solver_kw) -> pd.DataFrame:
+                 drift_only=False, **solver_kw) -> pd.DataFrame:
         """Variational (ADVI) JOINT posterior: a Gaussian over the joint
         log-parameters fitted by ELBO ascent through all K experiments'
         solves at once. Mirrors :meth:`ModelFramework.fit_advi` (same
@@ -566,6 +600,7 @@ class JointFit:
         :meth:`fit_map` first so the ascent starts in the posterior
         bulk). Returns draws as the joint posterior DataFrame (columns
         + total ``chi``)."""
+        self._require_deterministic("fit_advi", drift_only)
         from .samplers import advi_custom
         from .stats import rawstats as _rawstats
 
@@ -778,7 +813,9 @@ class JointFit:
              until_rhat=None, until_min_ess=None, max_extensions=8,
              checkpoint_every=None, checkpoint_path=None,
              resume_from=None, pallas_tile_chains=None,
-             pallas_interpret=False, **solver_kw) -> pd.DataFrame:
+             pallas_interpret=False, n_particles=128, sde_substeps=4,
+             sde_method="euler", adapt_proposal=True,
+             **solver_kw) -> pd.DataFrame:
         """Joint MCMC posterior over all experiments.
 
         Chains seed from the best ``chain_inits`` of ``fitsurvey_samples``
@@ -838,6 +875,29 @@ class JointFit:
         if sampler not in ("mh", "hmc"):
             raise ValueError(f"sampler must be 'mh' or 'hmc', got "
                              f"{sampler!r}")
+        if self._stoch:
+            # any diffusion= experiment routes the joint fit through the
+            # particle-marginal sampler: exact chi for deterministic
+            # experiments + unbiased PF estimates for stochastic ones
+            # (samplers/joint.joint_pmmh)
+            if sampler == "hmc":
+                raise ValueError(
+                    "sampler='hmc' needs differentiable likelihoods; "
+                    f"stochastic experiment(s) {sorted(self._stoch)} "
+                    "score through a (non-differentiable) particle "
+                    "filter — use sampler='mh'")
+            if backend == "pallas":
+                raise ValueError(
+                    "backend='pallas' does not support stochastic "
+                    "experiments; joint PMMH runs on the XLA backend "
+                    "(backend='xla' or 'auto')")
+            backend = "xla"
+            if checkpoint_every is not None or resume_from is not None:
+                raise ValueError(
+                    "checkpointing is not supported for joint PMMH; run "
+                    "uninterrupted or checkpoint the per-experiment "
+                    "fits individually (MCMC(sampler='pmmh', "
+                    "checkpoint_every=...))")
         if sampler == "hmc":
             # gradient sampler: arbitrary differentiable potential, so
             # hierarchical pooling comes free; XLA only
@@ -957,6 +1017,25 @@ class JointFit:
                     out = hamiltonian_mc_custom(
                         self._joint_chi_fn(solver_kw), margs[0], margs[1],
                         **hmc_kw)
+            elif self._stoch:
+                from .samplers.joint import joint_pmmh
+                from .samplers.pf import obs_blocks
+                stoch_blocks = tuple(
+                    obs_blocks(self.frameworks[nm]._obsdata_fit_host)
+                    if nm in self._stoch else None
+                    for nm in self.frameworks)
+                out = joint_pmmh(
+                    specs, idxs, obs, times, y0s, margs[0], margs[1],
+                    stoch_blocks=stoch_blocks, nits=nits,
+                    burnin=int(burnin),
+                    walk_mask=jnp.asarray(mask, dtype),
+                    rwalk_std=float(rwalk_std),
+                    prior_logpdf=prior_logpdf,
+                    use_priors=use_priors_eff, method=method,
+                    substeps_list=subs, n_particles=int(n_particles),
+                    sde_substeps=int(sde_substeps),
+                    sde_method=str(sde_method),
+                    adapt_proposal=bool(adapt_proposal))
             else:
                 mh_kw = dict(nits=nits, burnin=int(burnin),
                              walk_mask=jnp.asarray(mask, dtype),
@@ -1026,14 +1105,34 @@ class JointFit:
                     keys2 = jax.vmap(lambda i: jax.random.fold_in(
                         bkey, salt * 1_000_003 + i))(jnp.arange(C2))
                     m2 = _scb((jnp.asarray(th_last, dtype2), keys2), mesh2)
-                    return joint_metropolis_hastings(
-                        specs, idxs, obs, times, y0s, m2[0], m2[1],
+                    common = dict(
                         nits=nits, burnin=0,
                         walk_mask=jnp.asarray(mask, dtype2),
                         rwalk_std=float(rwalk_std),
                         prior_logpdf=prior_logpdf,
                         use_priors=use_priors_eff, method=method,
                         substeps_list=subs)
+                    if self._stoch:
+                        from .samplers.joint import joint_pmmh
+                        from .samplers.pf import obs_blocks
+                        sb = tuple(
+                            obs_blocks(
+                                self.frameworks[nm]._obsdata_fit_host)
+                            if nm in self._stoch else None
+                            for nm in self.frameworks)
+                        # extensions run the unadapted kernel (scale 1):
+                        # a restarted pseudo-marginal chain is valid MH
+                        # from its first fresh incumbent estimate
+                        return joint_pmmh(
+                            specs, idxs, obs, times, y0s, m2[0], m2[1],
+                            stoch_blocks=sb,
+                            n_particles=int(n_particles),
+                            sde_substeps=int(sde_substeps),
+                            sde_method=str(sde_method),
+                            adapt_proposal=False, **common)
+                    return joint_metropolis_hastings(
+                        specs, idxs, obs, times, y0s, m2[0], m2[1],
+                        **common)
 
             out = self._extend_until(
                 out, run_more, n_chains=n_chains, nits=nits, mask=mask,

@@ -231,16 +231,34 @@ def solve_callback(f, params, y0, ts, *, rtol=1e-7, atol=1e-9,
     n = len(y0)
     out = np.empty((len(ts), n), float)
 
+    # a raising callback must surface as a Python error, not as a
+    # silently-successful solve: ctypes swallows exceptions at the C
+    # boundary, so trap them, poison the derivative with NaN (the native
+    # stepper's failure path -> ok=0), and re-raise host-side
+    err = []
+
     @RHS_CFUNC
     def cb(t, y_p, dy_p, p_p, user):
-        y = np.ctypeslib.as_array(y_p, (n,))
-        d = np.asarray(f(t, y, params), float)
-        for i in range(n):
-            dy_p[i] = d[i]
+        try:
+            y = np.ctypeslib.as_array(y_p, (n,))
+            d = np.asarray(f(t, y, params), float).ravel()
+            if d.size != n:
+                raise ValueError(
+                    f"RHS callback returned {d.size} derivatives for "
+                    f"{n} states")
+            for i in range(n):
+                dy_p[i] = d[i]
+        except Exception as e:          # noqa: BLE001
+            if not err:
+                err.append(e)
+            for i in range(n):
+                dy_p[i] = float("nan")
 
     dp = ctypes.POINTER(ctypes.c_double)
     ok = lib.solve_grid(cb, None, params.ctypes.data_as(dp),
                         y0.ctypes.data_as(dp), n, ts.ctypes.data_as(dp),
                         len(ts), rtol, atol, max_steps,
                         out.ctypes.data_as(dp))
+    if err:
+        raise err[0]
     return out, bool(ok)

@@ -129,8 +129,8 @@ def _count_slots(plan, S, P_walked, n_obs):
 @lru_cache(maxsize=64)
 def _cached_pf_grid(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
                     burnin, walk, rwalk_std, num, interpret, priors,
-                    use_adapt, target_accept, adapt_rate, R_chunk=None,
-                    resume=False):
+                    use_adapt, target_accept, adapt_rate, milstein=False,
+                    R_chunk=None, resume=False):
     """Build (once per static config) the whole-run PMMH pallas_call.
 
     ``R_chunk``: checkpointed-chunk mode (the _cached_mh_grid pattern) —
@@ -233,7 +233,11 @@ def _cached_pf_grid(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
         u = rng.uniform(it)[0:1, :]
         total = cum[K - 1:K, :]
         pos = ((row_iota.astype(jnp.float32) + u) * (1.0 / K)) * total
-        cumprev = cum - w
+        # lower edge = the EXACT shifted cumsum, not cum - w: in f32
+        # cum[j] - w[j] != cum[j-1] by an ulp, which can make adjacent
+        # selection intervals overlap (a two-particle sum row) or gap
+        # (a zeroed particle). The masked roll tiles [0, total) exactly.
+        cumprev = jnp.where(row_iota >= 1, pltpu.roll(cum, 1, 0), 0.0)
         # selection, 8 output rows per pass: sel (8, K, TC) contracted
         # over the source-particle axis -> one (8, TC) f32 tile each
         rows = [[] for _ in range(S)]
@@ -274,8 +278,25 @@ def _cached_pf_grid(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
             ys = jnp.stack(y)
             f = list(spec.rhs(t, ys, ps))
             g = list(spec.diffusion(t, ys, ps))
-            y = [y[s] + h * f[s] + sqrt_h * g[s] * xi(it)
+            x_s = [xi(it) for _ in range(S)]
+            y = [y[s] + h * f[s] + sqrt_h * g[s] * x_s[s]
                  for s in range(S)]
+            if milstein:
+                # Milstein correction 0.5*g*(dg_s/dy_s)*(xi^2-1)*h —
+                # the diagonal diffusion gradient via S one-hot jvps of
+                # the traced diffusion (elementwise in the tiled layout,
+                # so each jvp is a handful of VPU FMAs; same noise
+                # draws as Euler, so the Euler bitstream is unchanged).
+                # Matches the XLA form samplers/pf.py flat_step /
+                # ops/sde.py milstein.
+                def _gfun(yy, _t=t):
+                    return jnp.stack(list(spec.diffusion(_t, yy, ps)))
+                for s in range(S):
+                    tang = jnp.zeros_like(ys)
+                    tang = tang.at[s].set(jnp.ones_like(ys[s]))
+                    _, jv = jax.jvp(_gfun, (ys,), (tang,))
+                    y[s] = y[s] + (0.5 * h) * g[s] * jv[s] \
+                        * (x_s[s] * x_s[s] - 1.0)
             if gi >= 0:
                 if plan.obs_after[gi]:
                     y, loglik = resample_block(y, gi, loglik, rng, it)
@@ -305,8 +326,13 @@ def _cached_pf_grid(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
         # boundary pads the sublane dim to 8 (Mosaic's f32 min tile) by
         # row-replication on store / row-0 reads on load.
         pid = pl.program_id(0) + off_ref[0]
-        rng0 = _RngS(plane, seed_ref[0], pid, _TC, stride)
-        rng = _RngS(plane, seed_ref[0], pid, _TC, stride)
+        # Lane ids inside one tile span the full (K, _TC) particle plane
+        # (K * _TC ids), so the per-tile program-id stride must be the
+        # plane size — NOT the chain count _TC — or neighboring tiles'
+        # particle noise fields would be shifted copies of each other,
+        # correlating chains' likelihood estimates across tiles.
+        rng0 = _RngS(plane, seed_ref[0], pid, K * _TC, stride)
+        rng = _RngS(plane, seed_ref[0], pid, K * _TC, stride)
         j = pl.program_id(1)
         rep = lambda v: jnp.broadcast_to(v, (8, _TC))
 
@@ -437,7 +463,8 @@ def _cached_pf_grid(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
 @lru_cache(maxsize=64)
 def _cached_pf_run(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
                    burnin, walk, rwalk_std, num, interpret, C0, mesh,
-                   priors, use_adapt, target_accept, adapt_rate):
+                   priors, use_adapt, target_accept, adapt_rate,
+                   milstein=False):
     """One jitted program: PF pallas kernel + record layout, optionally
     shard_map'd over a 1-D chain mesh (same pattern as _cached_mh_run)."""
     n_dev = 1 if mesh is None else int(mesh.devices.size)
@@ -445,7 +472,7 @@ def _cached_pf_run(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
     inner = _cached_pf_grid(spec, plan, y0_key, P, K, C_local, L_SEG,
                             n_segs, nits, burnin, walk, rwalk_std, num,
                             interpret, priors, use_adapt, target_accept,
-                            adapt_rate)
+                            adapt_rate, milstein)
     padded_R = n_segs * L_SEG
     lo, hi = burnin, nits - 1
 
@@ -491,7 +518,7 @@ def _cached_pf_run(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
 def _cached_pf_run_chunk(spec, plan, y0_key, P, K, C, L_SEG, n_segs,
                          nits, burnin, walk, rwalk_std, num, interpret,
                          C0, mesh, priors, use_adapt, target_accept,
-                         adapt_rate, R_chunk, resume):
+                         adapt_rate, R_chunk, resume, milstein=False):
     """Jitted program for ONE PMMH checkpoint chunk (mirrors
     _cached_mh_run_chunk)."""
     n_dev = 1 if mesh is None else int(mesh.devices.size)
@@ -499,7 +526,8 @@ def _cached_pf_run_chunk(spec, plan, y0_key, P, K, C, L_SEG, n_segs,
     inner = _cached_pf_grid(spec, plan, y0_key, P, K, C_local, L_SEG,
                             n_segs, nits, burnin, walk, rwalk_std, num,
                             interpret, priors, use_adapt, target_accept,
-                            adapt_rate, R_chunk=R_chunk, resume=resume)
+                            adapt_rate, milstein, R_chunk=R_chunk,
+                            resume=resume)
     padded_R = n_segs * L_SEG
 
     def local_run(seed_arr, off_arr, itb_arr, theta_tiles, state_in):
@@ -553,7 +581,7 @@ def _pf_fused_chunked(spec, plan, y0_key, P, K, C, nits, burnin, walk,
                       use_adapt, target_accept, adapt_rate, theta_tiles,
                       seed, checkpoint_every, checkpoint_path,
                       resume_from, _stop_after_chunks=None,
-                      config_token="", l_seg_cap=64):
+                      config_token="", l_seg_cap=64, milstein=False):
     """Checkpointed fused PMMH: chunks of ``checkpoint_every`` proposals,
     chain state persisted after each chunk (npz, atomic rename), bitwise
     resume — the _mh_fused_chunked discipline for the costliest
@@ -569,7 +597,7 @@ def _pf_fused_chunked(spec, plan, y0_key, P, K, C, nits, burnin, walk,
                 walk, rwalk_std, num, C0, int(seed), priors,
                 bool(use_adapt), float(target_accept), float(adapt_rate),
                 None if mesh is None else int(mesh.devices.size),
-                str(config_token)))
+                str(config_token), bool(milstein)))
     seed_arr = jnp.asarray([seed], jnp.int32)
 
     k0, state, recs = 0, None, []
@@ -592,7 +620,8 @@ def _pf_fused_chunked(spec, plan, y0_key, P, K, C, nits, burnin, walk,
         run = _cached_pf_run_chunk(
             spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits, burnin,
             walk, rwalk_std, num, interpret, C0, mesh, priors, use_adapt,
-            target_accept, adapt_rate, R_chunk, resume=(k > 0))
+            target_accept, adapt_rate, R_chunk, resume=(k > 0),
+            milstein=milstein)
         itb = jnp.asarray([k * E], jnp.int32)
         if k == 0:
             outs = run(seed_arr, itb, theta_tiles)
@@ -628,12 +657,17 @@ def _pf_fused_chunked(spec, plan, y0_key, P, K, C, nits, burnin, walk,
                       iteration=iterations)
 
 
+_K_MAX = 512   # particle sublane planes: S*(K,128) f32 in VMEM + the
+               # (8,K,128) selection temp — 512 keeps the worst case
+               # well under the ~16 MB VMEM budget for small S
+
+
 def pmmh_supported(spec: ModelSpec, n_particles: int,
                    sde_method: str) -> bool:
     """Static eligibility of the fused kernel for this PMMH run."""
     return (spec.diffusion is not None
-            and sde_method == "euler"
-            and 8 <= int(n_particles) <= 128
+            and sde_method in ("euler", "milstein")
+            and 8 <= int(n_particles) <= _K_MAX
             and int(n_particles) % 8 == 0
             and sde_supports_tiles(spec))
 
@@ -661,15 +695,16 @@ def pmmh_fused(spec: ModelSpec, obs: ObsData, times, y0_base, theta0,
     """
     if spec.diffusion is None:
         raise ValueError("pmmh_fused requires a spec with diffusion=")
-    if sde_method != "euler":
+    if sde_method not in ("euler", "milstein"):
         raise ValueError("the fused PMMH kernel integrates "
-                         "Euler-Maruyama only; use the XLA sampler for "
-                         f"sde_method={sde_method!r}")
+                         "Euler-Maruyama or Milstein; use the XLA "
+                         f"sampler for sde_method={sde_method!r}")
+    milstein = sde_method == "milstein"
     K = int(n_particles)
-    if not (8 <= K <= 128 and K % 8 == 0):
-        raise ValueError("fused PMMH needs n_particles in [8, 128] and "
-                         "a multiple of 8 (particles are sublanes); use "
-                         "the XLA sampler otherwise")
+    if not (8 <= K <= _K_MAX and K % 8 == 0):
+        raise ValueError(f"fused PMMH needs n_particles in [8, {_K_MAX}]"
+                         " and a multiple of 8 (particles are sublanes);"
+                         " use the XLA sampler otherwise")
     if burnin is None:
         burnin = int(nits / 2)
     R = nits - 1
@@ -728,13 +763,14 @@ def pmmh_fused(spec: ModelSpec, obs: ObsData, times, y0_base, theta0,
             float(adapt_rate), theta_tiles, int(seed),
             checkpoint_every if checkpoint_every is not None else nits,
             checkpoint_path, resume_from, _stop_after_chunks,
-            config_token=config_token, l_seg_cap=L_SEG)
+            config_token=config_token, l_seg_cap=L_SEG,
+            milstein=milstein)
 
     run = _cached_pf_run(spec, plan, y0_key, P, K, C, L_SEG, n_segs,
                          int(nits), int(burnin), walk, float(rwalk_std),
                          num, bool(interpret), C0, mesh, priors,
                          bool(adapt_proposal), float(target_accept),
-                         float(adapt_rate))
+                         float(adapt_rate), milstein)
     theta_s, chi_s, ar_s = run(jnp.asarray([seed], jnp.int32),
                                theta_tiles)
     from .. import stats as jstats

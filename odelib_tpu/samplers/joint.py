@@ -347,6 +347,173 @@ def joint_survey(specs, idx_maps, obs_list, times_list, y0_list,
                                                len(specs)))
 
 
+class _PMCarry(NamedTuple):
+    log_theta: Any
+    chi: Any        # FROZEN pseudo-marginal total estimate
+    parts: Any      # (K,) per-experiment chi at the last acceptance
+    acc: Any
+    key: Any
+    log_scale: Any  # log proposal-scale multiplier (Robbins-Monro)
+
+
+@partial(jax.jit, static_argnames=(
+    "specs", "idx_maps", "stoch_blocks", "nits", "burnin", "rwalk_std",
+    "prior_logpdf", "use_priors", "method", "substeps_list",
+    "n_particles", "sde_substeps", "sde_method", "use_adapt",
+    "target_accept", "adapt_rate"))
+def _joint_pmmh_impl(specs, idx_maps, obs_list, times_list, y0_list,
+                     theta0, keys, walk_mask, *, nits, burnin, rwalk_std,
+                     prior_logpdf, use_priors, method, substeps_list,
+                     stoch_blocks, n_particles, sde_substeps, sde_method,
+                     use_adapt, target_accept, adapt_rate):
+    from .pf import particle_filter_chi
+
+    K = len(specs)
+
+    def total_chi(theta_joint, key):
+        """Summed chi: exact for deterministic experiments, a fresh
+        K-particle bootstrap-filter estimate for stochastic ones
+        (``stoch_blocks[k]`` is the static observation plan, or None)."""
+        parts = []
+        for k in range(K):
+            th_k = jnp.take(theta_joint, jnp.asarray(idx_maps[k]))
+            if stoch_blocks[k] is not None:
+                y0k = specs[k].override_inits(y0_list[k], th_k)
+                parts.append(particle_filter_chi(
+                    specs[k], stoch_blocks[k], times_list[k], y0k, th_k,
+                    jax.random.fold_in(key, k),
+                    n_particles=n_particles, substeps=sde_substeps,
+                    sde_method=sde_method))
+            else:
+                parts.append(chi_of_theta(
+                    specs[k], obs_list[k], th_k, y0_list[k],
+                    times_list[k], method=method,
+                    substeps=substeps_list[k]))
+        parts = jnp.stack(parts)
+        return jnp.sum(parts), parts
+
+    def step_fn(adapting):
+        def step(carry: _PMCarry, it):
+            key, k_eps, k_u, k_pf = jax.random.split(carry.key, 4)
+            std = rwalk_std * (jnp.exp(carry.log_scale)
+                               if use_adapt else 1.0)
+            eps = std * jax.random.normal(
+                k_eps, carry.log_theta.shape, carry.log_theta.dtype)
+            prop = carry.log_theta + eps * walk_mask
+            chi_n, parts_n = total_chi(jnp.exp(prop), k_pf)
+            # pseudo-marginal: the incumbent's estimate stays FROZEN in
+            # the carry between acceptances (PMMH exactness argument)
+            log_ratio = carry.chi - chi_n
+            if use_priors:
+                log_ratio = log_ratio + (
+                    prior_logpdf(jnp.exp(prop))
+                    - prior_logpdf(jnp.exp(carry.log_theta)))
+            u = jax.random.uniform(k_u, dtype=carry.chi.dtype)
+            accept = jnp.exp(log_ratio) > u     # NaN -> rejected
+            a = accept.astype(carry.chi.dtype)
+            ls = carry.log_scale
+            if adapting and use_adapt:
+                ls = ls + adapt_rate * (a - target_accept)
+            new = _PMCarry(
+                log_theta=jnp.where(accept, prop, carry.log_theta),
+                chi=jnp.where(accept, chi_n, carry.chi),
+                parts=jnp.where(accept, parts_n, carry.parts),
+                acc=carry.acc + a, key=key, log_scale=ls)
+            rec = (jnp.exp(new.log_theta), new.chi, new.parts,
+                   new.acc / it.astype(new.chi.dtype))
+            return new, rec
+
+        return step
+
+    def one_chain(th0, key):
+        key, k0 = jax.random.split(key)
+        chi0, parts0 = total_chi(th0, k0)
+        carry = _PMCarry(log_theta=jnp.log(th0), chi=chi0, parts=parts0,
+                         acc=jnp.asarray(0.0, th0.dtype), key=key,
+                         log_scale=jnp.asarray(0.0, th0.dtype))
+        its = jnp.arange(1, nits, dtype=jnp.int32)
+        carry, _ = jax.lax.scan(
+            lambda c, it: (step_fn(True)(c, it)[0], None),
+            carry, its[:burnin])
+        # recording phase runs the frozen kernel (valid MH kernel; no
+        # diminishing-adaptation argument needed — samplers/pf.py)
+        _, recs = jax.lax.scan(step_fn(False), carry, its[burnin:])
+        return recs
+
+    return jax.vmap(one_chain)(theta0, keys)
+
+
+def joint_pmmh(specs: Tuple, idx_maps: Tuple[Tuple[int, ...], ...],
+               obs_list, times_list, y0_list, theta0, keys, *,
+               stoch_blocks, nits: int = 1000,
+               burnin: Optional[int] = None, walk_mask=None,
+               rwalk_std: float = 0.05, prior_logpdf=None,
+               use_priors: bool = False, method: str = "fixed_dopri5",
+               substeps=4, substeps_list=None, n_particles: int = 128,
+               sde_substeps: int = 4, sde_method: str = "euler",
+               adapt_proposal: bool = False, target_accept: float = 0.3,
+               adapt_rate: float = 0.05) -> JointOutput:
+    """Joint particle-marginal MH over K experiments, any mix of
+    deterministic and stochastic (``diffusion=``) models.
+
+    The joint acceptance ratio sums exact chi terms for deterministic
+    experiments with unbiased bootstrap-particle-filter estimates for
+    stochastic ones — the product of an exact likelihood and unbiased
+    estimates is an unbiased estimate of the joint likelihood, so the
+    pseudo-marginal argument (Andrieu-Doucet-Holenstein 2010) applies
+    unchanged: the chain targets the exact joint posterior.
+    ``stoch_blocks[k]`` is :func:`~odelib_tpu.samplers.pf.obs_blocks` of
+    experiment k's HOST ObsData for stochastic experiments, None for
+    deterministic ones (which score through ``obs_list[k]`` as usual).
+    ``adapt_proposal`` Robbins-Monro-adapts a per-chain proposal-scale
+    multiplier toward ``target_accept`` during burn-in only.
+    Reference: has no stochastic models and no cross-experiment
+    structure at all (/root/reference/ODElib/Framework.py:946-1061 runs
+    each dataset through its own framework).
+    """
+    if burnin is None:
+        burnin = int(nits / 2)
+    if nits - 1 <= burnin:
+        raise ValueError(f"nits={nits} leaves no recorded iterations "
+                         f"after burnin={burnin}")
+    theta0 = jnp.atleast_2d(theta0)
+    D = theta0.shape[-1]
+    if walk_mask is None:
+        walk_mask = jnp.ones((D,), theta0.dtype)
+    walk_mask = jnp.asarray(walk_mask, theta0.dtype)
+    if use_priors and prior_logpdf is None:
+        raise ValueError("use_priors=True requires prior_logpdf")
+    specs = tuple(specs)
+    idx_maps = _normalize_idx_maps(specs, idx_maps, D)
+    stoch_blocks = tuple(stoch_blocks)
+    if len(stoch_blocks) != len(specs):
+        raise ValueError("stoch_blocks needs one entry per experiment")
+    for s, b in zip(specs, stoch_blocks):
+        if (b is not None) != (s.diffusion is not None):
+            raise ValueError("stoch_blocks entries must be observation "
+                             "plans exactly for the diffusion= specs")
+    if not any(b is not None for b in stoch_blocks):
+        raise ValueError("no stochastic experiment; use "
+                         "joint_metropolis_hastings")
+
+    theta_s, chi_s, parts_s, ar_s = _joint_pmmh_impl(
+        specs, idx_maps, tuple(obs_list), tuple(times_list),
+        tuple(y0_list), theta0, keys, walk_mask,
+        nits=int(nits), burnin=int(burnin), rwalk_std=float(rwalk_std),
+        prior_logpdf=prior_logpdf, use_priors=bool(use_priors),
+        method=method,
+        substeps_list=_normalize_substeps_list(substeps, substeps_list,
+                                               len(specs)),
+        stoch_blocks=stoch_blocks, n_particles=int(n_particles),
+        sde_substeps=int(sde_substeps), sde_method=str(sde_method),
+        use_adapt=bool(adapt_proposal),
+        target_accept=float(target_accept),
+        adapt_rate=float(adapt_rate))
+    iterations = jnp.arange(1, nits)[burnin:]
+    return JointOutput(theta=theta_s, chi=chi_s, chi_parts=parts_s,
+                       acceptance_ratio=ar_s, iteration=iterations)
+
+
 def joint_metropolis_hastings(
         specs: Tuple, idx_maps: Tuple[Tuple[int, ...], ...],
         obs_list, times_list, y0_list, theta0, keys, *,

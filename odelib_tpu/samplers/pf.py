@@ -210,7 +210,12 @@ def particle_filter_chi(spec: ModelSpec, blocks, times, y0, theta, key, *,
         pos = (jnp.arange(K, dtype=dtype) + u) / float(K) * cum[-1]
         if return_filtered:
             filtered.append(jnp.sum(post * w[:, None], axis=0))
-        sel = ((pos[:, None] >= (cum - w)[None, :])
+        # lower edge = exact shifted cumsum (cum[j-1]), not cum - w: in
+        # f32 cum[j] - w[j] != cum[j-1] by an ulp, so intervals could
+        # overlap (row with two ones -> summed particle) or gap (zeroed
+        # particle). The shifted cumsum tiles [0, cum[-1]) exactly.
+        cumprev = jnp.concatenate([jnp.zeros((1,), dtype), cum[:-1]])
+        sel = ((pos[:, None] >= cumprev[None, :])
                & (pos[:, None] < cum[None, :])).astype(dtype)
         parts = sel @ parts
     chi_hat = -loglik

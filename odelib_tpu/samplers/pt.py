@@ -437,9 +437,16 @@ def tune_ladder(spec: ModelSpec, obs: ObsData, times, y0_base, theta0,
                     use_priors=use_priors, method=method, rtol=rtol,
                     atol=atol, max_steps=max_steps, substeps=substeps)
     acc = float("nan")
+    temps = (1.0,) + tuple(float(np.exp(lr) ** k)
+                           for k in range(n_temps))[1:]
     for rd in range(int(max_rounds)):
-        temps = tuple(float(np.exp(lr) ** k) for k in range(n_temps))
-        temps = (1.0,) + temps[1:]
+        # evaluate the CURRENT ladder; `temps` always holds the ladder
+        # the returned `acc` was measured at — when the loop exits by
+        # max_rounds we return this evaluated pair, never a
+        # bisected-but-unmeasured ladder (the (temps, acc) pair must be
+        # consistent).
+        temps = (1.0,) + tuple(float(np.exp(lr) ** k)
+                               for k in range(n_temps))[1:]
         _, swap_rate = parallel_tempering(
             spec, obs, times, y0_base, theta0, keys,
             temperatures=temps, **pilot_kw)
@@ -455,5 +462,4 @@ def tune_ladder(spec: ModelSpec, obs: ObsData, times, y0_base, theta0,
         else:
             hi = lr
         lr = 0.5 * (lo + hi)
-    temps = tuple(float(np.exp(lr) ** k) for k in range(n_temps))
-    return (1.0,) + temps[1:], acc
+    return temps, acc

@@ -73,15 +73,22 @@ def test_supported_probe(gbm_ssm):
     assert sde_supports_tiles(spec)
     assert pmmh_supported(spec, 128, "euler")
     assert not pmmh_supported(spec, 100, "euler")   # not multiple of 8
-    assert not pmmh_supported(spec, 128, "milstein")
+    # r5: milstein in-kernel and particle planes beyond 128 sublanes
+    assert pmmh_supported(spec, 128, "milstein")
+    assert pmmh_supported(spec, 256, "milstein")
+    assert pmmh_supported(spec, 512, "euler")
+    assert not pmmh_supported(spec, 520, "euler")   # above the VMEM cap
+    assert not pmmh_supported(spec, 128, "srk")     # unknown method
     det = make_spec(lambda t, y, ps: jnp.stack([ps[0] * y[0]]),
                     ("mu",), ("N",))
     assert not pmmh_supported(det, 128, "euler")
 
 
-def test_fused_pmmh_matches_exact_posterior(gbm_ssm):
+@pytest.mark.parametrize("sde_method", ["euler", "milstein"])
+def test_fused_pmmh_matches_exact_posterior(gbm_ssm, sde_method):
     """Prior-aware fused PMMH recovers the exact (grid-Kalman) posterior
-    over log mu within Monte-Carlo + Euler-discretization slack."""
+    over log mu within Monte-Carlo + discretization slack (both in-kernel
+    SDE methods)."""
     spec, obs, times, kalman_ll = gbm_ssm
     PRI_MU, PRI_SD = np.log(MU), 0.5
     grid = np.linspace(PRI_MU - 3, PRI_MU + 3, 601)
@@ -99,6 +106,7 @@ def test_fused_pmmh_matches_exact_posterior(gbm_ssm):
     out = pmmh_fused(spec, obs, times, np.array([2.0], np.float32), th0,
                      seed=3, nits=500, burnin=250, rwalk_std=0.3,
                      n_particles=64, substeps=2, priors=pri,
+                     sde_method=sde_method,
                      adapt_proposal=True, interpret=True)
     z = np.log(np.asarray(out.theta)[:, :, 0]).ravel()
     assert np.isfinite(np.asarray(out.chi)).all()
@@ -127,14 +135,19 @@ def test_fused_pmmh_deterministic(gbm_ssm):
                                   np.arange(21, 40))
 
 
-def test_fused_pmmh_sharded_matches_unsharded(gbm_ssm):
+@pytest.mark.parametrize("n_particles,sde_method", [(8, "euler"),
+                                                    (136, "milstein")])
+def test_fused_pmmh_sharded_matches_unsharded(gbm_ssm, n_particles,
+                                              sde_method):
     """RNG streams keyed on the GLOBAL tile index: mesh-sharded == single
-    device, bitwise."""
+    device, bitwise — including the r5 envelope (>128-sublane particle
+    planes, in-kernel Milstein)."""
     spec, obs, times, _ = gbm_ssm
     C = 8 * 128
     rng = np.random.default_rng(2)
     th0 = np.exp(rng.normal(np.log(MU), 0.2, (C, 1))).astype(np.float32)
-    kw = dict(seed=4, nits=13, burnin=4, rwalk_std=0.2, n_particles=8,
+    kw = dict(seed=4, nits=13, burnin=4, rwalk_std=0.2,
+              n_particles=n_particles, sde_method=sde_method,
               substeps=1, interpret=True)
     ref = pmmh_fused(spec, obs, times, np.array([2.0], np.float32), th0,
                      **kw)
@@ -153,9 +166,12 @@ def test_fused_pmmh_validation(gbm_ssm):
     with pytest.raises(ValueError, match="multiple of 8"):
         pmmh_fused(spec, obs, times, np.array([2.0]), th0, seed=0,
                    n_particles=100, interpret=True)
-    with pytest.raises(ValueError, match="Euler"):
+    with pytest.raises(ValueError, match="multiple of 8"):
         pmmh_fused(spec, obs, times, np.array([2.0]), th0, seed=0,
-                   sde_method="milstein", interpret=True)
+                   n_particles=1024, interpret=True)   # above the cap
+    with pytest.raises(ValueError, match="Euler-Maruyama or Milstein"):
+        pmmh_fused(spec, obs, times, np.array([2.0]), th0, seed=0,
+                   sde_method="srk", interpret=True)
     det = make_spec(lambda t, y, ps: jnp.stack([ps[0] * y[0]]),
                     ("mu",), ("N",))
     with pytest.raises(ValueError, match="diffusion"):
@@ -203,10 +219,11 @@ def test_mcmc_pmmh_pallas_backend_end_to_end():
         assert col in post.columns
     post_x = m.MCMC(backend="xla", **kw)
     assert len(post_x) == len(post)
-    # milstein is XLA-only: pallas must refuse loudly, auto must run
-    with pytest.raises(ValueError, match="pallas"):
-        m.MCMC(backend="pallas", pallas_interpret=True,
-               sde_method="milstein", **kw)
+    # r5: milstein runs in-kernel on the pallas backend too
+    post_m = m.MCMC(backend="pallas", pallas_interpret=True,
+                    sde_method="milstein", **kw)
+    assert len(post_m) == len(post)
+    assert np.isfinite(post_m["chi"]).all()
 
 
 def test_fused_pmmh_checkpoint_bitwise_and_resume(gbm_ssm, tmp_path):

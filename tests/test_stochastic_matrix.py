@@ -148,7 +148,29 @@ def test_information_criteria_warns(sde_model):
                                        print_report=False)
 
 
-def test_jointfit_refuses_stochastic_experiments(sde_model):
-    with pytest.raises(NotImplementedError, match="diffusion"):
-        odelib_tpu.JointFit({"a": sde_model, "b": sde_model.copy()},
-                            shared=["r"])
+def test_jointfit_accepts_stochastic_experiments(sde_model):
+    """r5: JointFit routes stochastic experiments through joint PMMH
+    (recovery test: tests/test_joint.py::test_joint_pmmh_*); gradient
+    surfaces keep the refuse-unless-drift_only policy."""
+    jf = odelib_tpu.JointFit({"a": sde_model, "b": sde_model.copy()},
+                             shared=["r"])
+    post = jf.MCMC(chain_inits=2, iterations_per_chain=10,
+                   fitsurvey_samples=16, n_particles=8, sde_substeps=1,
+                   print_report=False)
+    assert len(post) > 0
+    assert np.isfinite(post["chi"]).all()
+    assert {"chi:a", "chi:b"} <= set(post.columns)
+    with pytest.raises(ValueError, match="drift_only"):
+        jf.fit_map(starts=2, steps=2)
+    with pytest.raises(ValueError, match="drift_only"):
+        jf.fit_advi(steps=2, n_mc=2, draws=4)
+    with pytest.raises(ValueError, match="hmc"):
+        jf.MCMC(sampler="hmc", chain_inits=2, iterations_per_chain=10,
+                fitsurvey_samples=16, print_report=False)
+    with pytest.raises(ValueError, match="pallas"):
+        jf.MCMC(backend="pallas", chain_inits=2, iterations_per_chain=10,
+                fitsurvey_samples=16, print_report=False)
+    with pytest.raises(ValueError, match="checkpoint"):
+        jf.MCMC(chain_inits=2, iterations_per_chain=10,
+                fitsurvey_samples=16, checkpoint_every=5,
+                checkpoint_path="/tmp/x.npz", print_report=False)
