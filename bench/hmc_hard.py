@@ -12,13 +12,15 @@ import numpy as np
 
 
 def demo_data_source():
-    """Which dataset build_hard_problem will use ('reference' | 'synthetic')."""
+    """Which dataset build_hard_problem will use: 'committed' (the
+    package's own odelib_tpu/demodata.csv — the default since r5, when
+    the regenerated dataset made the one_i hard posterior identifiable)
+    or an explicit ODELIB_DEMODATA override path (e.g. the reference's
+    real lab data, when mounted)."""
     import os
     if os.environ.get("ODELIB_DEMODATA"):
         return os.environ["ODELIB_DEMODATA"]
-    if os.path.exists("/root/reference/demo/demodata.csv"):
-        return "reference"
-    return "synthetic"
+    return "committed"
 
 
 def build_hard_problem(seed=0):
@@ -45,21 +47,16 @@ def build_hard_problem(seed=0):
 
     import pandas as pd
 
-    # Workload data: this row's posterior geometry is data-sensitive —
-    # on the committed SYNTHETIC dataset the one_i fit has a practically
-    # unidentified lam-I10 ridge (every sampler's chains freeze at
-    # different lam values; split-R-hat ~7 at any benched budget), so
-    # the HMC-vs-MH efficiency comparison is only meaningful on the
-    # reference's real lab data. Use it via the documented
-    # ODELIB_DEMODATA override when the reference checkout is mounted;
-    # callers should surface WHICH dataset ran (demo_data_source()).
+    # Workload data: the COMMITTED synthetic dataset by default — the r5
+    # regeneration (examples/make_demodata.py, nonzero I10 + resolvable
+    # latent period) made the one_i hard posterior identifiable from a
+    # fresh clone (pilot: max split R-hat 1.009, 0 frozen chains at 96
+    # wide-seeded chains x 4096 iterations). ODELIB_DEMODATA still
+    # overrides (e.g. the reference's real lab data when mounted);
+    # callers surface WHICH dataset ran via demo_data_source().
     from odelib_tpu.data import load_demo_dataframe
 
-    ref = "/root/reference/demo/demodata.csv"
-    if not os.environ.get("ODELIB_DEMODATA") and os.path.exists(ref):
-        df = pd.read_csv(ref).replace({"host": "H", "virus": "V"})
-    else:
-        df = load_demo_dataframe(host="H", virus="V")
+    df = load_demo_dataframe(host="H", virus="V")
 
     ln = scipy.stats.lognorm
     fw = odelib_tpu.ModelFramework(

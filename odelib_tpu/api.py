@@ -687,8 +687,46 @@ class ModelFramework(InferenceMixin):
     # ------------------------------------------------------------------
     # integration (Framework.py:622-683)
     # ------------------------------------------------------------------
+    # interactive workloads at or below this many chains/solves run
+    # faster on the host than across a remote-tunnel accelerator
+    # dispatch (~30-50 ms round trip, BASELINE.md): route them to
+    # XLA-CPU automatically (VERDICT r4 push item 6)
+    _HOST_ROUTE_MAX_BATCH = 4
+
+    def _route_to_host(self, route, batch, backend="auto",
+                       pallas_interpret=False):
+        """Decide whether this call executes on the host (XLA-CPU).
+
+        ``route='host'`` forces it; ``'device'`` forbids it; ``'auto'``
+        routes when (a) the default backend is an accelerator, (b) the
+        workload is at most ``_HOST_ROUTE_MAX_BATCH`` lanes — below the
+        remote-dispatch latency floor — and (c) the caller did not pin
+        the fused kernel (``backend='pallas'`` / ``pallas_interpret``).
+        The decision is recorded in ``self._last_route`` and surfaced in
+        the fitting report."""
+        if route not in ("auto", "device", "host"):
+            raise ValueError(f"route must be 'auto', 'device' or "
+                             f"'host', got {route!r}")
+        if route == "device":
+            return False
+        try:
+            cpu_ok = len(jax.devices("cpu")) > 0
+        except Exception:
+            cpu_ok = False
+        if route == "host":
+            if not cpu_ok:
+                raise ValueError("route='host' requires a JAX CPU "
+                                 "platform (none is initialized)")
+            return True
+        return (cpu_ok
+                and jax.default_backend() not in ("cpu",)
+                and backend != "pallas"
+                and not pallas_interpret
+                and int(batch) <= self._HOST_ROUTE_MAX_BATCH)
+
     def integrate(self, inits=None, parameters=None, predict_obs=False,
-                  as_dataframe=True, sum_subpopulations=True, **solver_kw):
+                  as_dataframe=True, sum_subpopulations=True,
+                  route="auto", **solver_kw):
         if inits is None:
             initials = self.get_inits()
         else:
@@ -701,12 +739,24 @@ class ModelFramework(InferenceMixin):
             theta = self._spec.pack_theta(list(parameters))
 
         dtype = jnp.result_type(float)
-        ys = _integrate_jit(self._spec, jnp.asarray(theta, dtype),
-                            jnp.asarray(initials, dtype),
-                            jnp.asarray(self.times, dtype),
-                            *self._solver_args(
-                                solver_kw, len(self.times) - 1))
-        mod = np.asarray(ys)
+        # a single interactive solve is latency-bound: on a remote
+        # accelerator it pays the tunnel round trip, so route='auto'
+        # compiles and runs the SAME jitted program on the host CPU
+        # (Framework.py:622-683 is the reference's zero-setup loop)
+        import contextlib
+        if self._route_to_host(route, 1):
+            self._last_route = "host"
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        else:
+            self._last_route = "device"
+            ctx = contextlib.nullcontext()
+        with ctx:
+            ys = _integrate_jit(self._spec, jnp.asarray(theta, dtype),
+                                jnp.asarray(initials, dtype),
+                                jnp.asarray(self.times, dtype),
+                                *self._solver_args(
+                                    solver_kw, len(self.times) - 1))
+            mod = np.asarray(ys)
 
         if sum_subpopulations and self._spec.sum_matrix is not None:
             mod = mod @ np.asarray(self._spec.sum_matrix)
@@ -1223,7 +1273,7 @@ class ModelFramework(InferenceMixin):
              adapt_proposal=None, adapt_rate=0.05,
              until_rhat=None, until_min_ess=None, max_extensions=8,
              profile=False, pallas_interpret=False, pallas_tile_chains=None,
-             **solver_kw):
+             route="auto", **solver_kw):
         """Markov Chain Monte Carlo over vmapped+mesh-sharded chains.
 
         Same signature and returned DataFrame as the reference
@@ -1345,9 +1395,10 @@ class ModelFramework(InferenceMixin):
           EXACT posterior under process noise (Andrieu-Doucet-Holenstein
           2010). On TPU the whole loop (proposal, filter, in-kernel
           systematic resampling, accept) runs as ONE fused Pallas
-          dispatch when eligible (euler, n_particles a multiple of 8 up
-          to 128 — ops/pallas_pf.py; backend='pallas'/'xla' force the
-          choice); otherwise all chains x particles run as one vmapped
+          dispatch when eligible (euler or milstein, n_particles a
+          multiple of 8 up to 512 — ops/pallas_pf.py; backend='pallas'/
+          'xla' force the choice); otherwise all chains x particles run
+          as one vmapped
           XLA program (samplers/pf.py). Chain seeding still uses the
           drift-only deterministic survey (a pre-screen, not part of
           the target). The ``rsquared`` column is NaN by design —
@@ -1364,6 +1415,41 @@ class ModelFramework(InferenceMixin):
           the recorded phase; disable with ``adapt_proposal=False``
           (``adapt_rate`` is the Robbins-Monro gain).
         """
+        # Tiny-workload host routing (VERDICT r4 push item 6): a handful
+        # of chains cannot amortize the remote-accelerator dispatch
+        # floor (~30-50 ms/call through the tunnel, BASELINE.md), so
+        # route='auto' re-enters this method with every argument intact
+        # under jax.default_device(CPU) and backend='xla' — the same
+        # samplers compile for the host. route='device' forces the
+        # accelerator; route='host' forces the CPU path.
+        _n_req0 = chain_inits if isinstance(chain_inits, int) \
+            else len(chain_inits)
+        if route != "device" and self._route_to_host(
+                route, _n_req0, backend=backend,
+                pallas_interpret=pallas_interpret):
+            if backend == "pallas" and not pallas_interpret:
+                raise ValueError(
+                    "route='host' cannot run the fused (pallas) backend "
+                    "— use backend='xla' (or pallas_interpret=True)")
+            kw = {k: v for k, v in locals().items()
+                  if k not in ("self", "route", "_n_req0", "solver_kw")}
+            kw.update(solver_kw)
+            kw["backend"] = "xla" if backend == "auto" else backend
+            from .utils.profiling import get_logger
+            get_logger().info(
+                "MCMC: %d-chain workload routed to the host XLA-CPU "
+                "path (route='device' forces the accelerator)", _n_req0)
+            with jax.default_device(jax.devices("cpu")[0]):
+                out = self.MCMC(route="device", **kw)
+            self._last_route = "host"
+            return out
+        _dd = jax.config.jax_default_device
+        self._last_route = ("host" if (_dd is not None
+                                       and getattr(_dd, "platform", None)
+                                       == "cpu"
+                                       and jax.default_backend() != "cpu")
+                            else "device")
+
         from .utils.profiling import StageTimer
         timer = StageTimer() if profile else None
         _t0 = time.perf_counter()
@@ -1450,10 +1536,12 @@ class ModelFramework(InferenceMixin):
                 and mosaic_supported()
                 and method in ("dopri5", "rk4", "kvaerno3")
                 and (not use_priors or pallas_priors is not None)
-                # censored observations compile in-kernel (erf-based
-                # Tobit) for the lognormal model only
+                # censored observations compile in-kernel for the
+                # lognormal (erf-based Tobit) and student-t
+                # (incomplete-beta CF) models; censored COUNTS stay XLA
                 and (self._obsdata_fit_host.censor is None
-                     or self._spec.obs_model == "lognormal")
+                     or self._spec.obs_model in ("lognormal",
+                                                 "student_t"))
                 # array parameters run fused when the RHS traces in the
                 # tiled layout (elementwise indexing); else XLA
                 and rhs_supports_tiles(self._spec)
@@ -1702,6 +1790,11 @@ class ModelFramework(InferenceMixin):
             report.append("\nMedian parameter fit stats:")
             report.append(f"\tChi = {fs['Chi']:0.3e}\n\tR-squared = "
                           f"{fs['R^2']:0.3e}\n\tAIC = {fs['AIC']:0.3e}")
+            if getattr(self, "_last_route", "device") == "host":
+                report.append(
+                    "\nexecution: host (XLA-CPU) — workload below the "
+                    "remote-accelerator dispatch floor was auto-routed; "
+                    "pass route='device' to force the accelerator")
             print("\n".join(report))
         if timer is not None:
             timer.times["postprocess"] = time.perf_counter() - _t0

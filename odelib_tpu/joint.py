@@ -925,10 +925,11 @@ class JointFit:
                 # traces in the tiled layout (elementwise indexing)
                 and all(rhs_supports_tiles(fw._spec)
                         for fw in self.frameworks.values())
-                # censored observations compile in-kernel only for the
-                # lognormal model (erf-based Tobit; pallas_mh._build_plan)
+                # censored observations compile in-kernel for the
+                # lognormal and student-t models (pallas_mh._build_plan)
                 and all(fw._obsdata_fit_host.censor is None
-                        or fw._spec.obs_model == "lognormal"
+                        or fw._spec.obs_model in ("lognormal",
+                                                  "student_t")
                         for fw in self.frameworks.values())
             ) else "xla"
         if checkpoint_every is not None and checkpoint_path is None:

@@ -39,6 +39,13 @@ class ODESolution(NamedTuple):
     # calibration (ops/schedule.py): diff(accepted_at) is the per-interval
     # work the adaptive controller actually needed.
     accepted_at: Any = None
+    # (K,) end times of the first K accepted steps (only when
+    # ``record_step_times=K`` was passed — entries past the accepted
+    # count are garbage; slice with num accepted from ``accepted_at[-1]``).
+    # Feeds ops/schedule.auto_stiff_grid: the adaptive controller's own
+    # step placement becomes the static grid of the batched fixed-step
+    # fast path.
+    step_times: Any = None
 
 
 def _rms_norm(x):
@@ -67,7 +74,8 @@ def _initial_step(func, t0, y0, f0, args, rtol, atol, direction):
 
 
 def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
-                max_steps=4096, method="dopri5", h0=None, dose=None):
+                max_steps=4096, method="dopri5", h0=None, dose=None,
+                record_step_times=0):
     """Integrate dy/dt = func(t, y, args) and report y at every time in ts.
 
     Parameters mirror ``scipy.integrate.odeint`` semantics where they overlap:
@@ -90,10 +98,14 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
     present the solver steps exactly TO each output point (an impulse
     invalidates any dense polynomial spanning it) and re-evaluates the RHS
     after each addition.
+
+    ``record_step_times=K`` (static int) additionally records the end
+    times of the first K accepted steps into ``ODESolution.step_times``
+    — the input to :func:`odelib_tpu.ops.schedule.auto_stiff_grid`.
     """
     if method == "auto":
         kw = dict(args=args, rtol=rtol, atol=atol, max_steps=max_steps,
-                  dose=dose)
+                  dose=dose, record_step_times=record_step_times)
         sol_d = odeint_grid(func, y0, ts, method="dopri5", h0=h0, **kw)
         return jax.lax.cond(
             sol_d.ok, lambda: sol_d,
@@ -126,7 +138,9 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
         nsteps: Any
         nacc: Any
         ok: Any
+        step_ts: Any   # (K,) accepted-step end times, or (0,) when off
 
+    K_rec = int(record_step_times)
     carry0 = Carry(
         t=ts[0], y=y0, f=f0, h=h_init,
         t_prev=ts[0], h_prev=jnp.asarray(1.0, dtype),
@@ -134,6 +148,7 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
         nsteps=jnp.asarray(0, jnp.int32),
         nacc=jnp.asarray(0, jnp.int32),
         ok=jnp.asarray(True),
+        step_ts=jnp.full((K_rec,), jnp.nan, dtype),
     )
 
     # Implicit (stiff) steppers take steps spanning many output intervals,
@@ -169,7 +184,17 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
         # Step-size underflow => the lane is stuck (stiff blow-up): fail it.
         still_ok = c.ok & (h_next > tiny) & jnp.isfinite(h_next)
 
+        if K_rec:
+            step_ts = jnp.where(
+                accept,
+                c.step_ts.at[jnp.minimum(c.nacc, K_rec - 1)].set(
+                    c.t + h_try),
+                c.step_ts)
+        else:
+            step_ts = c.step_ts
+
         return Carry(
+            step_ts=step_ts,
             t=jnp.where(accept, c.t + h_try, c.t),
             y=jnp.where(accept, y_new, c.y),
             f=jnp.where(accept, f_new, c.f),
@@ -212,7 +237,8 @@ def odeint_grid(func, y0, ts, args=(), *, rtol=1e-7, atol=1e-9,
     accepted_at = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), acc_tail], axis=0)
     return ODESolution(ys=ys, ok=carry.ok, num_steps=carry.nsteps,
-                       accepted_at=accepted_at)
+                       accepted_at=accepted_at,
+                       step_times=carry.step_ts if K_rec else None)
 
 
 def odeint_fixed(func, y0, ts, args=(), *, substeps=1, method="rk4",
@@ -327,3 +353,88 @@ def odeint_fixed(func, y0, ts, args=(), *, substeps=1, method="rk4",
     ok = jnp.all(jnp.isfinite(ys))
     return ODESolution(ys=ys, ok=ok, num_steps=jnp.asarray(
         substeps * (ts.shape[0] - 1), jnp.int32))
+
+
+import functools as _functools
+
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=256)
+def _batch_solver(func, method, rtol, atol, max_steps, y0_batched):
+    """Jitted vmapped single-method solver, cached per (func, config) so
+    repeated odeint_grid_batch calls don't re-trace."""
+    in_axes = (0 if y0_batched else None, None, 0)
+
+    def solve(y0, ts, args):
+        return odeint_grid(func, y0, ts, args, rtol=rtol, atol=atol,
+                           max_steps=max_steps, method=method)
+
+    return jax.jit(jax.vmap(solve, in_axes=in_axes))
+
+
+def odeint_grid_batch(func, y0, ts, args_batch, *, rtol=1e-7, atol=1e-9,
+                      max_steps=4096, method="auto", probe_max_steps=None,
+                      stiff_method="kvaerno5"):
+    """Batched adaptive solve with TWO-PASS partitioned stiff fallback.
+
+    ``method='auto'`` under plain ``vmap`` pays for BOTH the explicit and
+    the implicit solve on every lane (the ``lax.cond`` lowers to a
+    select — :func:`odeint_grid` docstring). This host-side driver keeps
+    auto semantics at near-oracle cost for standalone batch sweeps:
+
+    1. solve every lane with explicit Dopri5, with a bounded probe
+       budget (``probe_max_steps``, default ``min(max_steps, 512)`` step
+       ATTEMPTS — stiffness shows up as step-size collapse long before a
+       non-stiff lane needs that many);
+    2. read back the per-lane ok flags (one device->host sync — this is
+       a standalone batch API, not an inner jit region);
+    3. re-batch ONLY the failed lanes — compacted and padded to the next
+       power of two so at most log2(N) shapes ever compile — through the
+       L-stable ``stiff_method``, and scatter the results back.
+
+    A genuinely non-stiff lane that merely exceeds the probe budget is
+    still solved correctly (the implicit pass is adaptive too — only its
+    cost differs). ``args_batch`` is a pytree whose leaves carry a
+    leading batch axis; ``y0`` is ``(S,)`` shared or ``(N, S)``
+    per-lane. Returns a batched :class:`ODESolution` (leading axis N).
+    LSODA auto-switching counterpart:
+    ``/root/reference/ODElib/Framework.py:4,656``.
+    """
+    ts = jnp.asarray(ts)
+    y0 = jnp.asarray(y0)
+    y0_b = y0.ndim == 2
+    leaves = jax.tree_util.tree_leaves(args_batch)
+    if not leaves:
+        raise ValueError("args_batch must have at least one batched leaf")
+    N = leaves[0].shape[0]
+    if method != "auto":
+        sol = _batch_solver(func, method, float(rtol), float(atol),
+                            int(max_steps), y0_b)(y0, ts, args_batch)
+        return sol._replace(accepted_at=None, step_times=None)
+
+    probe = int(min(max_steps, 512) if probe_max_steps is None
+                else probe_max_steps)
+    fast = _batch_solver(func, "dopri5", float(rtol), float(atol),
+                         probe, y0_b)(y0, ts, args_batch)
+    ok = _np.asarray(fast.ok)
+    if ok.all():
+        return fast._replace(accepted_at=None, step_times=None)
+
+    idx = _np.where(~ok)[0]
+    n_f = len(idx)
+    pad = 1 << int(_np.ceil(_np.log2(max(n_f, 1))))
+    idx_p = _np.concatenate([idx, _np.full(pad - n_f, idx[-1], idx.dtype)])
+    take = lambda a: jnp.asarray(a)[jnp.asarray(idx_p)]
+    stiff = _batch_solver(func, stiff_method, float(rtol), float(atol),
+                          int(max_steps), True)(
+        y0[jnp.asarray(idx_p)] if y0_b
+        else jnp.broadcast_to(y0, (pad,) + y0.shape),
+        ts, jax.tree_util.tree_map(take, args_batch))
+
+    sel = jnp.asarray(idx)
+    ys = jnp.asarray(fast.ys).at[sel].set(jnp.asarray(stiff.ys)[:n_f])
+    okj = jnp.asarray(fast.ok).at[sel].set(jnp.asarray(stiff.ok)[:n_f])
+    ns = jnp.asarray(fast.num_steps).at[sel].add(
+        jnp.asarray(stiff.num_steps)[:n_f])
+    return ODESolution(ys=ys, ok=okj, num_steps=ns)

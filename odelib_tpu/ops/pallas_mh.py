@@ -355,14 +355,17 @@ def _build_plan(spec: ModelSpec, obs: ObsData, times, substeps):
     abund = np.asarray(obs.abundance, np.float64)
     censor = (np.zeros(len(log_ab), np.int32) if obs.censor is None
               else np.asarray(obs.censor, np.int32))
-    if censor.any() and spec.obs_model != "lognormal":
-        # -log CDF of the count/t models needs gammainc/betainc, which have
-        # no Mosaic-safe elementwise form; the framework routes these to
-        # the XLA sampler (api.MCMC backend='auto' mirrors this check)
+    if censor.any() and spec.obs_model not in ("lognormal", "student_t"):
+        # -log CDF of the DISCRETE count models needs the regularized
+        # incomplete gamma at a data-dependent integer order; unlike the
+        # t-CDF's incomplete beta (static nu -> fixed-iteration Lentz CF,
+        # _t_logcdf_kernel) there is no Mosaic-safe fixed-shape form, so
+        # the framework routes censored counts to the XLA sampler
+        # (api.MCMC backend='auto' mirrors this check)
         raise ValueError(
             "the fused kernel scores censored observations for "
-            "obs_model='lognormal' only; use the XLA backend for censored "
-            f"{spec.obs_model!r} data")
+            "obs_model='lognormal' and 'student_t' only; use the XLA "
+            f"backend for censored {spec.obs_model!r} data")
 
     # post-summation state j -> tuple of raw-state member indices
     if spec.sum_matrix is not None:
@@ -498,6 +501,69 @@ def _log_ndtr_kernel(z):
                      jnp.where(z > -4.0, log_center, log_tail))
 
 
+def _betacf_kernel(a, b, x, n_iter=40):
+    """Numerical-Recipes continued fraction for the regularized
+    incomplete beta, with FIXED iteration count (no early exit — the
+    loop unrolls at trace time) and only mul/div/where — Mosaic-safe.
+    ``a``/``b`` are static Python floats; valid for
+    ``x < (a+1)/(a+b+2)`` (callers apply the symmetry switch)."""
+    FPMIN = 1e-30
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = jnp.ones_like(x)
+    d = 1.0 - qab * x / qap
+    d = 1.0 / jnp.where(jnp.abs(d) < FPMIN, FPMIN, d)
+    h = d
+    for m in range(1, int(n_iter) + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        d = 1.0 / jnp.where(jnp.abs(d) < FPMIN, FPMIN, d)
+        c = 1.0 + aa / c
+        c = jnp.where(jnp.abs(c) < FPMIN, FPMIN, c)
+        h = h * d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        d = 1.0 / jnp.where(jnp.abs(d) < FPMIN, FPMIN, d)
+        c = 1.0 + aa / c
+        c = jnp.where(jnp.abs(c) < FPMIN, FPMIN, c)
+        h = h * d * c
+    return h
+
+
+def _t_logcdf_kernel(z, nu):
+    """Mosaic-safe log CDF of the Student-t with STATIC ``nu`` dof —
+    the fused Tobit branch for censored student-t data (r5, VERDICT r4
+    push item 5). Same identity as the XLA path (stats._t_logcdf):
+    ``T(z) = I_x(nu/2, 1/2)/2`` for ``z < 0`` with ``x = nu/(nu+z^2)``,
+    ``1 - I_x/2`` otherwise. The incomplete beta runs as a fixed
+    40-iteration Lentz continued fraction (elementwise only); all
+    beta-function constants fold on host via ``math.lgamma``. Agreement
+    with ``jax.scipy.betainc`` is ~1e-6 relative in f32 across
+    ``nu in [1, 100]`` (tests/test_censored.py). NaN ``z`` (blown-up
+    prediction) propagates through every branch."""
+    import math as _math
+
+    a, b = 0.5 * float(nu), 0.5
+    lbeta = (_math.lgamma(a) + _math.lgamma(b) - _math.lgamma(a + b))
+    thresh = (a + 1.0) / (a + b + 2.0)
+    x = float(nu) / (float(nu) + z * z)          # in (0, 1]
+    # branch A (|z| large, x below the CF threshold): direct series
+    xa = jnp.clip(x, 1e-30, thresh)
+    log_half_A = (a * jnp.log(xa) + b * jnp.log1p(-xa) - _math.log(a)
+                  - lbeta + jnp.log(_betacf_kernel(a, b, xa))
+                  - _math.log(2.0))
+    # branch B (x >= thresh): I_x = 1 - I_{1-x}(b, a)
+    xb = jnp.clip(1.0 - x, 1e-30, 1.0 - thresh * 0.5)
+    J = jnp.exp(b * jnp.log(xb) + a * jnp.log1p(-xb) - _math.log(b)
+                - lbeta) * _betacf_kernel(b, a, xb)
+    log_half_B = jnp.log(0.5 * (1.0 - J))
+    log_half = jnp.where(x < thresh, log_half_A, log_half_B)
+    # NaN z -> x NaN -> picks branch B with NaN: stays non-finite
+    log_half = jnp.where(z == z, log_half, jnp.full_like(z, jnp.nan))
+    return jnp.where(z < 0.0, log_half,
+                     jnp.log1p(-jnp.exp(log_half)))
+
+
 def _make_scorer(spec: ModelSpec, plan: _StaticPlan, y0_base, stepper):
     """Returns score(theta_list) -> (chi, rsq): integrate + score, fully
     unrolled with static obs contributions (the plan's step list already
@@ -529,7 +595,14 @@ def _make_scorer(spec: ModelSpec, plan: _StaticPlan, y0_base, stepper):
             # obs_model is static per spec: exactly one branch compiles
             # (formulas = stats.obs_negloglik with per-obs constants
             # lab/lsig/ab inlined)
-            if obs_model == "student_t":
+            if cen and obs_model == "student_t":
+                # Tobit at a detection limit under the t model (r5):
+                # -log T_nu(z) via the Mosaic-safe incomplete-beta CF
+                z = (lab - jnp.log(pred)) / lsig
+                if cen == 2:
+                    z = -z
+                chi = chi - _t_logcdf_kernel(z, obs_param)
+            elif obs_model == "student_t":
                 t = (lab - jnp.log(pred)) / lsig
                 chi = chi + (0.5 * (obs_param + 1.0)
                              * jnp.log1p(t * t / obs_param))

@@ -53,7 +53,7 @@ from ..model import ModelSpec, ObsData
 from .pallas_mh import (_LANES, _Rng, _assemble_params, _build_plan,
                         _kernel_logpdf, _log_ndtr_kernel,
                         _normalize_substeps, _static_prior,
-                        kernel_priors_supported)
+                        _t_logcdf_kernel, kernel_priors_supported)
 
 _TC = _LANES          # chains per tile = lane count
 
@@ -174,7 +174,12 @@ def _cached_pf_grid(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
         particle planes."""
         for mem, lab, lsig, ab, cen in plan.obs_after[gi]:
             pred = sum(y[m] for m in mem) if len(mem) > 1 else y[mem[0]]
-            if obs_model == "student_t":
+            if cen and obs_model == "student_t":
+                z = (lab - jnp.log(pred)) / lsig
+                if cen == 2:
+                    z = -z
+                chi_b = chi_b - _t_logcdf_kernel(z, obs_param)
+            elif obs_model == "student_t":
                 t = (lab - jnp.log(pred)) / lsig
                 chi_b = chi_b + (0.5 * (obs_param + 1.0)
                                  * jnp.log1p(t * t / obs_param))

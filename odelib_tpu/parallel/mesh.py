@@ -26,8 +26,18 @@ CHAIN_AXIS = "chains"
 
 
 def chain_mesh(devices: Optional[Sequence] = None) -> Mesh:
-    """1-D mesh over all (or the given) devices, axis name 'chains'."""
-    devices = list(devices) if devices is not None else jax.devices()
+    """1-D mesh over all (or the given) devices, axis name 'chains'.
+
+    Respects an active ``jax.default_device`` override (the tiny-workload
+    host routing, :meth:`ModelFramework.MCMC` ``route=``): with a default
+    device set, the mesh spans that device's platform rather than
+    unconditionally ``jax.devices()`` — otherwise a host-routed run would
+    shard its chain batch straight back onto the accelerator."""
+    if devices is None:
+        dd = jax.config.jax_default_device
+        devices = jax.devices(dd.platform) if dd is not None \
+            else jax.devices()
+    devices = list(devices)
     return Mesh(np.asarray(devices), (CHAIN_AXIS,))
 
 

@@ -63,11 +63,11 @@ def test_near_fit_chi_parity(chis):
     chi_oracle, chi_fixed = chis
     near = np.isfinite(chi_oracle) & np.isfinite(chi_fixed) & (
         chi_oracle < 500.0)
-    # the LHS cloud must actually hit the fit region (47 of 1024 prior
-    # draws land under chi<500 on the committed synthetic dataset —
-    # slightly fewer than on the reference's lab data the threshold was
-    # originally tuned against)
-    assert near.sum() >= 40
+    # the LHS cloud must actually hit the fit region (178 of 1024 prior
+    # draws land under chi<500 on the r5 committed synthetic dataset;
+    # the reference's lab data scores 69 — the r4 relaxation to 40 is
+    # reverted, VERDICT r4 push item 1)
+    assert near.sum() >= 50
     rel = np.abs(chi_fixed[near] - chi_oracle[near]) / np.maximum(
         np.abs(chi_oracle[near]), 1.0)
     assert rel.max() < 1e-4, f"near-fit max rel chi err {rel.max():.2e}"
@@ -122,7 +122,7 @@ def test_auto_schedule_matches_uniform4_accuracy(chis):
         substeps=sched))
     near = np.isfinite(chi_oracle) & np.isfinite(chi_auto) & (
         chi_oracle < 500.0)
-    assert near.sum() >= 40
+    assert near.sum() >= 50
     rel = np.abs(chi_auto[near] - chi_oracle[near]) / np.maximum(
         np.abs(chi_oracle[near]), 1.0)
     assert rel.max() < 1e-4, f"auto-sched near-fit max rel err {rel.max():.2e}"

@@ -226,10 +226,29 @@ def test_kernel_log_ndtr_accuracy():
     assert float(_log_ndtr_kernel(jnp.float32(np.inf))) == 0.0
 
 
-def test_fused_kernel_parity_with_censoring():
+def test_kernel_t_logcdf_accuracy():
+    """The Mosaic-safe Student-t log CDF (fixed-iteration Lentz
+    incomplete-beta CF, static nu) must track scipy across dof and the
+    whole working z range, and keep NaN semantics (r5)."""
+    from odelib_tpu.ops.pallas_mh import _t_logcdf_kernel
+    z = np.concatenate([np.linspace(-30, -4, 40),
+                        np.linspace(-4, 8, 50)])
+    for nu in (1.0, 2.5, 4.0, 30.0, 100.0):
+        got = np.asarray(_t_logcdf_kernel(jnp.asarray(z, jnp.float32),
+                                          nu), float)
+        want = ss.t.logcdf(z, nu)
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3,
+                                   err_msg=f"nu={nu}")
+    assert np.isnan(float(_t_logcdf_kernel(jnp.float32(np.nan), 4.0)))
+
+
+@pytest.mark.parametrize("obs_model,obs_param",
+                         [("lognormal", 0.0), ("student_t", 4.0)])
+def test_fused_kernel_parity_with_censoring(obs_model, obs_param):
     df = format_dataframe(_censored_df(), ("A",))
     times = np.linspace(0, 6, 61)
-    spec = make_spec(_decay, ("k",), ("A",))
+    spec = make_spec(_decay, ("k",), ("A",), obs_model=obs_model,
+                     obs_param=obs_param)
     obs_host, _ = build_obsdata_host(df, times, ("A",))
     from odelib_tpu.data import compact_observation_grid
     times_fit, obs_fit_host = compact_observation_grid(obs_host, times)
@@ -244,8 +263,8 @@ def test_fused_kernel_parity_with_censoring():
         jnp.asarray(thetas, jnp.float32), method="fixed_dopri5",
         substeps=4))
     # atol 5e-3: the kernel's Mills-tail log Phi is ~1e-3 nats near its
-    # z = -4 seam (test_kernel_log_ndtr_accuracy); exact points match to
-    # the usual f32 parity
+    # z = -4 seam (test_kernel_log_ndtr_accuracy); the t branch's CF is
+    # ~1e-3 relative in f32; exact points match to the usual f32 parity
     np.testing.assert_allclose(pal, xla, rtol=3e-4, atol=5e-3)
 
 

@@ -3,6 +3,7 @@ support across odeint_fixed and the fused Pallas kernel."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from odelib_tpu import models
@@ -199,3 +200,68 @@ def test_auto_substeps_chi_accuracy_gate(fit_setup):
     rel = np.abs(chi_fix[near] - chi_ora[near]) / np.maximum(chi_ora[near],
                                                              1.0)
     assert rel.max() < 1e-3, f"max rel chi err {rel.max():.2e}"
+
+
+def test_auto_stiff_grid_robertson_accuracy():
+    """r5 (VERDICT push item 2): auto_stiff_grid turns a NAIVE uniform
+    output grid into a pilot-derived graded grid + substep schedule whose
+    batched fixed-Kvaerno3 solve matches high-accuracy LSODA — no
+    hand-chosen geomspace anywhere."""
+    from scipy.integrate import odeint as sodeint
+
+    from odelib_tpu.ops.integrate import odeint_fixed
+    from odelib_tpu.ops.schedule import auto_stiff_grid, schedule_cost
+
+    def rober(t, y, k):
+        k1, k2, k3 = k
+        return jnp.stack([-k1 * y[0] + k3 * y[1] * y[2],
+                          k1 * y[0] - k2 * y[1] ** 2 - k3 * y[1] * y[2],
+                          k2 * y[1] ** 2])
+
+    def rober_np(y, t, kk):
+        return np.array(
+            [-kk[0] * y[0] + kk[2] * y[1] * y[2],
+             kk[0] * y[0] - kk[1] * y[1] ** 2 - kk[2] * y[1] * y[2],
+             kk[1] * y[1] ** 2])
+
+    y0 = jnp.asarray([1.0, 0.0, 0.0])
+    times = np.linspace(0.0, 1e3, 32)         # deliberately naive grid
+    rng = np.random.default_rng(0)
+    pilot = jnp.asarray(np.array([0.04, 3e7, 1e4])
+                        * np.exp(rng.normal(0, 0.1, (6, 3))))
+    grid, sched, oidx = auto_stiff_grid(rober, y0, times, pilot,
+                                        rtol=1e-6, atol=1e-10)
+    # requested outputs survive as grid points (up to the relative
+    # merge tolerance that protects the f32 device cast)
+    np.testing.assert_allclose(np.asarray(grid)[oidx], times, rtol=1e-4)
+    assert len(grid) > len(times)             # pilot added transient nodes
+    assert schedule_cost(sched) < 64 * (len(grid) - 1)
+
+    ks = jnp.asarray(np.array([0.04, 3e7, 1e4])
+                     * np.exp(rng.normal(0, 0.1, (16, 3))))
+    ys = np.asarray(jax.jit(jax.vmap(
+        lambda k: odeint_fixed(rober, y0, jnp.asarray(grid), k,
+                               substeps=sched, method="kvaerno3").ys))(ks))
+    for i in (0, 5, 11):
+        ref = sodeint(rober_np, [1.0, 0.0, 0.0], times,
+                      args=(tuple(np.asarray(ks[i])),),
+                      rtol=1e-10, atol=1e-14, mxstep=1000000)
+        rel = np.max(np.abs(ys[i][oidx] - ref)
+                     / np.maximum(np.abs(ref), 1e-8))
+        assert rel < 1e-3, f"lane {i}: max rel err {rel:.2e}"
+
+
+def test_auto_stiff_grid_fallback_when_pilot_fails():
+    """A pilot that cannot integrate falls back to the caller's grid and
+    a uniform schedule, with a warning — never an exception."""
+    from odelib_tpu.ops.schedule import auto_stiff_grid
+
+    def blow(t, y, k):
+        return jnp.stack([k[0] * y[0] * y[0] + 1.0])
+
+    with pytest.warns(UserWarning, match="no pilot lane"):
+        grid, sched, oidx = auto_stiff_grid(
+            blow, jnp.asarray([1.0]), np.linspace(0, 100.0, 5),
+            jnp.asarray([[1e6], [1e7]]), max_steps=64)
+    assert len(grid) == 5 and sched == (8, 8, 8, 8)
+    np.testing.assert_array_equal(oidx, np.arange(5))
