@@ -1293,6 +1293,29 @@ def config14_pmmh(base):
     t_xla = _timed(run_xla, reps=3)
     xla_rate = C * (NITS - 1) / t_xla
 
+    # r5 (VERDICT push item 3): the widened in-kernel envelope —
+    # Milstein propagation (must stay within ~10% of Euler: one extra
+    # diffusion-gradient FMA per substep) and a 256-particle plane
+    # (>128 sublanes tiled across the VMEM plane).
+    def run_fused_v(sde_method, k):
+        def f():
+            out = pmmh_fused(spec, obs, times,
+                             np.array([2.0], np.float32), th0, seed=3,
+                             nits=NITS, burnin=NITS // 2, rwalk_std=0.4,
+                             n_particles=k, substeps=SUB,
+                             sde_method=sde_method, priors=pri,
+                             adapt_proposal=True, target_accept=0.3,
+                             adapt_rate=0.15)
+            _sync(out.chi[-1:, -1:])
+        return f
+
+    run_fused_v("milstein", K)()
+    t_mil = _timed(run_fused_v("milstein", K), reps=3)
+    mil_rate = C * (NITS - 1) / t_mil
+    run_fused_v("euler", 256)()
+    t_k256 = _timed(run_fused_v("euler", 256), reps=3)
+    k256_rate = C * (NITS - 1) / t_k256
+
     # ---- inline numpy denominator: same filter, one serial chain ----
     dt_sub = np.diff(times)[0] / SUB
 
@@ -1343,6 +1366,9 @@ def config14_pmmh(base):
             "n_particles": K, "mean_acceptance": round(acc, 3),
             "xla_chain_steps_per_sec": round(xla_rate, 0),
             "fused_over_xla": round(rate / xla_rate, 2),
+            "milstein_chain_steps_per_sec": round(mil_rate, 0),
+            "milstein_over_euler": round(mil_rate / rate, 3),
+            "k256_chain_steps_per_sec": round(k256_rate, 0),
             "numpy_serial_chain_steps_per_sec": round(np_rate, 2),
             "vs_baseline": round(rate / np_rate, 1),
             "note": "denominator = same algorithm in vectorized numpy, "

@@ -13,7 +13,7 @@ Public compatibility surface matches the reference
 from . import distributions, stats
 from . import ops
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 
 def __getattr__(name):

@@ -1777,6 +1777,10 @@ class ModelFramework(InferenceMixin):
             _ckpt.save_posterior(checkpoint_path, posterior)
 
         if print_report:
+            # the banner reports where the CHAINS ran; the report's own
+            # single integrate() below may legitimately route to host
+            # and must not relabel the MCMC execution
+            mcmc_route = getattr(self, "_last_route", "device")
             report = ["\nFitting Report\n==============="]
             for col in self.get_pnames():
                 median, std = rawstats(posterior[col])
@@ -1790,11 +1794,12 @@ class ModelFramework(InferenceMixin):
             report.append("\nMedian parameter fit stats:")
             report.append(f"\tChi = {fs['Chi']:0.3e}\n\tR-squared = "
                           f"{fs['R^2']:0.3e}\n\tAIC = {fs['AIC']:0.3e}")
-            if getattr(self, "_last_route", "device") == "host":
+            if mcmc_route == "host":
                 report.append(
                     "\nexecution: host (XLA-CPU) — workload below the "
                     "remote-accelerator dispatch floor was auto-routed; "
                     "pass route='device' to force the accelerator")
+            self._last_route = mcmc_route
             print("\n".join(report))
         if timer is not None:
             timer.times["postprocess"] = time.perf_counter() - _t0

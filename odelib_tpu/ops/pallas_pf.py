@@ -297,8 +297,12 @@ def _cached_pf_grid(spec, plan, y0_key, P, K, C, L_SEG, n_segs, nits,
                 def _gfun(yy, _t=t):
                     return jnp.stack(list(spec.diffusion(_t, yy, ps)))
                 for s in range(S):
-                    tang = jnp.zeros_like(ys)
-                    tang = tang.at[s].set(jnp.ones_like(ys[s]))
+                    # one-hot tangent by STATIC stacking — .at[s].set
+                    # would lower to a scatter, which Mosaic has no
+                    # TPU lowering for (s is a Python int here)
+                    tang = jnp.stack(
+                        [jnp.ones_like(ys[i]) if i == s
+                         else jnp.zeros_like(ys[i]) for i in range(S)])
                     _, jv = jax.jvp(_gfun, (ys,), (tang,))
                     y[s] = y[s] + (0.5 * h) * g[s] * jv[s] \
                         * (x_s[s] * x_s[s] - 1.0)

@@ -28,6 +28,9 @@ from odelib_tpu.samplers.mh import survey
 
 from helpers import demo_df, zero_i
 
+# smoke tier (r5): 1024-draw adaptive-oracle fixture — runs in the full suite only
+pytestmark = pytest.mark.slow
+
 N_DRAWS = 1024
 SEED_THRESHOLD = 171.0  # chi of data displaced by 3 sigma (sd_fitdistance=3)
 

@@ -37,6 +37,7 @@ def _decay_fw(seed=0):
                                hyperparameters={}, random_seed=seed))
 
 
+@pytest.mark.slow
 def test_advi_matches_mcmc_on_decay():
     """Near-lognormal 1-D posterior: ADVI's log-space mean/std must match
     the prior-aware MCMC posterior within Monte-Carlo slack."""
@@ -55,6 +56,7 @@ def test_advi_matches_mcmc_on_decay():
     assert 0.5 < sv / sm < 2.0, (sv, sm)
 
 
+@pytest.mark.slow
 def test_advi_full_rank_recovers_correlation():
     """Rate enters as a PRODUCT k*s: log k and log s are strongly
     anti-correlated in the posterior. Full-rank ADVI must see it;
@@ -103,6 +105,7 @@ def test_advi_static_parameters_pinned():
         fw.fit_advi(rank="banana")
 
 
+@pytest.mark.slow
 def test_advi_array_param():
     """Vector decay rates: ADVI over the flat slots, zero-template entry
     pinned at zero."""
@@ -155,6 +158,7 @@ def test_advi_psis_khat_and_resample():
     assert abs(np.log(post_r["k"]).mean()) < 0.1
 
 
+@pytest.mark.slow
 def test_psis_correction_tightens_toward_truth():
     """Deliberately UNDERDISPERSED q (too few steps from a far start):
     importance weights must be informative (khat finite), and the

@@ -78,6 +78,7 @@ def ridge_problem():
     return spec, obs, jnp.asarray(times), jnp.asarray([1e6]), prior_logpdf
 
 
+@pytest.mark.slow
 def test_amh_beats_isotropic_walk_on_ridge(ridge_problem):
     spec, obs, times, y0, prior_logpdf = ridge_problem
     C, nits, burnin = 16, 1200, 600
@@ -125,6 +126,7 @@ def test_amh_static_mask(gaussian_problem):
     assert np.asarray(out.theta)[..., 0].std() > 0
 
 
+@pytest.mark.slow
 def test_mcmc_sampler_amh_end_to_end():
     from helpers import demo_df
     from odelib_tpu import models

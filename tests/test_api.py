@@ -188,6 +188,7 @@ def test_state_summations():
                        state_summations={"H": ["S", "nope"]})
 
 
+@pytest.mark.slow
 def test_lhs_samples_and_fit_survey(zeroI):
     df = zeroI._lhs_samples(samples=50)
     assert list(df.columns) == ["mu", "phi", "beta"]
@@ -209,6 +210,7 @@ def test_copy_independent(zeroI):
     assert c._spec is zeroI._spec  # shared static spec -> shared jit cache
 
 
+@pytest.mark.slow
 def test_mcmc_end_to_end(zeroI, capsys):
     zeroI.set_parameters(mu=0.6, phi=2.4e-8, beta=24.0)
     post = zeroI.MCMC(chain_inits=4, iterations_per_chain=60,
@@ -233,6 +235,7 @@ def test_mcmc_end_to_end(zeroI, capsys):
     assert float(zeroI.parameters["mu"].val) == pytest.approx(best["mu"])
 
 
+@pytest.mark.slow
 def test_mcmc_chain_inits_dataframe(zeroI):
     inits = pd.DataFrame([{"mu": 0.6, "phi": 2.4e-8, "beta": 24.0},
                           {"mu": 0.5, "phi": 2.0e-8, "beta": 20.0}])
@@ -241,6 +244,7 @@ def test_mcmc_chain_inits_dataframe(zeroI):
     assert set(post["chain#"]) == {0, 1}
 
 
+@pytest.mark.slow
 def test_mcmc_static_parameters(zeroI):
     zeroI.set_parameters(mu=0.6, phi=2.4e-8, beta=24.0)
     post = zeroI.MCMC(chain_inits=2, iterations_per_chain=40,
@@ -439,6 +443,7 @@ def test_find_inits_exponentiate_flag(zeroI):
     assert s.min() >= np.e * 0.99 and s.max() <= np.e ** 3 * 1.01
 
 
+@pytest.mark.slow
 def test_mcmc_pallas_backend_with_priors(zeroI):
     """ADVICE r1 (high): MCMC(use_priors=True) on the fused backend crashed
     with 'unhashable type ArrayImpl' when priors came from from_scipy.
@@ -467,6 +472,7 @@ def test_parameter_random_seed_reproducible():
     assert float(c.val) != float(a.val)
 
 
+@pytest.mark.slow
 def test_mcmc_checkpoint_every_matches_uninterrupted(zeroI, tmp_path):
     """VERDICT r1 task 6 at the public API: periodic checkpointing leaves
     the posterior bitwise unchanged and persists resumable progress."""
@@ -490,6 +496,7 @@ def test_mcmc_checkpoint_every_matches_uninterrupted(zeroI, tmp_path):
     pd.testing.assert_frame_equal(ref, res)
 
 
+@pytest.mark.slow
 def test_mcmc_until_converged_extends_run():
     """until_rhat/until_min_ess: the run extends in whole-run increments
     until the pooled posterior meets the targets. With a min-ESS target
@@ -538,6 +545,7 @@ def test_mcmc_until_converged_extends_run():
     assert effective_sample_size(z) >= 150.0
 
 
+@pytest.mark.slow
 def test_mcmc_until_rejects_bad_combinations(zeroI):
     inits = pd.DataFrame([{"mu": 0.6, "phi": 2.4e-8, "beta": 24.0}] * 2)
     with pytest.raises(ValueError, match="until_rhat/until_min_ess"):

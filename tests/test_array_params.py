@@ -86,6 +86,7 @@ def test_lhs_survey_with_array_param(fw):
     assert np.isfinite(df["chi"]).sum() > 32
 
 
+@pytest.mark.slow
 def test_mcmc_xla_array_param_round_trip(fw):
     post = fw.MCMC(chain_inits=4, iterations_per_chain=60,
                    fitsurvey_samples=128, sd_fitdistance=6.0,
@@ -142,6 +143,7 @@ def test_rhs_tile_probe(kernel_setup):
     assert not rhs_supports_tiles(bad)
 
 
+@pytest.mark.slow
 def test_survey_fused_array_param_matches_xla(kernel_setup):
     from odelib_tpu.data import obsdata_to_device
 
@@ -161,6 +163,7 @@ def test_survey_fused_array_param_matches_xla(kernel_setup):
     np.testing.assert_allclose(pal, xla, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_mh_fused_array_param(kernel_setup):
     spec, obs_host, times_fit, y0 = kernel_setup
     th0 = np.tile([0.6, 0.1, 2.4e-8, 24.0], (4, 1))
@@ -174,6 +177,7 @@ def test_mh_fused_array_param(kernel_setup):
     assert (np.std(th, axis=(0, 1)) > 0).all()
 
 
+@pytest.mark.slow
 def test_mh_fused_zero_template_entry_stays_zero(kernel_setup):
     """A zero entry in the array template must stay exactly zero through
     the log-space walk (the reference's rwalk convention) and must not
@@ -190,6 +194,7 @@ def test_mh_fused_zero_template_entry_stays_zero(kernel_setup):
     assert (np.std(th[:, :, [0, 2, 3]], axis=(0, 1)) > 0).all()
 
 
+@pytest.mark.slow
 def test_fit_map_array_param(fw):
     df = fw.fit_map(starts=8, steps=120, set_best=False)
     mu = np.stack(df["mu"].to_numpy())
@@ -209,6 +214,7 @@ def test_local_sensitivity_array_param(fw):
     assert np.abs(df["mu[0]"]).max() > 0
 
 
+@pytest.mark.slow
 def test_model_evidence_array_param(fw):
     out = fw.model_evidence(particles=128, n_moves=2, print_report=False)
     assert np.isfinite(out["log_evidence"])
@@ -251,6 +257,7 @@ def test_zero_template_walk_mask_via_api():
     assert (np.std(mu[:, 0]) >= 0).all() and np.isfinite(mu[:, 0]).all()
 
 
+@pytest.mark.slow
 def test_laplace_array_param(fw):
     """Laplace approximation over the free flat slots of an array
     parameter: labels mu[0]/mu[1], scalar labels unchanged (round 3:
@@ -262,6 +269,7 @@ def test_laplace_array_param(fw):
     assert all(np.isfinite(v) for v in stds.values()), stds
 
 
+@pytest.mark.slow
 def test_advi_array_param_on_infection_model(fw):
     """fit_advi accepts the vector parameter (one free dim per non-zero
     template entry) and returns (2,)-shaped posterior cells."""

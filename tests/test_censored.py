@@ -244,6 +244,7 @@ def test_kernel_t_logcdf_accuracy():
 
 @pytest.mark.parametrize("obs_model,obs_param",
                          [("lognormal", 0.0), ("student_t", 4.0)])
+@pytest.mark.slow
 def test_fused_kernel_parity_with_censoring(obs_model, obs_param):
     df = format_dataframe(_censored_df(), ("A",))
     times = np.linspace(0, 6, 61)
@@ -282,6 +283,7 @@ def test_fused_kernel_rejects_censored_count_models():
 # ---------------------------------------------------------------------------
 # end to end
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_mcmc_with_censoring_recovers_decay_rate():
     """Fitting WITH the Tobit likelihood recovers k; treating the limits
     as exact values biases k low (the trajectory is dragged up toward the

@@ -26,6 +26,10 @@ def model():
                                          {"s": 1, "scale": 25}))
 
 
+# smoke tier (r5): bitwise kill-and-resume runs every sampler twice+ — full suite only
+pytestmark = pytest.mark.slow
+
+
 def test_save_load_roundtrip(tmp_path):
     df = pd.DataFrame({"mu": [0.1, 0.2], "chi": [1.0, 2.0],
                        "chain#": [0, 1]})

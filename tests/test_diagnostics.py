@@ -85,6 +85,7 @@ def test_summarize_table():
         summarize(post.drop(columns=["chain#"]), ["mu"])
 
 
+@pytest.mark.slow
 def test_framework_diagnostics_end_to_end():
     import os, sys
     sys.path.insert(0, os.path.dirname(__file__))

@@ -119,6 +119,7 @@ def test_fused_kernel_parity_with_doses():
     np.testing.assert_allclose(pal, xla, rtol=2e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_mcmc_recovers_elimination_rate():
     """End-to-end: fit k from multi-dose trough data through MCMC()."""
     model = odelib_tpu.ModelFramework(

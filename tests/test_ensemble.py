@@ -88,6 +88,7 @@ def ridge_problem():
     return spec, obs, jnp.asarray(times), jnp.asarray([1e6]), prior_logpdf
 
 
+@pytest.mark.slow
 def test_ensemble_beats_isotropic_walk_on_ridge(ridge_problem):
     spec, obs, times, y0, prior_logpdf = ridge_problem
     W, nits, burnin = 32, 800, 400
@@ -158,6 +159,7 @@ def test_ensemble_validation(gaussian_problem):
                     method="fixed_dopri5", substeps=1)
 
 
+@pytest.mark.slow
 def test_mcmc_sampler_ensemble_tiny_chain_count():
     """chain_inits below the 4-walker minimum must be padded up, not
     crash with a walker-count error."""
@@ -172,6 +174,7 @@ def test_mcmc_sampler_ensemble_tiny_chain_count():
     assert np.isfinite(post["chi"]).all()
 
 
+@pytest.mark.slow
 def test_mcmc_sampler_ensemble_end_to_end():
     from helpers import demo_df
     from odelib_tpu import models

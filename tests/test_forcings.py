@@ -126,6 +126,7 @@ def forced_setup():
 @pytest.mark.parametrize("stepper,xla_method",
                          [("dopri5", "fixed_dopri5"),
                           ("kvaerno3", "fixed_kvaerno3")])
+@pytest.mark.slow
 def test_fused_kernel_forcings_match_xla(forced_setup, stepper, xla_method):
     """The kernel's constant-folded forcing lookups must agree with the XLA
     fixed-step path's traced interpolation at the same step times — for
@@ -147,6 +148,7 @@ def test_fused_kernel_forcings_match_xla(forced_setup, stepper, xla_method):
     np.testing.assert_allclose(pal, xla, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_framework_forcings_end_to_end():
     """Reference-style 4-arg RHS through ModelFramework: with g ≡ 1 the
     forced model must reproduce the unforced zero_i chi exactly, and a
@@ -187,6 +189,7 @@ def test_framework_forcings_end_to_end():
     assert len(post) > 0 and np.isfinite(post["chi"]).all()
 
 
+@pytest.mark.slow
 def test_jointfit_with_forced_experiment():
     """A forced experiment participates in JointFit unchanged: its spec's
     wrapped RHS (and the fused joint kernel's static plans) carry the
@@ -277,6 +280,7 @@ def test_cubic_beats_linear_on_smooth_forcing():
     assert errs["cubic"] < 5e-3, errs
 
 
+@pytest.mark.slow
 def test_fused_kernel_cubic_forcing_matches_xla(forced_setup):
     """Cubic-mode tables constant-fold in the fused kernel exactly like
     linear ones (step times are static floats)."""

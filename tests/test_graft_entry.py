@@ -9,11 +9,14 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 import jax
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_inline_on_provisioned_mesh():
     # conftest provisions 8 virtual CPU devices: the inline path runs.
     sys.path.insert(0, REPO)
@@ -25,6 +28,7 @@ def test_dryrun_inline_on_provisioned_mesh():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_self_provisions_from_single_device():
     # Reproduce the driver: fresh process, one CPU device, no XLA_FLAGS mesh,
     # direct call to dryrun_multichip(8). Must self-provision and pass.

@@ -112,6 +112,7 @@ def test_backend_pallas_rejected():
                 fitsurvey_samples=32, print_report=False)
 
 
+@pytest.mark.slow
 def test_shrinkage_and_hyper_recovery():
     """Equal true rates, noisy data: partial pooling pulls the per-
     experiment posterior medians toward each other (vs. independent
@@ -142,6 +143,7 @@ def test_shrinkage_and_hyper_recovery():
     assert jf_h._hyper_vals["k:pop_median"] == float(best["k:pop_median"])
 
 
+@pytest.mark.slow
 def test_gradient_consumers_run_hierarchical():
     """fit_map and fit_advi optimize the pooled posterior (the pooling
     term is always on) and report the hyper columns."""
@@ -177,6 +179,7 @@ def test_custom_hyperpriors_scipy_accepted():
     assert float(fn(jnp.asarray(th2))) < v
 
 
+@pytest.mark.slow
 def test_joint_diagnostics_and_plots():
     import matplotlib
     matplotlib.use("Agg")
@@ -192,6 +195,7 @@ def test_joint_diagnostics_and_plots():
     assert axes2.shape[0] >= 5
 
 
+@pytest.mark.slow
 def test_joint_posterior_predictive():
     jf = JointFit(_three_experiments(), hierarchical=["k"], random_seed=6)
     post = jf.MCMC(chain_inits=8, iterations_per_chain=200,
@@ -204,6 +208,7 @@ def test_joint_posterior_predictive():
     assert out["overall"]["n_observations"] == 30
 
 
+@pytest.mark.slow
 def test_information_criteria_prefer_partial_pooling():
     """Unequal true rates: complete pooling (shared k) misfits, partial
     pooling tracks each experiment — joint elpd_loo must prefer the
@@ -261,6 +266,7 @@ def test_mixed_priors_nonpooled_kept():
     np.testing.assert_allclose(diff, want, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_joint_hmc_matches_mh():
     """sampler='hmc' targets the same hierarchical posterior as the
     random walk: per-experiment medians agree within MC error, and the

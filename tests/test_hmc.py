@@ -40,6 +40,7 @@ def _chains(theta_star, n, seed, jitter=0.1):
     return jnp.asarray(th0), keys
 
 
+@pytest.mark.slow
 def test_hmc_runs_and_mixes(problem):
     spec, obs, times, y0, theta_star = problem
     th0, keys = _chains(theta_star, 8, 0)
@@ -89,6 +90,7 @@ def gaussian_problem():
     return spec, obs, jnp.asarray(times), y0, post_mean, post_std
 
 
+@pytest.mark.slow
 def test_hmc_recovers_exact_gaussian_posterior(gaussian_problem):
     spec, obs, times, y0, post_mean, post_std = gaussian_problem
     C = 32
@@ -105,6 +107,7 @@ def test_hmc_recovers_exact_gaussian_posterior(gaussian_problem):
     np.testing.assert_allclose(z.std(0), post_std, rtol=0.35)
 
 
+@pytest.mark.slow
 def test_chees_recovers_exact_gaussian_posterior(gaussian_problem):
     """path_adapt=True (ChEES trajectory-length adaptation) must target
     the identical posterior — and actually move tau off its seed."""
@@ -125,6 +128,7 @@ def test_chees_recovers_exact_gaussian_posterior(gaussian_problem):
     assert 0.2 < ar.mean() <= 1.0
 
 
+@pytest.mark.slow
 def test_chees_static_parameters_stay_fixed(problem):
     spec, obs, times, y0, theta_star = problem
     th0, keys = _chains(theta_star, 4, 5)
@@ -136,6 +140,7 @@ def test_chees_static_parameters_stay_fixed(problem):
     np.testing.assert_allclose(th[:, :, 1], expect, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_mh_recovers_exact_gaussian_posterior(gaussian_problem):
     """Same oracle for the MH sampler — pins both samplers to the SAME
     measure, making them mutually consistent by transitivity."""
@@ -153,6 +158,7 @@ def test_mh_recovers_exact_gaussian_posterior(gaussian_problem):
     np.testing.assert_allclose(z.std(0), post_std, rtol=0.35)
 
 
+@pytest.mark.slow
 def test_hmc_static_parameters_stay_fixed(problem):
     spec, obs, times, y0, theta_star = problem
     th0, keys = _chains(theta_star, 4, 3)
@@ -172,6 +178,7 @@ def test_hmc_rejects_adaptive_method(problem):
                        method="dopri5")
 
 
+@pytest.mark.slow
 def test_mcmc_sampler_hmc_end_to_end():
     mf = models.get("zero_i").framework(demo_df(), t_steps=288)
     post = mf.MCMC(chain_inits=4, iterations_per_chain=60,
@@ -216,6 +223,7 @@ def test_chi_sensitivity_matches_finite_differences():
         np.testing.assert_allclose(g[p], fd, rtol=5e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_chunked_dispatch_bitwise_identical(problem):
     """chunk_iters bounds per-dispatch wall-clock by scanning in
     host-driven chunks; the carry holds ALL sampler state (key, dual
@@ -235,6 +243,7 @@ def test_chunked_dispatch_bitwise_identical(problem):
                                       np.asarray(ref.chi))
 
 
+@pytest.mark.slow
 def test_dense_mass_recovers_exact_gaussian_posterior(gaussian_problem):
     """dense_mass=True targets the identical posterior through the
     Cholesky-factored cross-chain covariance metric."""
@@ -253,6 +262,7 @@ def test_dense_mass_recovers_exact_gaussian_posterior(gaussian_problem):
     np.testing.assert_allclose(z.std(0), post_std, rtol=0.35)
 
 
+@pytest.mark.slow
 def test_dense_mass_beats_diag_on_correlated_target():
     """The dense metric's whole point: on a strongly correlated target
     the diagonal recipe steps axis-aligned and pays in autocorrelation;
@@ -287,6 +297,7 @@ def test_dense_mass_beats_diag_on_correlated_target():
         f"dense min-ESS {ess[True]:.0f} vs diag {ess[False]:.0f}")
 
 
+@pytest.mark.slow
 def test_dense_mass_static_parameters_stay_fixed(problem):
     """Masked dims ride the identity block of the dense metric: zero
     momentum, zero drift, bit-frozen values."""
@@ -301,6 +312,7 @@ def test_dense_mass_static_parameters_stay_fixed(problem):
     np.testing.assert_allclose(th[:, :, 1], expect, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_dense_mass_chunked_bitwise_identical(problem):
     spec, obs, times, y0, theta_star = problem
     th0, keys = _chains(theta_star, 4, 13)
@@ -313,6 +325,7 @@ def test_dense_mass_chunked_bitwise_identical(problem):
                                   np.asarray(ref.theta))
 
 
+@pytest.mark.slow
 def test_dense_mass_checkpoint_kill_and_resume(problem, tmp_path):
     """The (P, P) mass leaf persists and restores through the dense
     carry skeleton; a killed run resumes bitwise."""
@@ -337,6 +350,7 @@ def test_dense_mass_checkpoint_kill_and_resume(problem, tmp_path):
                                   np.asarray(plain.chi))
 
 
+@pytest.mark.slow
 def test_warmup_rejuvenation_rescues_stuck_chain():
     """A chain seeded on a NaN plateau never accepts; at the warmup
     boundary it must restart from a random well-mixing peer (resampling

@@ -174,6 +174,7 @@ def test_failure_returns_nan_not_exception():
     np.testing.assert_allclose(ys[5, 0], 1 / (1 - ts[5]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_vmap_over_parameters():
     """Per-lane adaptive stepping: one stiff-ish lane must not corrupt
     others, and failing lanes NaN out individually."""

@@ -38,6 +38,7 @@ def _decay_fw(df, seed=0):
                                hyperparameters={}, random_seed=seed))
 
 
+@pytest.mark.slow
 def test_joint_pooling_tightens_shared_posterior():
     """Two decay experiments with the SAME rate: the joint posterior std
     of k should be ~1/sqrt(2) of the single-experiment std."""
@@ -61,6 +62,7 @@ def test_joint_pooling_tightens_shared_posterior():
         postj["chi"], postj["chi:a"] + postj["chi:b"], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_joint_partially_shared():
     """Shared y0-like dynamics but DIFFERENT rates: a 2-experiment joint
     fit with nothing shared recovers each rate; sharing k across unequal
@@ -92,6 +94,7 @@ def test_joint_partially_shared():
     assert abs(np.log(p_hi / 1.4)) < 0.2, p_hi
 
 
+@pytest.mark.slow
 def test_joint_validation_and_helpers():
     fw1 = _decay_fw(_decay_df(1.0, seed=7), seed=7)
     fw2 = _decay_fw(_decay_df(1.0, seed=8), seed=8)
@@ -140,6 +143,7 @@ def _fused_args(jf, **solver_kw):
     return specs, idxs, obs_host, times_h, y0_h, subs
 
 
+@pytest.mark.slow
 def test_joint_fused_parts_sum_and_shapes():
     from odelib_tpu.ops.pallas_joint import joint_metropolis_hastings_fused
 
@@ -158,6 +162,7 @@ def test_joint_fused_parts_sum_and_shapes():
     assert np.isfinite(np.asarray(out.chi)).all()
 
 
+@pytest.mark.slow
 def test_joint_fused_matches_xla_chi_at_seed():
     """The fused joint scorer must agree with the XLA joint survey on the
     recorded chi of a never-accepting chain (walk_mask all zero ->
@@ -181,6 +186,7 @@ def test_joint_fused_matches_xla_chi_at_seed():
     np.testing.assert_allclose(np.asarray(out.chi)[:, -1], ref, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_joint_fused_checkpoint_kill_resume(tmp_path):
     from odelib_tpu.ops.pallas_joint import joint_metropolis_hastings_fused
 
@@ -206,6 +212,7 @@ def test_joint_fused_checkpoint_kill_resume(tmp_path):
                                   np.asarray(resumed.chi_parts))
 
 
+@pytest.mark.slow
 def test_joint_fused_sharded_matches_single_device():
     from odelib_tpu.ops.pallas_joint import joint_metropolis_hastings_fused
     from odelib_tpu.parallel import chain_mesh
@@ -227,6 +234,7 @@ def test_joint_fused_sharded_matches_single_device():
                                   np.asarray(sharded.chi))
 
 
+@pytest.mark.slow
 def test_jointfit_mcmc_pallas_backend_end_to_end():
     """JointFit.MCMC(backend='pallas') in interpret mode: same posterior
     structure as the XLA path, statistically consistent center."""
@@ -246,6 +254,7 @@ def test_jointfit_mcmc_pallas_backend_end_to_end():
     assert not post["all_rejected"].any()
 
 
+@pytest.mark.slow
 def test_joint_fused_heterogeneous_models():
     """The fused joint kernel must handle experiments with DIFFERENT
     models (distinct RHS, distinct observation grids/counts) sharing a
@@ -313,6 +322,7 @@ def _vec_fw(df, seed=0, tmpl=(0.8, 0.8)):
                                 hyperparameters={}, random_seed=seed))
 
 
+@pytest.mark.slow
 def test_joint_array_param_xla_end_to_end():
     """Shared VECTOR parameter across two experiments: survey + MCMC on
     the XLA backend round-trip the (2,)-shaped cells, pooling works, and
@@ -345,6 +355,7 @@ def test_joint_array_param_xla_end_to_end():
         np.testing.assert_allclose(v, np.asarray(best["mu"], float))
 
 
+@pytest.mark.slow
 def test_joint_array_param_fused_interpret():
     """The fused (Pallas, interpret-mode) joint backend accepts array
     parameters: theta tiles per flat slot, per-experiment chi parts sum."""
@@ -396,6 +407,7 @@ def test_joint_array_param_zero_template_and_shape_check():
 # Joint MAP and ADVI (round 3: gradient consumers over the joint chi)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_joint_fit_map_recovers_shared_rate():
     """Multi-start Adam on the summed 2-experiment chi: the shared decay
     rate lands on the pooled optimum, and set_best pushes it into both
@@ -417,6 +429,7 @@ def test_joint_fit_map_recovers_shared_rate():
     assert np.isfinite(chi_joint) and np.isfinite(s1["chi"].iloc[0])
 
 
+@pytest.mark.slow
 def test_joint_fit_advi_matches_joint_mcmc():
     """Joint ADVI posterior of the shared rate agrees with the joint
     prior-aware MCMC posterior in log-space moments."""
@@ -480,6 +493,7 @@ def test_joint_prior_closure_refreshes_after_prior_change():
     assert np.isfinite(lp1) and np.isfinite(lp2) and lp1 != lp2
 
 
+@pytest.mark.slow
 def test_joint_pmmh_recovers_shared_rate():
     """VERDICT r4 push item 4: a JointFit of one DETERMINISTIC and one
     ``diffusion=`` (GBM) experiment sharing the growth rate ``r``
@@ -555,6 +569,7 @@ def test_joint_pmmh_recovers_shared_rate():
     assert np.isfinite(post_m["chi"]).all()
 
 
+@pytest.mark.slow
 def test_joint_until_converged_extends_run():
     """JointFit.MCMC(until_min_ess=...): extends in whole-run increments
     from the chains' final states until the pooled joint posterior

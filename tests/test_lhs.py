@@ -2,6 +2,7 @@
 Statistics/Samplers.py:6-51)."""
 import jax
 import numpy as np
+import pytest
 import scipy.stats as ss
 
 from odelib_tpu import distributions as D
@@ -26,6 +27,7 @@ def test_columns_independently_shuffled():
     assert (strata[:, 0] != strata[:, 1]).any()
 
 
+@pytest.mark.slow
 def test_ppf_transform_marginals():
     """Each column follows its prior (KS test against scipy)."""
     dists = [D.LogNormal(s=1.0, scale=25.0), D.Uniform(loc=2.0, scale=3.0),

@@ -37,6 +37,7 @@ def test_output_shapes_and_iteration_convention(setup):
     assert ((ar >= 0) & (ar <= 1)).all()
 
 
+@pytest.mark.slow
 def test_posterior_concentrates_near_truth(setup):
     """Chains started at the truth must stay in a region of good fit and
     produce finite metrics; posterior median within a factor ~2 of truth."""
@@ -127,6 +128,7 @@ def test_use_priors_changes_acceptance(setup):
                            np.asarray(out_b.theta))
 
 
+@pytest.mark.slow
 def test_survey_matches_serial_chi(setup):
     spec, obs, times, y0 = setup
     thetas = jnp.asarray([[0.6, 2.4e-8, 24.0],

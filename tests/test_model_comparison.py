@@ -110,6 +110,7 @@ def test_compare_orders_models():
         compare({"a": {"x": 1.0}}, key="x")
 
 
+@pytest.mark.slow
 def test_information_criteria_api_discriminates_models():
     import jax.numpy as jnp
     from helpers import synthetic_df

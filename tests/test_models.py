@@ -97,6 +97,7 @@ def test_priors_match_parameter_api():
             assert p.pdf(p.val) >= 0.0
 
 
+@pytest.mark.slow
 def test_framework_constructor_end_to_end():
     """models.get('zero_i').framework(df) builds a working ModelFramework:
     integrate + chi + a tiny MCMC all run."""

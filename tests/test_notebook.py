@@ -31,6 +31,7 @@ def test_committed_notebook_is_executed():
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_notebook_reexecutes(tmp_path):
     out = tmp_path / "demo.ipynb"
     env = dict(os.environ)

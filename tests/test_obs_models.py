@@ -161,6 +161,7 @@ def test_make_spec_validation():
 
 @pytest.mark.parametrize("obs_model,obs_param", [
     ("student_t", 4.0), ("poisson", None), ("negbinom", 5.0)])
+@pytest.mark.slow
 def test_pallas_scorer_matches_xla(obs_model, obs_param):
     df = format_dataframe(synthetic_df(), ("S", "V"))
     df = df[np.isclose(np.mod(np.round(df["time"] / 0.2), 2), 0)]

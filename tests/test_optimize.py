@@ -26,6 +26,7 @@ def problem():
     return spec, obs, jnp.asarray(times), jnp.asarray([5.2e6, 1.1e7])
 
 
+@pytest.mark.slow
 def test_map_fit_improves_every_start(problem):
     spec, obs, times, y0 = problem
     from odelib_tpu.model import chi_of_theta
@@ -42,6 +43,7 @@ def test_map_fit_improves_every_start(problem):
     assert (chi1[ok] <= chi0[ok] + 1e-6).all()
 
 
+@pytest.mark.slow
 def test_map_fit_recovers_generating_parameters(problem):
     """synthetic_df is generated from known parameters; the best basin's
     phi/beta must land near them (mu is weakly identified)."""
@@ -70,6 +72,7 @@ def test_map_fit_rejects_adaptive_method(problem):
         map_fit(spec, obs, times, y0, jnp.ones((1, 3)), method="dopri5")
 
 
+@pytest.mark.slow
 def test_framework_fit_map_end_to_end():
     from helpers import demo_df
     mf = models.get("zero_i").framework(demo_df(), t_steps=288)
@@ -82,6 +85,7 @@ def test_framework_fit_map_end_to_end():
     assert chi_after <= chi_before + 1e-9           # set_best applied
 
 
+@pytest.mark.slow
 def test_framework_fit_map_static_parameters():
     from helpers import demo_df
     mf = models.get("zero_i").framework(demo_df(), t_steps=288)
@@ -127,6 +131,7 @@ def test_laplace_exact_on_gaussian_posterior():
                                np.mean(logobs), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_laplace_after_fit_map_demo():
     from helpers import demo_df
     mf = models.get("zero_i").framework(demo_df(), t_steps=288)

@@ -89,6 +89,7 @@ def test_fused_ensemble_static_mask(gaussian_setup):
     assert np.asarray(out.theta)[..., 0].std() > 0
 
 
+@pytest.mark.slow
 def test_fused_ensemble_matches_xla_ensemble_statistically(gaussian_setup):
     """Independent implementations of the same sampler must agree on the
     posterior moments (they can never agree bitwise: different RNG and
@@ -117,6 +118,7 @@ def test_fused_ensemble_matches_xla_ensemble_statistically(gaussian_setup):
     np.testing.assert_allclose(zf.std(), zx.std(), rtol=0.25)
 
 
+@pytest.mark.slow
 def test_mcmc_routes_ensemble_to_fused_kernel():
     """MCMC(sampler='ensemble', backend='pallas') drives the fused kernel
     end-to-end (interpret mode on CPU)."""
@@ -136,6 +138,7 @@ def test_mcmc_routes_ensemble_to_fused_kernel():
     assert post["acceptance_ratio"].iloc[-1] > 0
 
 
+@pytest.mark.slow
 def test_ensemble_kill_and_resume_reproduces_uninterrupted_run(
         gaussian_setup, tmp_path):
     """Chunked/killed/resumed fused-ensemble run must be bitwise identical

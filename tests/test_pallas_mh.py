@@ -33,6 +33,7 @@ def setup():
     return spec, obs_fit_host, times_fit, y0
 
 
+@pytest.mark.slow
 def test_survey_fused_matches_xla_fixed_step(setup):
     """The in-kernel scorer must agree with the XLA fixed-step survey (same
     discretization, independent implementation)."""
@@ -51,6 +52,7 @@ def test_survey_fused_matches_xla_fixed_step(setup):
     np.testing.assert_allclose(pal, xla, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_mh_fused_semantics(setup):
     spec, obs_host, times_fit, y0 = setup
     th0 = np.tile([0.6, 2.4e-8, 24.0], (4, 1))
@@ -68,6 +70,7 @@ def test_mh_fused_semantics(setup):
                                2 * np.asarray(out.chi) + 2 * 3, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_mh_fused_deterministic_and_seeded(setup):
     spec, obs_host, times_fit, y0 = setup
     th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
@@ -82,6 +85,7 @@ def test_mh_fused_deterministic_and_seeded(setup):
     assert not np.array_equal(np.asarray(a.theta), np.asarray(c.theta))
 
 
+@pytest.mark.slow
 def test_mh_fused_static_parameters(setup):
     spec, obs_host, times_fit, y0 = setup
     th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
@@ -94,6 +98,7 @@ def test_mh_fused_static_parameters(setup):
     assert np.unique(np.asarray(out.theta)[:, :, 0]).size > 1
 
 
+@pytest.mark.slow
 def test_mh_fused_chunk_boundary_continuity(setup):
     """Multi-segment runs (length > record cap) must be indistinguishable
     from a single-segment run: the counter-based RNG stream is keyed on the
@@ -116,6 +121,7 @@ def test_mh_fused_chunk_boundary_continuity(setup):
                                   np.asarray(chunked.acceptance_ratio))
 
 
+@pytest.mark.slow
 def test_mh_fused_sharded_matches_single_device(setup):
     """shard_map over the 8-device CPU mesh must be bitwise-identical to the
     unsharded run: RNG streams key on the GLOBAL tile index."""
@@ -137,6 +143,7 @@ def test_mh_fused_sharded_matches_single_device(setup):
                                   np.asarray(sharded.chi))
 
 
+@pytest.mark.slow
 def test_mh_fused_accepts_array_params(setup):
     """Array parameters are one theta slot per entry in the fused kernel
     (restriction lifted in round 3 — full coverage in
@@ -190,6 +197,7 @@ def test_kernel_logpdf_matches_distributions():
         assert np.array_equal(np.isfinite(got), mask)
 
 
+@pytest.mark.slow
 def test_mh_fused_priors_enforced(setup):
     """In-kernel prior-aware acceptance: a tight Uniform prior must confine
     every recorded sample to its support (moves outside are rejected by
@@ -214,6 +222,7 @@ def test_mh_fused_priors_enforced(setup):
     assert not np.array_equal(mu, mu2)
 
 
+@pytest.mark.slow
 def test_priors_with_device_scalar_fields(setup):
     """ADVICE r1 (high): priors whose dataclass fields are jnp scalars must
     not crash the lru_cache — they are canonicalized to float-field twins."""
@@ -266,6 +275,7 @@ def test_rng_slot_budget_guard():
         rng.bits(it)
 
 
+@pytest.mark.slow
 def test_checkpointed_run_bitwise_equals_single_dispatch(setup, tmp_path):
     """VERDICT r1 task 6: chunked (checkpoint_every) fused MH is bitwise
     identical to the uninterrupted single-dispatch run."""
@@ -283,6 +293,7 @@ def test_checkpointed_run_bitwise_equals_single_dispatch(setup, tmp_path):
     assert np.load(ckpt)["next_chunk"] == 4  # ceil(24/7)
 
 
+@pytest.mark.slow
 def test_kill_and_resume_reproduces_uninterrupted_run(setup, tmp_path):
     spec, obs_host, times_fit, y0 = setup
     th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
@@ -305,6 +316,7 @@ def test_kill_and_resume_reproduces_uninterrupted_run(setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_resume_rejects_mismatched_config(setup, tmp_path):
     spec, obs_host, times_fit, y0 = setup
     th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
@@ -320,6 +332,7 @@ def test_resume_rejects_mismatched_config(setup, tmp_path):
                                   checkpoint_every=10, resume_from=ckpt)
 
 
+@pytest.mark.slow
 def test_kvaerno3_fixed_step_handles_robertson_stiffness():
     """The fused stiff stepper (chord-Newton ESDIRK) must integrate the
     Robertson problem on a geomspace grid where explicit fixed steps blow
@@ -370,6 +383,7 @@ def test_kvaerno3_fixed_step_handles_robertson_stiffness():
     assert not np.isfinite(dp).all()
 
 
+@pytest.mark.slow
 def test_survey_fused_kvaerno3_matches_adaptive(setup):
     """Fused fixed-step kvaerno3 chi vs the XLA adaptive ESDIRK oracle.
 
@@ -393,6 +407,7 @@ def test_survey_fused_kvaerno3_matches_adaptive(setup):
     np.testing.assert_allclose(pal, xla, rtol=5e-2)
 
 
+@pytest.mark.slow
 def test_mh_fused_kvaerno3_semantics(setup):
     spec, obs_host, times_fit, y0 = setup
     th0 = np.tile([0.6, 2.4e-8, 24.0], (2, 1))
@@ -427,6 +442,7 @@ def test_fused_blowup_gives_nonfinite_chi(setup):
     assert np.isfinite(chis[1])
 
 
+@pytest.mark.slow
 def test_resume_rejects_mismatched_checkpoint_every(setup, tmp_path):
     """checkpoint_every is part of the resume signature: chunk boundaries
     define how many iterations ``next_chunk`` already covers, so a

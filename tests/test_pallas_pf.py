@@ -85,6 +85,7 @@ def test_supported_probe(gbm_ssm):
 
 
 @pytest.mark.parametrize("sde_method", ["euler", "milstein"])
+@pytest.mark.slow
 def test_fused_pmmh_matches_exact_posterior(gbm_ssm, sde_method):
     """Prior-aware fused PMMH recovers the exact (grid-Kalman) posterior
     over log mu within Monte-Carlo + discretization slack (both in-kernel
@@ -120,6 +121,7 @@ def test_fused_pmmh_matches_exact_posterior(gbm_ssm, sde_method):
     assert 0.15 < acc < 0.5, acc
 
 
+@pytest.mark.slow
 def test_fused_pmmh_deterministic(gbm_ssm):
     spec, obs, times, _ = gbm_ssm
     th0 = np.full((8, 1), MU, np.float32)
@@ -137,6 +139,7 @@ def test_fused_pmmh_deterministic(gbm_ssm):
 
 @pytest.mark.parametrize("n_particles,sde_method", [(8, "euler"),
                                                     (136, "milstein")])
+@pytest.mark.slow
 def test_fused_pmmh_sharded_matches_unsharded(gbm_ssm, n_particles,
                                               sde_method):
     """RNG streams keyed on the GLOBAL tile index: mesh-sharded == single
@@ -179,6 +182,7 @@ def test_fused_pmmh_validation(gbm_ssm):
                    interpret=True)
 
 
+@pytest.mark.slow
 def test_mcmc_pmmh_pallas_backend_end_to_end():
     """API wiring: sampler='pmmh' + backend='pallas' runs the fused
     kernel through the MCMC surface; backend='xla' forces the scan
@@ -226,6 +230,7 @@ def test_mcmc_pmmh_pallas_backend_end_to_end():
     assert np.isfinite(post_m["chi"]).all()
 
 
+@pytest.mark.slow
 def test_fused_pmmh_checkpoint_bitwise_and_resume(gbm_ssm, tmp_path):
     """Chunked fused PMMH == straight-through, bitwise; a killed run
     resumes bit-exact; wrong-config resume fails loudly."""

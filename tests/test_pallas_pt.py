@@ -70,6 +70,7 @@ def bimodal_problem():
     return spec, obs_host, times, np.asarray([1e6])
 
 
+@pytest.mark.slow
 def test_pt_fused_cold_chain_recovers_exact_gaussian(gaussian_problem):
     spec, obs_host, times, y0, post_mean, post_std = gaussian_problem
     C = 32
@@ -87,6 +88,7 @@ def test_pt_fused_cold_chain_recovers_exact_gaussian(gaussian_problem):
     assert np.all(np.asarray(swap_rate) <= 1.0)
 
 
+@pytest.mark.slow
 def test_pt_fused_hops_between_modes(bimodal_problem):
     spec, obs_host, times, y0 = bimodal_problem
     C = 16
@@ -106,6 +108,7 @@ def test_pt_fused_hops_between_modes(bimodal_problem):
     assert 0.1 < frac_hi / max(frac_lo + frac_hi, 1e-9) < 0.9
 
 
+@pytest.mark.slow
 def test_pt_fused_deterministic_and_conventions(bimodal_problem):
     spec, obs_host, times, y0 = bimodal_problem
     th0 = np.full((4, 1), K_LO)
@@ -125,6 +128,7 @@ def test_pt_fused_deterministic_and_conventions(bimodal_problem):
                                2 * np.asarray(a.chi) + 2.0, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_pt_fused_sharded_matches_unsharded(bimodal_problem):
     """RNG streams are keyed on the GLOBAL tile index: mesh-sharded and
     single-device runs of the same chain batch are bitwise identical."""
@@ -159,6 +163,7 @@ def test_pt_fused_validation_errors(bimodal_problem):
                                  tile_chains=128, interpret=True)
 
 
+@pytest.mark.slow
 def test_mcmc_sampler_pt_fused_end_to_end():
     """API wiring: sampler='pt' + backend='pallas' runs the fused kernel
     (with in-kernel priors) and returns the reference posterior layout."""
@@ -179,6 +184,7 @@ def test_mcmc_sampler_pt_fused_end_to_end():
         assert col in post.columns
 
 
+@pytest.mark.slow
 def test_mcmc_sampler_pt_fused_with_priors():
     """Prior-aware tempered acceptance fully in-kernel."""
     from helpers import demo_df
@@ -194,6 +200,7 @@ def test_mcmc_sampler_pt_fused_with_priors():
     assert np.isfinite(post["chi"]).all()
 
 
+@pytest.mark.slow
 def test_pt_fused_checkpoint_bitwise_and_resume(bimodal_problem, tmp_path):
     """Chunked fused PT == straight-through, bitwise; a killed run
     resumes bit-exact (VERDICT r3 push item 3 — PT was the one sampler
@@ -231,6 +238,7 @@ def test_pt_fused_checkpoint_bitwise_and_resume(bimodal_problem, tmp_path):
             **{**kw, "rwalk_std": 0.06})
 
 
+@pytest.mark.slow
 def test_pt_fused_swap_rate_is_per_proposal(bimodal_problem):
     """The reported cold-pair rate divides by ATTEMPTS (parity
     alternation proposes the (0,1) pair every other round), not by all
@@ -265,6 +273,7 @@ def test_pick_pt_tile_chains_accounts_for_ladder():
     assert scratch < 10 * 1024 * 1024
 
 
+@pytest.mark.slow
 def test_mcmc_pt_auto_ladder_and_checkpoint(tmp_path):
     """MCMC(sampler='pt', temperatures='auto') tunes a geometric ladder
     before the run; checkpoint_every + resume_from work for PT through

@@ -35,6 +35,7 @@ def test_pad_chains():
     assert pad_chains(1, mesh) == 8
 
 
+@pytest.mark.slow
 def test_sharded_survey_matches_single_device(setup):
     spec, obs, times, y0 = setup
     mesh = chain_mesh()
@@ -50,6 +51,7 @@ def test_sharded_survey_matches_single_device(setup):
     np.testing.assert_allclose(out, ref, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_sharded_mh_runs_and_output_sharded(setup):
     spec, obs, times, y0 = setup
     mesh = chain_mesh()
@@ -65,6 +67,7 @@ def test_sharded_mh_runs_and_output_sharded(setup):
     assert len(out.theta.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_matches_unsharded_mh(setup):
     """Same keys -> identical chains regardless of sharding."""
     spec, obs, times, y0 = setup
@@ -83,6 +86,7 @@ def test_sharded_matches_unsharded_mh(setup):
                                rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_mesh_chunked_checkpoint_sharding_invariant(tmp_path):
     """Checkpointed (chunked) fused MH under shard_map: bitwise equal to
     both the mesh single-dispatch run and the UNSHARDED chunked run (RNG is
@@ -121,6 +125,7 @@ def test_mesh_chunked_checkpoint_sharding_invariant(tmp_path):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(c))
 
 
+@pytest.mark.slow
 def test_sharded_ensemble_runs_independent_per_device(setup):
     """The XLA ensemble under a mesh: one independent ensemble per device
     (no hot-loop collectives), padded to even per-device counts, padding
@@ -143,6 +148,7 @@ def test_sharded_ensemble_runs_independent_per_device(setup):
     assert float(np.asarray(out.acceptance_ratio)[:, -1].mean()) > 0.0
 
 
+@pytest.mark.slow
 def test_api_ensemble_backend_uses_mesh(setup):
     """MCMC(sampler='ensemble') on a multi-device runtime shards walkers
     instead of running the whole batch on one device."""

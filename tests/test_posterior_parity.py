@@ -11,6 +11,9 @@ from odelib_tpu import ModelFramework, parameter
 
 from helpers import synthetic_df, zero_i
 
+# smoke tier (r5): statistical parity vs serial scipy MH — runs in the full suite only
+pytestmark = pytest.mark.slow
+
 
 def reference_mirror_mcmc(df, times, y0, theta_init, nits, seed):
     """Serial MH mirroring Samplers.py:53-174 semantics with scipy odeint."""

@@ -140,6 +140,7 @@ def test_pt_validation_errors(bimodal_problem):
                            temperatures=(1.0,), nits=10, burnin=2)
 
 
+@pytest.mark.slow
 def test_mcmc_sampler_pt_end_to_end():
     from helpers import demo_df
     from odelib_tpu import models
@@ -183,6 +184,7 @@ def test_swap_rate_is_per_proposal(gaussian_problem):
     assert float(np.mean(np.asarray(swap_rate))) > 0.9
 
 
+@pytest.mark.slow
 def test_pt_checkpointed_bitwise_and_resume(gaussian_problem, tmp_path):
     from odelib_tpu.samplers.pt import parallel_tempering_checkpointed
 
@@ -219,6 +221,7 @@ def test_pt_checkpointed_bitwise_and_resume(gaussian_problem, tmp_path):
             **{**kw, "rwalk_std": 0.2})
 
 
+@pytest.mark.slow
 def test_tune_ladder_adapts_to_target(bimodal_problem):
     """tune_ladder converges the geometric ratio so the mean per-proposal
     swap acceptance lands near the target, and the adapted ladder matches

@@ -135,6 +135,7 @@ def test_posterior_parity_with_reference(ref_odelib):
         assert 0.25 < med_ours / med_ref < 4.0, (p, med_ref, med_ours)
 
 
+@pytest.mark.slow
 def test_all_rejected_chain_parity(ref_odelib):
     """What does the reference ACTUALLY do when a chain never accepts?
     Executed answer: it records the seed state every post-burnin iteration

@@ -70,6 +70,7 @@ def test_integrate_route_host_records_decision(fw):
     np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_mcmc_route_host_runs_and_reports(fw, monkeypatch, capsys):
     """route='host' re-enters MCMC under default_device(CPU); with an
     accelerator default backend the fitting report records the routing."""

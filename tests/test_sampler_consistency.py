@@ -25,6 +25,9 @@ from odelib_tpu.samplers import (adaptive_metropolis, ensemble_mh,  # noqa: E402
                                  hamiltonian_mc, metropolis_hastings,
                                  parallel_tempering, smc_sample)
 
+# smoke tier (r5): 10-sampler statistical gauntlet — runs in the full suite only
+pytestmark = pytest.mark.slow
+
 SIG = 0.3
 N_OBS = 10
 

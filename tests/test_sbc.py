@@ -14,6 +14,9 @@ sys.path.insert(0, os.path.dirname(__file__))
 import odelib_tpu  # noqa: E402
 from odelib_tpu.distributions import LogNormal  # noqa: E402
 
+# smoke tier (r5): repeated-MCMC simulation-based calibration — runs in the full suite only
+pytestmark = pytest.mark.slow
+
 
 def _decay_fw(seed=0, n=12, sig=0.15):
     rng = np.random.default_rng(seed)

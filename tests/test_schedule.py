@@ -125,6 +125,7 @@ def fit_setup():
     return spec, obs, times, m
 
 
+@pytest.mark.slow
 def test_survey_fused_uniform_schedule_bitwise(fit_setup):
     spec, obs, times, m = fit_setup
     rng = np.random.default_rng(1)
@@ -140,6 +141,7 @@ def test_survey_fused_uniform_schedule_bitwise(fit_setup):
     np.testing.assert_array_equal(chi_int, chi_tup)
 
 
+@pytest.mark.slow
 def test_fused_mh_runs_nonuniform_schedule(fit_setup):
     spec, obs, times, m = fit_setup
     sched = tuple(1 + (i % 3) for i in range(len(times) - 1))
@@ -151,6 +153,7 @@ def test_fused_mh_runs_nonuniform_schedule(fit_setup):
     assert np.isfinite(np.asarray(out.chi)).all()
 
 
+@pytest.mark.slow
 def test_mcmc_auto_substeps_end_to_end(fit_setup):
     import sys, os
     sys.path.insert(0, os.path.dirname(__file__))
@@ -170,6 +173,7 @@ def test_mcmc_auto_substeps_end_to_end(fit_setup):
     assert "chi" in sv
 
 
+@pytest.mark.slow
 def test_auto_substeps_chi_accuracy_gate(fit_setup):
     """chi under the calibrated schedule stays within the accuracy gate of
     the adaptive oracle over near-fit draws (the region chains explore) —
@@ -202,6 +206,7 @@ def test_auto_substeps_chi_accuracy_gate(fit_setup):
     assert rel.max() < 1e-3, f"max rel chi err {rel.max():.2e}"
 
 
+@pytest.mark.slow
 def test_auto_stiff_grid_robertson_accuracy():
     """r5 (VERDICT push item 2): auto_stiff_grid turns a NAIVE uniform
     output grid into a pilot-derived graded grid + substep schedule whose

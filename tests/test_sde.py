@@ -233,6 +233,7 @@ def test_pf_filtered_means(gbm_ssm):
     assert np.all(np.abs(lf - logO) < 5 * S_OBS + 0.3), (lf, logO)
 
 
+@pytest.mark.slow
 def test_pmmh_matches_exact_posterior(gbm_ssm):
     """PMMH with a lognormal prior reproduces the exact (Kalman x prior)
     posterior over log mu — the pseudo-marginal algorithm's exactness on
@@ -291,6 +292,7 @@ def test_pmmh_validation(gbm_ssm):
              nits=10, burnin=2)
 
 
+@pytest.mark.slow
 def test_pmmh_checkpointed_bitwise_and_resume(gbm_ssm, tmp_path):
     """Chunked PMMH == straight-through PMMH bitwise; a killed run
     resumes from the persisted npz to the identical posterior; resuming
@@ -400,6 +402,7 @@ def test_framework_simulate_requires_diffusion():
                print_report=False)
 
 
+@pytest.mark.slow
 def test_framework_pmmh_mcmc(sde_framework):
     m = sde_framework
     post = m.MCMC(chain_inits=6, iterations_per_chain=60,
@@ -417,6 +420,7 @@ def test_framework_pmmh_mcmc(sde_framework):
     assert 0.1 < post["r"].mean() < 2.5
 
 
+@pytest.mark.slow
 def test_framework_pmmh_checkpoint_every(sde_framework, tmp_path):
     """MCMC(sampler='pmmh', checkpoint_every=...) persists progress and
     returns the same posterior as the uncheckpointed run (same seed ->
@@ -443,6 +447,7 @@ def test_framework_pmmh_backend_validation(sde_framework):
                            print_report=False)
 
 
+@pytest.mark.slow
 def test_framework_sde_predictive_checks(sde_framework):
     """Predictive replications on a stochastic model include process
     noise: one SDE path per draw. With identical parameter draws the
@@ -481,6 +486,7 @@ def _phase_acceptance(out):
     return float(np.mean((acc_last - acc_first) / (it[-1] - it[0])))
 
 
+@pytest.mark.slow
 def test_pmmh_adapt_proposal_targets_acceptance(gbm_ssm):
     """A far-too-timid proposal (acceptance ~1) is adapted during burn-in
     toward target_accept and FROZEN for the recorded phase."""
@@ -506,6 +512,7 @@ def test_pmmh_adapt_proposal_targets_acceptance(gbm_ssm):
     assert a1 < a0 - 0.1     # adaptation moved acceptance toward target
 
 
+@pytest.mark.slow
 def test_pmmh_adapt_checkpoint_bitwise(gbm_ssm, tmp_path):
     """Chunked PMMH with adaptation on == straight-through, bitwise (the
     per-chain log proposal scale rides the persisted state)."""
@@ -525,6 +532,7 @@ def test_pmmh_adapt_checkpoint_bitwise(gbm_ssm, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_tune_particles_rule(gbm_ssm):
     """var(log-lik) shrinks ~1/K and the recommendation follows the
     K* = K_pilot * var / target rule."""
@@ -571,6 +579,7 @@ def test_framework_tune_particles_requires_diffusion():
         m.tune_particles()
 
 
+@pytest.mark.slow
 def test_pmmh_sharded_matches_unsharded(gbm_ssm):
     """PMMH inputs sharded over the virtual 8-device mesh produce the
     SAME posterior as the single-device run (counter-based PF RNG is a

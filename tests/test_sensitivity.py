@@ -72,6 +72,7 @@ def test_sobol_interaction_oracle():
         assert out.loc[p, "ST"] - out.loc[p, "S1"] > 0.04
 
 
+@pytest.mark.slow
 def test_sobol_chi_target_and_validation():
     from helpers import synthetic_df
     from odelib_tpu import models
@@ -116,6 +117,7 @@ def test_local_sensitivity_matches_analytic():
                                expected / 0.8, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_power_scale_sensitivity_diagnoses_prior_dominance():
     """Power-scaling (Kallioinen et al. 2023): a data-identified rate is
     likelihood-sensitive only; an inert parameter (no effect on the
@@ -182,6 +184,7 @@ def test_power_scale_sensitivity_requires_priors():
         fw.power_scale_sensitivity(pd.DataFrame({"k": [1.0], "chi": [1.0]}))
 
 
+@pytest.mark.slow
 def test_joint_power_scale_sensitivity():
     """JointFit mirror: a shared rate identified by both experiments is
     likelihood-sensitive; an inert per-experiment parameter is

@@ -125,6 +125,7 @@ def test_smc_validation(conjugate_problem):
                    jax.random.PRNGKey(0), prior_logpdf=_prior_logpdf)
 
 
+@pytest.mark.slow
 def test_model_evidence_api_and_bayes_factor():
     """zero_i vs a one-parameter pure-decay model on zero_i data: the
     richer (true) model must win the Bayes factor decisively."""
@@ -159,6 +160,7 @@ def test_model_evidence_api_and_bayes_factor():
         f"model {res2['log_evidence']:.1f}")
 
 
+@pytest.mark.slow
 def test_model_evidence_conditions_on_static_parameters():
     """static_parameters must be pinned at their CURRENT value, not drawn
     from their prior — the evidence is conditioned, not marginalized."""

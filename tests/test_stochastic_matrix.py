@@ -122,12 +122,14 @@ def test_refusers_run_with_drift_only_and_warn(sde_model, name):
         getattr(sde_model, name)(**kw)
 
 
+@pytest.mark.slow
 def test_mcmc_mh_on_diffusion_model_warns(sde_model):
     with pytest.warns(UserWarning, match="DRIFT ONLY"):
         sde_model.MCMC(chain_inits=2, iterations_per_chain=10,
                        fitsurvey_samples=32, print_report=False)
 
 
+@pytest.mark.slow
 def test_mcmc_pmmh_on_diffusion_model_no_drift_warning(sde_model):
     with warnings.catch_warnings():
         warnings.simplefilter("error", UserWarning)
@@ -138,6 +140,7 @@ def test_mcmc_pmmh_on_diffusion_model_no_drift_warning(sde_model):
     assert len(post) > 0
 
 
+@pytest.mark.slow
 def test_information_criteria_warns(sde_model):
     post = sde_model.MCMC(chain_inits=2, iterations_per_chain=60,
                           fitsurvey_samples=32, sampler="pmmh",
@@ -148,6 +151,7 @@ def test_information_criteria_warns(sde_model):
                                        print_report=False)
 
 
+@pytest.mark.slow
 def test_jointfit_accepts_stochastic_experiments(sde_model):
     """r5: JointFit routes stochastic experiments through joint PMMH
     (recovery test: tests/test_joint.py::test_joint_pmmh_*); gradient

@@ -2,6 +2,7 @@
 import logging
 
 import numpy as np
+import pytest
 
 from odelib_tpu.parallel import chain_mesh, local_chain_slice
 from odelib_tpu.utils import StageTimer, get_logger
@@ -34,6 +35,7 @@ def test_local_chain_slice_single_process_covers_all():
     assert (start, stop) == (0, 64)
 
 
+@pytest.mark.slow
 def test_mcmc_profile_flag():
     """profile=True must log stage timings without changing the posterior."""
     import scipy.stats as st
